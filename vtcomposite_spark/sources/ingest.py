@@ -1,0 +1,73 @@
+"""Fixture ingestion: MVT tile buffers → relational feature rows (S2).
+
+One-time decode of opaque tile protobufs into the engine's exploded form
+(SURVEY.md §1.2). Inside the engine there is no decode — data is relational.
+String-typed properties only, matching the string-only semantics the
+reference enforces for its property algebra (src/vtcomposite.cpp:787,806);
+non-string values are stringified for transport and typed columns can be
+added at ingestion when a key's type is known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import FEATURES_SCHEMA
+from . import mvt
+
+
+def feature_rows(tiles: list[tuple[bytes, int, int, int]],
+                 keep_malformed: bool = False) -> list[dict]:
+    """Decode (buffer, z, x, y) tiles into FEATURES_SCHEMA dicts.
+
+    ``keep_malformed=False`` mirrors the reference's v1 tolerance: malformed
+    geometries inside v1 tiles are skipped, not fatal
+    (src/vtcomposite.cpp:159-178).
+    """
+    rows: list[dict] = []
+    for tile_idx, (buf, z, x, y) in enumerate(tiles):
+        try:
+            layers = mvt.decode_tile(buf)
+        except Exception:
+            if keep_malformed:
+                raise
+            continue
+        for layer in layers:
+            for fidx, f in enumerate(layer.features):
+                xs: list[int] = []
+                ys: list[int] = []
+                offsets: list[int] = []
+                for part in f.parts:
+                    offsets.append(len(xs))
+                    for px, py in part:
+                        xs.append(px)
+                        ys.append(py)
+                props = {k: str(v) for k, v in f.properties.items()}
+                rows.append({
+                    "tile_idx": tile_idx,
+                    "src_z": z, "src_x": x, "src_y": y,
+                    "layer": layer.name,
+                    "layer_version": layer.version,
+                    "extent": layer.extent,
+                    "feature_idx": fidx,
+                    "feature_id": f.fid,
+                    "geom_type": f.geom_type,
+                    "xs": xs, "ys": ys,
+                    "part_offsets": offsets,
+                    "ring_types": [int(r) for r in f.ring_types],
+                    "properties": props,
+                })
+    return rows
+
+
+def features_from_tiles(spark: SparkSession,
+                        tiles: list[tuple[bytes, int, int, int]]) -> DataFrame:
+    return spark.createDataFrame(feature_rows(tiles), schema=FEATURES_SCHEMA)
+
+
+def targets_df(spark: SparkSession, targets: list[dict]) -> DataFrame:
+    """targets: [{'z':..,'x':..,'y':..,'buffer_size':0,'keep_layers':None,'compress':False}]"""
+    from ..schema import TARGETS_SCHEMA
+    full = [{"buffer_size": 0, "keep_layers": None, "compress": False, **t}
+            for t in targets]
+    return spark.createDataFrame(full, schema=TARGETS_SCHEMA)

@@ -127,15 +127,15 @@ def parent_cell(cell, parent_z):
 if _HAVE_SPARK:
 
     def lon_to_tilex_col(lon: Column, zoom) -> Column:
-        return (lon + F.lit(180.0)) / F.lit(360.0) * F.shiftleft(F.lit(1), zoom)
+        return (lon + F.lit(180.0)) / F.lit(360.0) * F.call_function("shiftleft", F.lit(1), F.lit(zoom) if not isinstance(zoom, Column) else zoom)
 
     def lat_to_tiley_col(lat: Column, zoom) -> Column:
         phi = F.radians(lat)
         merc = F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
-        return (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.shiftleft(F.lit(1), zoom)
+        return (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.call_function("shiftleft", F.lit(1), F.lit(zoom) if not isinstance(zoom, Column) else zoom)
 
     def tile_xy_cols(lon: Column, lat: Column, zoom) -> tuple[Column, Column]:
-        n = F.shiftleft(F.lit(1), zoom).cast("long")
+        n = F.call_function("shiftleft", F.lit(1), F.lit(zoom) if not isinstance(zoom, Column) else zoom).cast("long")
         tx = F.floor(lon_to_tilex_col(lon, zoom)).cast("long")
         ty = F.floor(lat_to_tiley_col(lat, zoom)).cast("long")
         clip = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, n - F.lit(1).cast("long")))  # noqa: E731
@@ -144,11 +144,11 @@ if _HAVE_SPARK:
     def within_target_col(src_z: Column, src_x: Column, src_y: Column,
                           z: Column, x: Column, y: Column) -> Column:
         dz = z - src_z
-        return (src_z <= z) & (F.shiftright(x, dz) == src_x) & (F.shiftright(y, dz) == src_y)
+        return (src_z <= z) & (F.call_function("shiftright", x, dz) == src_x) & (F.call_function("shiftright", y, dz) == src_y)
 
     def displacement_cols(src_z: Column, extent: Column,
                           z: Column, x: Column, y: Column) -> tuple[Column, Column]:
-        mask = F.shiftleft(F.lit(1).cast("long"), z - src_z) - F.lit(1).cast("long")
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), z - src_z) - F.lit(1).cast("long")
         return (x.bitwiseAND(mask) * extent).cast("long"), (y.bitwiseAND(mask) * extent).cast("long")
 
     def pack_cell_col(z: Column, x: Column, y: Column) -> Column:

@@ -1,0 +1,147 @@
+"""Pages source, cell encoding, PIP join, kNN join tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vtcomposite_spark import tilemath as tm
+from vtcomposite_spark.operators.cells import encode_cells, rollup_counts, tile_pixels
+from vtcomposite_spark.operators.joins import knn_join, pip_join
+from vtcomposite_spark.sources.pages import (
+    extract_geotags, pages_from_documents, synthesize_pages)
+
+POINT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+])
+
+POLY_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.LongType()),
+    T.StructField("xs", T.ArrayType(T.DoubleType())),
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+    T.StructField("part_offsets", T.ArrayType(T.IntegerType())),
+])
+
+
+def test_synthesize_and_extract_roundtrip(spark):
+    pages = synthesize_pages(spark, 200, partitions=2)
+    geo = extract_geotags(pages)
+    rows = geo.select("url", "lat", "lon", "text").collect()
+    assert len(rows) == 200
+    tagged = [r for r in rows if r.lat is not None]
+    # ~80% geotagged
+    assert 120 <= len(tagged) <= 190
+    # text invariant: byte-identical per url
+    for r in rows[:20]:
+        i = int(r.url.rsplit("/", 1)[1])
+        assert r.text == f"text body {i} lorem"
+    # skew: at least half of tagged rows in the SF cluster
+    sf = [r for r in tagged if abs(r.lat - 37.76) < 0.1 and abs(r.lon + 122.44) < 0.1]
+    assert len(sf) >= len(tagged) * 0.45
+
+
+def test_gzip_fraction_exercised(spark):
+    pages = synthesize_pages(spark, 100, partitions=1)
+    gz = pages.filter(F.expr("substring(html, 1, 2) = X'1F8B'")).count()
+    assert 20 <= gz <= 40  # ~30%
+
+
+def test_pages_from_documents_matches_numpy_assignment(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    geo = extract_geotags(pages).select("url", "lat", "lon").collect()
+    from vtcomposite_spark.sources.pages import _geo_for_ids
+    ids = np.array([int(r.url.rsplit("/", 1)[1]) for r in geo])
+    tagged, lat, lon = _geo_for_ids(ids)
+    for i, r in enumerate(geo):
+        if not tagged[i]:
+            assert r.lat is None
+        else:
+            assert abs(r.lat - lat[i]) < 1e-5
+            assert abs(r.lon - lon[i]) < 1e-5
+
+
+def test_encode_cells_matches_numpy(spark):
+    pts = [("a", 37.76, -122.44), ("b", 0.0, 0.0), ("c", -42.03, -109.69),
+           ("d", 74.77, 87.19)]
+    df = spark.createDataFrame(pts, POINT_SCHEMA)
+    out = {r.url: (r.tile_x, r.tile_y) for r in encode_cells(df, 12).collect()}
+    for url, la, lo in pts:
+        tx, ty = tm.lonlat_to_tile(np.array([lo]), np.array([la]), 12)
+        assert out[url] == (tx[0], ty[0])
+
+
+def test_tile_pixels_matches_numpy(spark):
+    df = spark.createDataFrame([("a", 72.39570570653261, -123.74999999999999)],
+                               POINT_SCHEMA)
+    r = tile_pixels(df, 0).collect()[0]
+    assert (r.px, r.py) == (640, 832)
+
+
+def test_rollup_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 37.76, -122.44), ("b", 37.77, -122.45), ("c", -10.0, 10.0)],
+        POINT_SCHEMA)
+    cells = encode_cells(df, 10)
+    roll = rollup_counts(cells, 10, 0).collect()
+    by_zoom = {}
+    for r in roll:
+        by_zoom.setdefault(r.zoom, 0)
+        by_zoom[r.zoom] += r.n
+    assert all(v == 3 for v in by_zoom.values())  # counts conserved per level
+    z0 = [r for r in roll if r.zoom == 0]
+    assert len(z0) == 1 and z0[0].n == 3
+
+
+def test_pip_join_square_with_hole(spark):
+    # square (0..10) with hole (4..6)
+    polys = spark.createDataFrame([
+        (1, [0.0, 10.0, 10.0, 0.0, 0.0, 4.0, 6.0, 6.0, 4.0, 4.0],
+            [0.0, 0.0, 10.0, 10.0, 0.0, 4.0, 4.0, 6.0, 6.0, 4.0],
+            [0, 5]),
+    ], POLY_SCHEMA)
+    pts = spark.createDataFrame([
+        ("inside", 2.0, 2.0),
+        ("in_hole", 5.0, 5.0),
+        ("outside", 20.0, 20.0),
+        ("inside2", 8.0, 1.0),
+    ], POINT_SCHEMA)
+    out = pip_join(pts, polys, zoom=4, point_cols=["url", "lat", "lon"])
+    got = sorted(r.url for r in out.collect())
+    assert got == ["inside", "inside2"]
+
+
+def test_pip_join_multiple_polys(spark):
+    polys = spark.createDataFrame([
+        (1, [0.0, 10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0, 0.0], [0]),
+        (2, [5.0, 15.0, 15.0, 5.0, 5.0], [5.0, 5.0, 15.0, 15.0, 5.0], [0]),
+    ], POLY_SCHEMA)
+    pts = spark.createDataFrame([("p", 7.0, 7.0)], POINT_SCHEMA)
+    out = pip_join(pts, polys, zoom=5, point_cols=["url"])
+    assert sorted(r.poly_id for r in out.collect()) == [1, 2]
+
+
+SITE_SCHEMA = T.StructType([
+    T.StructField("site_id", T.LongType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+])
+
+
+def test_knn_grid_matches_brute(spark):
+    rng = np.random.default_rng(42)
+    pts = [(f"u{i}", float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(37.0, 38.0, 60), rng.uniform(-123.0, -122.0, 60)))]
+    sites = [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(37.0, 38.0, 25), rng.uniform(-123.0, -122.0, 25)))]
+    pdf = spark.createDataFrame(pts, POINT_SCHEMA)
+    sdf = spark.createDataFrame(sites, SITE_SCHEMA)
+    brute = knn_join(pdf, sdf, 3, method="brute")
+    # zoom chosen so one cell (~0.7° at z9... ) covers the knn radius: z7
+    grid = knn_join(pdf, sdf, 3, method="grid", zoom=7)
+    b = {(r.url, r.knn_rank): r.site_id for r in brute.collect()}
+    g = {(r.url, r.knn_rank): r.site_id for r in grid.collect()}
+    assert b == g
+    assert len(b) == 60 * 3

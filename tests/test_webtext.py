@@ -1,0 +1,180 @@
+"""Webtext operators: dedupe family, text analysis, similarity — including
+Spark↔DuckDB parity for every SQL-replayable expression (the oracle
+contract these operators will be graded on)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vtcomposite_spark.functions import hashing as H
+from vtcomposite_spark.functions import text as TX
+from vtcomposite_spark.operators import dedupe as D
+from vtcomposite_spark.operators import multimodal as MM
+from vtcomposite_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def duck(sql):
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    con.sql(f"create view embeddings as select * from '{SF}/embeddings.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def test_token_count_parity(spark, docs):
+    got = {r.doc_id: r.tc for r in docs.select(
+        "doc_id", TX.token_count_col(F.col("text")).alias("tc")).collect()}
+    want = dict(duck(
+        f"select doc_id, {TX.TOKEN_COUNT_SQL.format(c='text')} from documents"))
+    assert got == want
+
+
+def test_lang_guess_parity(spark, docs):
+    got = {r.doc_id: r.lg for r in docs.select(
+        "doc_id", TX.lang_guess_col(F.col("text")).alias("lg")).collect()}
+    want = dict(duck(
+        f"select doc_id, {TX.lang_guess_sql('text')} from documents"))
+    assert got == want
+    assert len(set(got.values())) > 1  # heuristic actually discriminates
+
+
+def test_quality_score_parity(spark, docs):
+    got = {r.doc_id: r.q for r in docs.select(
+        "doc_id", TX.quality_score_col(F.col("text")).alias("q")).collect()}
+    want = dict(duck(
+        f"select doc_id, {TX.quality_score_sql('text')} from documents"))
+    assert got == pytest.approx(want)
+
+
+def test_fingerprint_parity(spark, docs):
+    got = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", TX.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    want = dict(duck(
+        f"select doc_id, {TX.fingerprint_sql('text')} from documents"))
+    assert got == want
+
+
+def test_minhash_sig_parity(spark, docs):
+    got = {r.doc_id: list(r.sig) for r in docs.limit(50).select(
+        "doc_id", H.minhash_sig_col(F.col("text"), 4).alias("sig")).collect()}
+    want = dict(duck(
+        f"select doc_id, {H.minhash_sig_sql('text', 4)} from documents "
+        f"where doc_id in (select doc_id from documents order by doc_id limit 50)"))
+    for k, v in got.items():
+        assert v == want[k], k
+
+
+def test_simhash_parity(spark, docs):
+    got = {r.doc_id: r.sh for r in docs.limit(30).select(
+        "doc_id", H.simhash_col(F.col("text"), 8).alias("sh")).collect()}
+    want = dict(duck(
+        f"select doc_id, {H.simhash_sql('text', 8)} from documents "
+        f"where doc_id in (select doc_id from documents order by doc_id limit 30)"))
+    assert got == want
+
+
+def test_cosine_parity(spark, emb):
+    pair = emb.limit(2).collect()
+    a, b = list(pair[0].embedding), list(pair[1].embedding)
+    got = spark.range(1).select(F.round(H.cosine_col(
+        F.lit(a).cast("array<double>"), F.lit(b).cast("array<double>")), 6)
+        .alias("c")).collect()[0].c
+    want = duck(
+        "with p as (select embedding::DOUBLE[] e, vec_id from embeddings order by vec_id limit 2) "
+        f"select round({H.cosine_sql('a.e', 'b.e')}, 6) from p a, p b "
+        "where a.vec_id < b.vec_id")[0][0]
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_exact_dedupe(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"])
+    out = {r.keep_id: r.n_dups for r in D.exact_dedupe(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words nothing shared here at all whatsoever everyone"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {(r.a, r.b) for r in D.minhash_candidate_pairs(df, k=8, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_refine(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    df = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(df, threshold=0.5, k=8, bands=8).collect()
+    assert len(out) == 1
+    assert 0.5 <= out[0].jaccard < 1.0
+
+
+def test_simhash_dedupe_groups_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six")], ["doc_id", "text"])
+    rows = D.simhash_dedupe(df).collect()
+    assert sorted((r.keep_id, r.n_dups) for r in rows) == [(1, 2), (3, 1)]
+
+
+def test_embedding_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.5]), (2, [0.99, 0.01, 0.0, 0.5]),
+         (3, [-1.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = D.embedding_near_dups(df, threshold=0.95, sign_bits=2).collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2)]
+
+
+def test_ann_brute_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = S.ann_topk_brute(q, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for qid, rs in by_q.items():
+        rs.sort()
+        cs = [c for _, c in rs]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_ann_ivf_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = S.ann_topk_brute(q, emb, k=5)
+    ivf = S.ann_topk_ivf(q, emb, k=5, n_centroids=8, nprobe=4)
+    b = {(r.query_id, r.corpus_id) for r in brute.collect()}
+    i = {(r.query_id, r.corpus_id) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5, recall  # approximate, but must be meaningfully high
+
+
+def test_multimodal_decode_and_resize(spark):
+    media = MM.synthesize_media(spark, 20, partitions=2)
+    feats = MM.decode_image(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert 16 <= r.width <= 64 and 16 <= r.height <= 64
+        assert 0 <= r.mean_px <= 255
+        assert sum(r.histogram) == r.width * r.height
+    small = MM.resize_stub(media, 8, 8).collect()
+    assert all(len(bytes(r.payload)) == 8 + 64 for r in small)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(media, codec="real")

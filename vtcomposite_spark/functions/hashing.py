@@ -1,0 +1,127 @@
+"""Portable hashing primitives for dedupe/similarity — md5-based so every
+hash is bit-identical between Spark and any ANSI SQL engine (the DuckDB
+oracle replays them exactly). No engine-specific hash functions
+(xxhash64/murmur differ across engines); md5 is the portability anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+HEX = "0123456789abcdef"
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: contiguous n-token windows joined by spaces."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def shingles_sql(c: str, n: int = 3) -> str:
+    toks = f"list_filter(string_split({c}, ' '), t -> t != '')"
+    return (f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))")
+
+
+def minhash_sig_col(text: Column, k: int = 8, n: int = 3) -> Column:
+    """k-element MinHash signature: per hash j, min over shingles of
+    md5(j || ':' || shingle) (lexicographic min over hex digests)."""
+    sh = shingles_col(text, n)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))),
+    )
+
+
+def minhash_sig_sql(c: str, k: int = 8, n: int = 3) -> str:
+    sh = shingles_sql(c, n)
+    return (f"list_transform(range(1, {k + 1}), "
+            f"j -> list_min(list_transform({sh}, s -> md5(j::varchar || ':' || s))))")
+
+
+def band_key_col(sig: Column, band: int, rows_per_band: int) -> Column:
+    """LSH band key: concat of the band's signature rows (1-indexed band)."""
+    start = (band - 1) * rows_per_band + 1
+    return F.concat_ws("|", F.lit(str(band)),
+                       *[F.element_at(sig, start + i) for i in range(rows_per_band)])
+
+
+def band_key_sql(sig: str, band: int, rows_per_band: int) -> str:
+    start = (band - 1) * rows_per_band + 1
+    parts = " || '|' || ".join(f"({sig})[{start + i}]" for i in range(rows_per_band))
+    return f"('{band}' || '|' || {parts})"
+
+
+def _hex4_to_int_col(h: Column) -> Column:
+    """First 4 hex chars of a digest → int in [0, 65536). Implemented with
+    strpos arithmetic (no conv()) so the SQL replay is engine-agnostic."""
+    v = F.lit(0)
+    for i in range(1, 5):
+        d = F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1
+        v = v * 16 + d
+    return v
+
+
+def hex4_to_int_sql(h: str) -> str:
+    parts = []
+    for i in range(1, 5):
+        parts.append(f"(strpos('{HEX}', substr({h}, {i}, 1)) - 1)")
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"(({expr}) * 16 + {p})"
+    return expr
+
+
+def simhash_col(text: Column, bits: int = 16, n: int = 3) -> Column:
+    """SimHash over word n-grams: per bit b, sign of the sum over shingles of
+    ±1 according to bit b of the shingle's 16-bit md5 prefix."""
+    sh = shingles_col(text, n)
+    hv = F.transform(sh, lambda s: _hex4_to_int_col(F.md5(s)))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(
+            hv, F.lit(0),
+            lambda acc, v: acc + F.when(
+                F.call_function("shiftright", v, F.lit(b)) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(c: str, bits: int = 16, n: int = 3) -> str:
+    sh = shingles_sql(c, n)
+    hv = f"list_transform({sh}, s -> {hex4_to_int_sql('md5(s)')})"
+    terms = []
+    for b in range(bits):
+        bit_sum = (f"list_sum(list_transform({hv}, "
+                   f"v -> CASE WHEN (v // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN coalesce({bit_sum}, 0) > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+# --- vector math (embeddings) ---
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot_col(a, b) / (na * nb)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform({a}, v -> v * v)))"
+    nb = f"sqrt(list_sum(list_transform({b}, v -> v * v)))"
+    return f"({dot} / ({na} * {nb}))"

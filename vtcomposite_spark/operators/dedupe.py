@@ -1,0 +1,123 @@
+"""Deduplication operators for the documents table — the training-data
+pipeline family (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine). All candidate generation is equi-join/groupBy on deterministic
+md5-derived keys (portable to the DuckDB oracle); no pairwise O(n²) stage
+ever runs un-bucketed.
+
+Scale notes: every operator is a single shuffle on a hash key with map-side
+combine; LSH band keys are near-uniform (md5), so no skew handling is
+needed beyond AQE. The pair-refine stages join only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+def exact_dedupe(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact text hash; report group size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        H.minhash_sig_col(F.col(text_col), k, shingle_n).alias("sig"))
+
+
+def minhash_lsh_buckets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """Explode each doc into its LSH band keys; docs sharing a band key are
+    near-dup candidates. rows_per_band = k / bands."""
+    rpb = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_cols = [H.band_key_col(F.col("sig"), b, rpb).alias(f"b{b}")
+                 for b in range(1, bands + 1)]
+    return (
+        sig.select(F.col(id_col), F.array(*band_cols).alias("bks"))
+        .select(F.col(id_col), F.explode("bks").alias("band_key"))
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band."""
+    b = minhash_lsh_buckets(df, text_col, id_col, k, bands, shingle_n)
+    l = b.select(F.col("band_key"), F.col(id_col).alias("a"))
+    r = b.select(F.col("band_key"), F.col(id_col).alias("b"))
+    return (
+        l.join(r, on="band_key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+
+
+def simhash_dedupe(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Group by exact SimHash value (Hamming-0 buckets); near-dup variant
+    joins on bit-masked sub-keys."""
+    return (
+        df.select(F.col(id_col), H.simhash_col(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5, k: int = 8,
+                        bands: int = 4) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs (filter-refine):
+    candidates from MinHash bands, refined with
+    |A ∩ B| / |A ∪ B| ≥ threshold on distinct shingle sets."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, k, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(H.shingles_col(F.col(text_col), shingle_n)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        sign_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by the sign pattern of the first
+    ``sign_bits`` dimensions (a deterministic random-hyperplane LSH stand-in),
+    refine with exact cosine inside buckets. Approximate: pairs straddling a
+    sign flip in the leading dims are missed — raise sign_bits=0 for the
+    exact (single-bucket) variant on small data."""
+    key = F.concat_ws("", *[
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(sign_bits)
+    ]) if sign_bits else F.lit("all")
+    v = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
+    a = v.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = v.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(H.cosine_col(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

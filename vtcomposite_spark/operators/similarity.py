@@ -1,0 +1,85 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``ann_topk_brute`` — exact brute-force cosine top-k: broadcast the (small)
+  query set against the corpus scan; the corpus never shuffles, ranking is
+  a window per query. The oracle baseline.
+* ``ann_topk_ivf`` — IVF-style scale path: the corpus is bucketed once by
+  nearest centroid (deterministic k-means-free centroids: the first C
+  corpus vectors by id); a query probes only the ``nprobe`` nearest
+  centroid buckets. Approximate by construction; recall measured in tests.
+
+Cosine runs JVM-side via zip_with/aggregate (functions.hashing.cosine_col)
+— no Python, no UDF. For very wide vectors a Pandas-UDF BLAS kernel would
+win; at 64-dim the expression path is faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import cosine_col
+
+
+def _ranked(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk_brute(queries: DataFrame, corpus: DataFrame, k: int,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    return _ranked(cand, k).select("query_id", "corpus_id", "cos", "rank")
+
+
+def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF bucketed ANN. Centroids = the ``n_centroids`` lowest-id corpus
+    vectors (deterministic; replace with real k-means offline at scale)."""
+    cent = (
+        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("centv"))
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    # assign each corpus vector to its nearest centroid (one broadcast pass)
+    assign_w = Window.partitionBy("corpus_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine_col(F.col("cv"), F.col("centv")))
+        .withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("corpus_id", "cv", F.col("centroid_id").alias("bucket"))
+    )
+    # each query probes its nprobe nearest centroid buckets
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qcos", cosine_col(F.col("qv"), F.col("centv")))
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("bucket"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    return _ranked(cand, k).select("query_id", "corpus_id", "cos", "rank")

@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (pages → geotag extraction →
+cell index → per-tile rollup). ``queries()``/``oracle_sql()`` expose every
+SQL-expressible operator from SURVEY.md §2 with a DuckDB oracle; geometry
+kernels (overzoom/clip) are gated by the reference-fixture golden tests in
+tests/ instead (not SQL-expressible) plus rows-only entries here.
+
+All synthetic geo/worldview columns derive from table ids with pure integer
+arithmetic (vtcomposite_spark.sources.pages.geo_sql_exprs) so the oracle
+replays them exactly — no external data, no RNG.
 """
 
 from __future__ import annotations
@@ -12,27 +16,443 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import vtcomposite_spark.functions.hashing as H
+import vtcomposite_spark.functions.text as TX
+from vtcomposite_spark import tilemath as tm
+from vtcomposite_spark.operators import dedupe as D
+from vtcomposite_spark.operators import similarity as SIM
+from vtcomposite_spark.operators.cells import encode_cells, rollup_counts
+from vtcomposite_spark.operators.joins import knn_join
+from vtcomposite_spark.operators.localize import localize
+from vtcomposite_spark.sources.pages import (extract_geotags, geo_cols,
+                                             geo_sql_exprs,
+                                             pages_from_documents)
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_GEO_DOC = geo_sql_exprs("doc_id")
+_GEO_EVT = geo_sql_exprs("event_id")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tile_sql(lon: str, lat: str, zoom: int) -> tuple[str, str]:
+    """lon/lat → integer tile x/y, ANSI SQL (matches tilemath.tile_xy_cols)."""
+    n = 1 << zoom
+    tx = f"greatest(0, least(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1}))"
+    merc = f"ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+    ty = (f"greatest(0, least(CAST(floor((1.0 - {merc} / pi()) / 2.0 * {n}) AS BIGINT), "
+          f"{n - 1}))")
+    return tx, ty
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    tagged, lat, lon = geo_cols("event_id")
+    return ev.filter(tagged).select(
+        "event_id", lat.alias("lat"), lon.alias("lon"))
+
+
+_EVENTS_POINTS_SQL = (
+    f"SELECT event_id, {_GEO_EVT['lat']} AS lat, {_GEO_EVT['lon']} AS lon "
+    f"FROM events WHERE {_GEO_EVT['tagged']}"
+)
+
+_SITES_SQL = (
+    "SELECT n_nationkey AS site_id, "
+    "((n_nationkey * 7) % 160) - 80 + 0.5 AS lat, "
+    "((n_nationkey * 29) % 360) - 180 + 0.5 AS lon FROM nation"
+)
+
+
+def _sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("site_id"),
+        (((F.col("n_nationkey") * 7) % 160) - 80 + 0.5).cast("double").alias("lat"),
+        (((F.col("n_nationkey") * 29) % 360) - 180 + 0.5).cast("double").alias("lon"))
+
+
+_WV_SQL = ("CASE doc_id % 4 WHEN 0 THEN 'US,CN' WHEN 1 THEN 'all' "
+           "WHEN 2 THEN 'JP' ELSE 'RU,US' END")
+
+
+def _wv_col():
+    return (F.when(F.col("doc_id") % 4 == 0, "US,CN")
+            .when(F.col("doc_id") % 4 == 1, "all")
+            .when(F.col("doc_id") % 4 == 2, "JP")
+            .otherwise("RU,US"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """pages (from documents) → geotag extraction (binary html, gzip-sniff
+    regex kernel) → z10 cell index → per-tile page counts + language mix."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    pages = pages_from_documents(docs)
+    geo = extract_geotags(pages).filter(F.col("lat").isNotNull())
+    cells = encode_cells(geo, 10)
+    return (
+        cells.groupBy("cell", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_pages"),
+             F.countDistinct("lang").alias("n_langs"))
+        .orderBy(F.col("n_pages").desc(), F.col("cell").asc())
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- geo / tiling (F11, J1/P1, A2, J3, rollup) ---
+
+    def tile_encode_counts(spark, sf):
+        pts = _events_points(spark, sf)
+        out = encode_cells(pts, 8)
+        return (out.groupBy("tile_x", "tile_y")
+                .agg(F.count("*").alias("n"))
+                .select(F.col("tile_x").alias("tx"), F.col("tile_y").alias("ty"), "n"))
+    q["tile_encode_counts"] = tile_encode_counts
+
+    def pages_tile_assign(spark, sf):
+        docs = _read(spark, sf, "documents")
+        pages = pages_from_documents(docs)
+        geo = extract_geotags(pages).filter(F.col("lat").isNotNull())
+        cells = encode_cells(geo, 10)
+        return (cells.groupBy("tile_x", "tile_y")
+                .agg(F.count("*").alias("n_pages"),
+                     F.countDistinct("lang").alias("n_langs"))
+                .select(F.col("tile_x").alias("tx"), F.col("tile_y").alias("ty"),
+                        "n_pages", "n_langs"))
+    q["pages_tile_assign"] = pages_tile_assign
+
+    def tile_ancestry_filter(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        t = li.select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_linenumber") % 8).alias("src_z"),
+            F.pmod(F.col("l_partkey"),
+                   F.call_function("shiftleft", F.lit(1).cast("long"),
+                                   F.col("l_linenumber") % 8)).alias("src_x"),
+            F.pmod(F.col("l_suppkey"),
+                   F.call_function("shiftleft", F.lit(1).cast("long"),
+                                   F.col("l_linenumber") % 8)).alias("src_y"))
+        keep = tm.within_target_col(
+            F.col("src_z"), F.col("src_x"), F.col("src_y"),
+            F.lit(7), F.lit(97).cast("long"), F.lit(76).cast("long"))
+        return t.filter(keep).select("l_orderkey", "l_linenumber",
+                                     "src_z", "src_x", "src_y")
+    q["tile_ancestry_filter"] = tile_ancestry_filter
+
+    def first_wins_orders(spark, sf):
+        from pyspark.sql import Window
+        o = _read(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (o.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("o_custkey").alias("custkey"),
+                        F.col("o_orderkey").alias("first_orderkey")))
+    q["first_wins_orders"] = first_wins_orders
+
+    def first_wins_layer_dedupe(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        f = li.select(
+            (F.col("l_partkey") % 64).alias("x"),
+            (F.col("l_suppkey") % 64).alias("y"),
+            F.col("l_returnflag").alias("layer"),
+            F.col("l_linenumber").alias("tile_idx"))
+        return (f.groupBy("x", "y", "layer")
+                .agg(F.min("tile_idx").alias("win_tile")))
+    q["first_wins_layer_dedupe"] = first_wins_layer_dedupe
+
+    def knn_sites(spark, sf):
+        pts = _events_points(spark, sf)
+        out = knn_join(pts, _sites(spark, sf), k=3,
+                       point_id_col="event_id", method="brute")
+        return out.select("event_id", "site_id", "knn_rank")
+    q["knn_sites"] = knn_sites
+
+    def cell_rollup(spark, sf):
+        pts = _events_points(spark, sf)
+        cells = encode_cells(pts, 10)
+        roll = rollup_counts(cells, 10, 4)
+        z, x, y = tm.unpack_cell_cols(F.col("cell"))
+        return roll.select(F.col("zoom"), x.alias("cx"), y.alias("cy"), "n")
+    q["cell_rollup"] = cell_rollup
+
+    # --- worldview / localize property algebra (L1-L7, O1, U2, F8) ---
+
+    def worldview_semijoin(spark, sf):
+        docs = _read(spark, sf, "documents").withColumn("wv", _wv_col())
+        matching = F.array_sort(F.array_intersect(
+            F.split(F.col("wv"), ","), F.array(F.lit("US"), F.lit("all"))))
+        return (docs.filter(F.size(matching) > 0)
+                .select("doc_id", F.element_at(matching, 1).alias("winner")))
+    q["worldview_semijoin"] = worldview_semijoin
+
+    def localize_property_algebra(spark, sf):
+        docs = _read(spark, sf, "documents")
+        feats = docs.select(
+            "doc_id",
+            F.create_map(
+                F.lit("name"), F.col("source"),
+                F.lit("name_en"), F.upper(F.col("source")),
+                F.lit("_mbx_name_de"), F.lower(F.col("source")),
+                F.lit("_mbx_worldview"), _wv_col(),
+                F.lit("class"), F.col("lang"),
+                F.lit("_mbx_class"),
+                F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("h_"), F.col("lang"))),
+                F.lit("population"), (F.col("n_chars") % 1000).cast("string"),
+            ).alias("properties"))
+        out = localize(feats, languages=["en", "de"], worldviews=["US"])
+        p = F.col("properties")
+        return out.select(
+            "doc_id",
+            F.element_at(p, "name").alias("name"),
+            F.element_at(p, "name_local").alias("name_local"),
+            F.element_at(p, "class").alias("cls"),
+            F.element_at(p, "worldview").alias("worldview"),
+            F.element_at(p, "population").alias("population"))
+    q["localize_property_algebra"] = localize_property_algebra
+
+    # --- webtext: text analysis ---
+
+    def text_stats(spark, sf):
+        docs = _read(spark, sf, "documents")
+        t = F.col("text")
+        return docs.select(
+            "doc_id",
+            TX.token_count_col(t).alias("tokens"),
+            TX.lang_guess_col(t).alias("lang_guess"),
+            TX.quality_score_col(t).alias("quality"),
+            TX.fingerprint_col(t).alias("fingerprint"))
+    q["text_stats"] = text_stats
+
+    def lang_quality_agg(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return (docs.groupBy("lang")
+                .agg(F.round(F.avg(TX.quality_score_col(F.col("text"))), 4).alias("avg_q"),
+                     F.sum(TX.token_count_col(F.col("text"))).alias("total_tokens"),
+                     F.count("*").alias("n_docs")))
+    q["lang_quality_agg"] = lang_quality_agg
+
+    # --- webtext: dedupe family ---
+
+    def dedup_exact(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return D.exact_dedupe(docs).select("text_hash", "keep_id", "n_dups")
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_signatures(spark, sf):
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+        sig = D.minhash_signatures(docs, k=4)
+        return sig.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+    q["minhash_signatures"] = minhash_signatures
+
+    def minhash_lsh_pairs(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return D.minhash_candidate_pairs(docs, k=8, bands=4).select("a", "b")
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    def simhash_fingerprints(spark, sf):
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 10 == 1)
+        return docs.select("doc_id",
+                           H.simhash_col(F.col("text"), 12).alias("simhash"))
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def ngram_jaccard_near_dups(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return D.ngram_jaccard_pairs(docs, threshold=0.3, k=8, bands=4)
+    q["ngram_jaccard_near_dups"] = ngram_jaccard_near_dups
+
+    # --- embeddings: similarity ---
+
+    def ann_cosine_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        out = SIM.ann_topk_brute(emb.filter(F.col("vec_id") < 20), emb, k=5)
+        return out.select("query_id", "corpus_id", "rank", "cos")
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def embedding_near_dup_pairs(spark, sf):
+        emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
+        return D.embedding_near_dups(emb, threshold=0.3, sign_bits=4)
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    tx8, ty8 = _tile_sql("lon", "lat", 8)
+    o["tile_encode_counts"] = (
+        f"SELECT {tx8} AS tx, {ty8} AS ty, count(*) AS n "
+        f"FROM ({_EVENTS_POINTS_SQL}) GROUP BY 1, 2"
+    )
+
+    tx10, ty10 = _tile_sql("lon", "lat", 10)
+    o["pages_tile_assign"] = (
+        "WITH pages AS (SELECT doc_id, lang, "
+        f"round({_GEO_DOC['lat']}, 6) AS lat, round({_GEO_DOC['lon']}, 6) AS lon "
+        f"FROM documents WHERE {_GEO_DOC['tagged']}) "
+        f"SELECT {tx10} AS tx, {ty10} AS ty, count(*) AS n_pages, "
+        "count(DISTINCT lang) AS n_langs FROM pages GROUP BY 1, 2"
+    )
+
+    o["tile_ancestry_filter"] = (
+        "WITH t AS (SELECT l_orderkey, l_linenumber, l_linenumber % 8 AS src_z, "
+        "l_partkey % (1 << (l_linenumber % 8)) AS src_x, "
+        "l_suppkey % (1 << (l_linenumber % 8)) AS src_y FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, src_z, src_x, src_y FROM t "
+        "WHERE (97 // (1 << (7 - src_z))) = src_x AND (76 // (1 << (7 - src_z))) = src_y"
+    )
+
+    o["first_wins_orders"] = (
+        "SELECT o_custkey AS custkey, o_orderkey AS first_orderkey FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn FROM orders) "
+        "WHERE rn = 1"
+    )
+
+    o["first_wins_layer_dedupe"] = (
+        "SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y, l_returnflag AS layer, "
+        "min(l_linenumber) AS win_tile FROM lineitem GROUP BY 1, 2, 3"
+    )
+
+    o["knn_sites"] = (
+        f"WITH pts AS ({_EVENTS_POINTS_SQL}), sites AS ({_SITES_SQL}), "
+        "cand AS (SELECT p.event_id, s.site_id, "
+        "(p.lat - s.lat) * (p.lat - s.lat) + "
+        "((p.lon - s.lon) * cos(radians((p.lat + s.lat) / 2))) * "
+        "((p.lon - s.lon) * cos(radians((p.lat + s.lat) / 2))) AS d "
+        "FROM pts p CROSS JOIN sites s) "
+        "SELECT event_id, site_id, knn_rank FROM ("
+        "SELECT event_id, site_id, row_number() OVER ("
+        "PARTITION BY event_id ORDER BY d ASC, site_id ASC) AS knn_rank FROM cand) "
+        "WHERE knn_rank <= 3"
+    )
+
+    tx10e, ty10e = _tile_sql("lon", "lat", 10)
+    level_sqls = []
+    for z in range(10, 3, -1):
+        shift = 1 << (10 - z)
+        level_sqls.append(
+            f"SELECT {z} AS zoom, (cx10 // {shift}) AS cx, (cy10 // {shift}) AS cy, "
+            "count(*) AS n FROM base GROUP BY 1, 2, 3")
+    o["cell_rollup"] = (
+        f"WITH base AS (SELECT {tx10e} AS cx10, {ty10e} AS cy10 "
+        f"FROM ({_EVENTS_POINTS_SQL})) " + " UNION ALL ".join(level_sqls)
+    )
+
+    o["worldview_semijoin"] = (
+        f"WITH d AS (SELECT doc_id, {_WV_SQL} AS wv FROM documents), "
+        "m AS (SELECT doc_id, list_sort(list_intersect(string_split(wv, ','), "
+        "['US', 'all'])) AS inter FROM d) "
+        "SELECT doc_id, inter[1] AS winner FROM m WHERE len(inter) > 0"
+    )
+
+    # independent SQL rendering of the localize precedence lattice:
+    # languages=[en, de] ⇒ name = coalesce(name_en, _mbx_name_en, name_de,
+    # _mbx_name_de, name); class = coalesce(_mbx_class, class); worldview
+    # winner = sorted-first of split(_mbx_worldview) ∩ {US, all}; feature
+    # dropped when the intersection is empty
+    o["localize_property_algebra"] = (
+        "WITH f AS (SELECT doc_id, source AS name, upper(source) AS name_en, "
+        f"lower(source) AS mbx_name_de, {_WV_SQL} AS wv, lang AS cls_plain, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'h_' || lang END AS cls_hidden, "
+        "(n_chars % 1000)::VARCHAR AS population FROM documents), "
+        "m AS (SELECT *, list_sort(list_intersect(string_split(wv, ','), "
+        "['US', 'all'])) AS inter FROM f) "
+        "SELECT doc_id, coalesce(name_en, mbx_name_de, name) AS name, "
+        "name AS name_local, coalesce(cls_hidden, cls_plain) AS cls, "
+        "inter[1] AS worldview, population FROM m WHERE len(inter) > 0"
+    )
+
+    o["text_stats"] = (
+        f"SELECT doc_id, {TX.TOKEN_COUNT_SQL.format(c='text')} AS tokens, "
+        f"{TX.lang_guess_sql('text')} AS lang_guess, "
+        f"{TX.quality_score_sql('text')} AS quality, "
+        f"{TX.fingerprint_sql('text')} AS fingerprint FROM documents"
+    )
+
+    o["lang_quality_agg"] = (
+        f"SELECT lang, round(avg({TX.quality_score_sql('text')}), 4) AS avg_q, "
+        f"sum({TX.TOKEN_COUNT_SQL.format(c='text')}) AS total_tokens, "
+        "count(*) AS n_docs FROM documents GROUP BY lang"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY 1"
+    )
+
+    o["minhash_signatures"] = (
+        f"SELECT doc_id, array_to_string({H.minhash_sig_sql('text', 4)}, ',') AS sig "
+        "FROM documents WHERE doc_id % 10 = 0"
+    )
+
+    sig8 = H.minhash_sig_sql("text", 8)
+    band_keys = ", ".join(
+        H.band_key_sql("sig", b, 2) + f" AS b{b}" for b in range(1, 5))
+    o["minhash_lsh_pairs"] = (
+        f"WITH s AS (SELECT doc_id, {sig8} AS sig FROM documents), "
+        f"k AS (SELECT doc_id, {band_keys} FROM s), "
+        "e AS (SELECT doc_id, unnest([b1, b2, b3, b4]) AS band_key FROM k) "
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM e l JOIN e r "
+        "USING (band_key) WHERE l.doc_id < r.doc_id"
+    )
+
+    o["simhash_fingerprints"] = (
+        f"SELECT doc_id, {H.simhash_sql('text', 12)} AS simhash "
+        "FROM documents WHERE doc_id % 10 = 1"
+    )
+
+    sh = H.shingles_sql("text", 3)
+    o["ngram_jaccard_near_dups"] = (
+        f"WITH s AS (SELECT doc_id, {sig8} AS sig FROM documents), "
+        f"k AS (SELECT doc_id, {band_keys} FROM s), "
+        "e AS (SELECT doc_id, unnest([b1, b2, b3, b4]) AS band_key FROM k), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM e l JOIN e r "
+        "USING (band_key) WHERE l.doc_id < r.doc_id), "
+        f"sh AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents) "
+        "SELECT a, b, jaccard FROM (SELECT a, b, "
+        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
+        "FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b) "
+        "WHERE jaccard >= 0.3"
+    )
+
+    cos = H.cosine_sql("q.e", "c.e")
+    o["ann_cosine_topk"] = (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, "
+        f"round({cos}, 6) AS cos FROM v q JOIN v c ON q.vec_id < 20 "
+        "AND q.vec_id != c.vec_id) "
+        "SELECT query_id, corpus_id, rank, cos FROM ("
+        "SELECT query_id, corpus_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank FROM cand) "
+        "WHERE rank <= 5"
+    )
+
+    sign_key = ("(" + " || ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(4)) + ")")
+    cos_ab = H.cosine_sql("a.e", "b.e")
+    o["embedding_near_dup_pairs"] = (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, "
+        f"{sign_key} AS bucket FROM embeddings WHERE vec_id % 5 = 0) "
+        f"SELECT a, b, cos FROM (SELECT a.vec_id AS a, b.vec_id AS b, "
+        f"round({cos_ab}, 4) AS cos FROM v a JOIN v b ON a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) WHERE cos >= 0.3"
+    )
+
+    return o

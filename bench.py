@@ -1,0 +1,183 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Workload mirrors the reference's bench rule shapes (bench/rules.js:8-161:
+points/lines/polygons × same-zoom/overzoom × properties) re-expressed at
+table scale, plus the graft pipeline stages (geocode, spatial join, dedupe,
+ANN, localize).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def build_workload(spark, sf_dir):
+    """Return {name: fn} headline stages. Each fn triggers a full action."""
+    import vtcomposite_spark.functions.text as TX
+    from vtcomposite_spark.operators import dedupe as D
+    from vtcomposite_spark.operators import similarity as SIM
+    from vtcomposite_spark.operators.cells import encode_cells, rollup_counts, tile_pixels
+    from vtcomposite_spark.operators.composite import composite
+    from vtcomposite_spark.operators.joins import knn_join
+    from vtcomposite_spark.operators.localize import localize
+    from vtcomposite_spark.sources.ingest import targets_df
+    from vtcomposite_spark.sources.pages import extract_geotags, geo_cols, pages_from_documents
+
+    from vtcomposite_spark.sources.pages import synthesize_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    # pages table scaled with SF (documents barely scales); materialized once
+    # so timed stages measure scan→pipeline, not synthesis
+    n_pages = events.count() * 2
+    pages_path = f"/tmp/vtc_bench_pages_{n_pages}"
+    if not os.path.isdir(pages_path):
+        synthesize_pages(spark, n_pages, partitions=32).write.mode("overwrite") \
+            .parquet(pages_path)
+    pages_src = spark.read.parquet(pages_path)
+
+    counters: dict[str, int] = {}
+
+    def pages_geocode():
+        geo = extract_geotags(pages_src).filter(F.col("lat").isNotNull())
+        out = encode_cells(geo, 12)
+        counters["pages_geocoded"] = out.count()
+
+    def tile_composite_overzoom():
+        # pages → z8 point features → composite every z10 descendant tile
+        geo = extract_geotags(pages_src).filter(F.col("lat").isNotNull())
+        src = tile_pixels(encode_cells(geo, 8), 8)
+        feats = src.select(
+            F.lit(0).alias("tile_idx"),
+            F.lit(8).alias("src_z"),
+            F.col("tile_x").alias("src_x"), F.col("tile_y").alias("src_y"),
+            F.lit("pages").alias("layer"), F.lit(2).alias("layer_version"),
+            F.lit(4096).alias("extent"),
+            F.row_number().over(__import__("pyspark").sql.Window
+                                .partitionBy("tile_x", "tile_y")
+                                .orderBy("url")).cast("int").alias("feature_idx"),
+            F.lit(None).cast("long").alias("feature_id"),
+            F.lit(1).cast("byte").alias("geom_type"),
+            F.array(F.col("px")).alias("xs"), F.array(F.col("py")).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"),
+            F.array(F.lit(0).cast("byte")).alias("ring_types"),
+            F.create_map(F.lit("url"), F.col("url")).alias("properties"))
+        t10 = encode_cells(geo, 10).select("tile_x", "tile_y").distinct()
+        targets = t10.select(
+            F.lit(10).alias("z"), F.col("tile_x").alias("x"), F.col("tile_y").alias("y"),
+            F.lit(128).alias("buffer_size"),
+            F.lit(None).cast("array<string>").alias("keep_layers"),
+            F.lit(False).alias("compress"))
+        out = composite(feats, targets)
+        counters["tiles_composited"] = out.select("z", "x", "y").distinct().count()
+        counters["features_out"] = out.count()
+
+    def localize_props():
+        feats = docs.select(
+            "doc_id",
+            F.create_map(
+                F.lit("name"), F.col("source"),
+                F.lit("name_en"), F.upper(F.col("source")),
+                F.lit("_mbx_name_de"), F.lower(F.col("source")),
+                F.lit("_mbx_worldview"),
+                F.when(F.col("doc_id") % 3 == 0, "US,CN").otherwise("all"),
+                F.lit("class"), F.col("lang")).alias("properties"))
+        out = localize(feats, languages=["en", "de"], worldviews=["US"])
+        counters["localized"] = out.count()
+
+    def knn_grid():
+        tagged, lat, lon = geo_cols("event_id")
+        pts = events.filter(tagged).select("event_id", lat.alias("lat"), lon.alias("lon"))
+        sites = nation.select(
+            F.col("n_nationkey").alias("site_id"),
+            (((F.col("n_nationkey") * 7) % 160) - 80 + 0.5).cast("double").alias("lat"),
+            (((F.col("n_nationkey") * 29) % 360) - 180 + 0.5).cast("double").alias("lon"))
+        out = knn_join(pts, sites, k=3, point_id_col="event_id",
+                       method="grid", zoom=3)
+        counters["knn_rows"] = out.count()
+
+    def dedupe_minhash():
+        counters["lsh_pairs"] = D.minhash_candidate_pairs(docs, k=8, bands=4).count()
+
+    def text_quality():
+        out = docs.select(
+            TX.token_count_col(F.col("text")).alias("t"),
+            TX.quality_score_col(F.col("text")).alias("q"),
+            TX.lang_guess_col(F.col("text")).alias("l"))
+        counters["text_rows"] = out.filter(F.col("q") >= 0).count()
+
+    def ann_topk():
+        q = emb.filter(F.col("vec_id") < 50)
+        counters["ann_rows"] = SIM.ann_topk_brute(q, emb, k=10).count()
+
+    def cell_rollup():
+        tagged, lat, lon = geo_cols("event_id")
+        pts = events.filter(tagged).select("event_id", lat.alias("lat"), lon.alias("lon"))
+        counters["rollup_rows"] = rollup_counts(encode_cells(pts, 12), 12, 2).count()
+
+    stages = {
+        "pages_geocode": pages_geocode,
+        "tile_composite_overzoom": tile_composite_overzoom,
+        "localize_props": localize_props,
+        "knn_grid": knn_grid,
+        "dedupe_minhash": dedupe_minhash,
+        "text_quality": text_quality,
+        "ann_topk": ann_topk,
+        "cell_rollup": cell_rollup,
+    }
+    return stages, counters
+
+
+def run(sf_dir=None, cpus=None, quiet=False):
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from vtcomposite_spark.schema import get_spark
+    spark = get_spark(app=f"bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    stages, counters = build_workload(spark, sf_dir)
+
+    times: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in stages.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline pipeline wall seconds (pages geocode → composite → localize → joins → dedupe → ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "counters": counters,
+        "tiles_per_sec": round(counters.get("tiles_composited", 0)
+                               / max(times.get("tile_composite_overzoom", 1e-9), 1e-9), 1),
+        "pages_per_sec": round(counters.get("pages_geocoded", 0)
+                               / max(times.get("pages_geocode", 1e-9), 1e-9), 1),
+    }
+    spark.stop()
+    if not quiet:
+        print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    run()

@@ -257,7 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_signatures(spark, sf):
         docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
         sig = D.minhash_signatures(docs, k=4)
-        return sig.select("doc_id", F.concat_ws(",", "sig").alias("sig"))
+        return sig.select(
+            "doc_id",
+            F.concat_ws(",", F.transform("sig", lambda v: v.cast("string")))
+            .alias("sig"))
     q["minhash_signatures"] = minhash_signatures
 
     def minhash_lsh_pairs(spark, sf):
@@ -398,7 +401,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["minhash_signatures"] = (
         f"SELECT doc_id, array_to_string({H.minhash_sig_sql('text', 4)}, ',') AS sig "
-        "FROM documents WHERE doc_id % 10 = 0"
+        "FROM documents WHERE doc_id % 10 = 0 "
+        f"AND len({H.shingles_sql('text', 3)}) > 0"
     )
 
     sig8 = H.minhash_sig_sql("text", 8)

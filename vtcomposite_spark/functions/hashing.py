@@ -29,33 +29,55 @@ def shingles_sql(c: str, n: int = 3) -> str:
             f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))")
 
 
+_MERSENNE31 = 2147483647
+
+
+def _perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (odd multiplier, offset)."""
+    return [((j * 2654435761 % _MERSENNE31) | 1, (j * 40503 + 17) % _MERSENNE31)
+            for j in range(1, k + 1)]
+
+
 def minhash_sig_col(text: Column, k: int = 8, n: int = 3) -> Column:
-    """k-element MinHash signature: per hash j, min over shingles of
-    md5(j || ':' || shingle) (lexicographic min over hex digests)."""
+    """k-element MinHash signature.
+
+    ONE md5 per shingle (its first 8 hex chars → 32-bit int via conv), then
+    k affine permutations (a_j·h + b_j) mod 2^31−1 with min-reduce — k
+    integer ops instead of k digests per shingle. Same values replayed by
+    ``minhash_sig_sql`` (strpos-based hex parse, identical arithmetic).
+    """
     sh = shingles_col(text, n)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda j: F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)))),
-    )
+    hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                     .cast("long"))
+    sig = [
+        F.array_min(F.transform(hs, lambda h: (h * a + b) % _MERSENNE31))
+        for a, b in _perm_consts(k)
+    ]
+    return F.array(*sig)
 
 
 def minhash_sig_sql(c: str, k: int = 8, n: int = 3) -> str:
     sh = shingles_sql(c, n)
-    return (f"list_transform(range(1, {k + 1}), "
-            f"j -> list_min(list_transform({sh}, s -> md5(j::varchar || ':' || s))))")
+    hex8 = hex_to_int_sql("md5(s)", 8)
+    hs = f"list_transform({sh}, s -> {hex8})"
+    sig = ", ".join(
+        f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {_MERSENNE31}))"
+        for a, b in _perm_consts(k))
+    return f"[{sig}]"
 
 
 def band_key_col(sig: Column, band: int, rows_per_band: int) -> Column:
     """LSH band key: concat of the band's signature rows (1-indexed band)."""
     start = (band - 1) * rows_per_band + 1
     return F.concat_ws("|", F.lit(str(band)),
-                       *[F.element_at(sig, start + i) for i in range(rows_per_band)])
+                       *[F.element_at(sig, start + i).cast("string")
+                         for i in range(rows_per_band)])
 
 
 def band_key_sql(sig: str, band: int, rows_per_band: int) -> str:
     start = (band - 1) * rows_per_band + 1
-    parts = " || '|' || ".join(f"({sig})[{start + i}]" for i in range(rows_per_band))
+    parts = " || '|' || ".join(f"(({sig})[{start + i}])::VARCHAR"
+                               for i in range(rows_per_band))
     return f"('{band}' || '|' || {parts})"
 
 
@@ -69,14 +91,17 @@ def _hex4_to_int_col(h: Column) -> Column:
     return v
 
 
-def hex4_to_int_sql(h: str) -> str:
-    parts = []
-    for i in range(1, 5):
-        parts.append(f"(strpos('{HEX}', substr({h}, {i}, 1)) - 1)")
+def hex_to_int_sql(h: str, nchars: int) -> str:
+    parts = [f"(strpos('{HEX}', substr({h}, {i}, 1)) - 1)"
+             for i in range(1, nchars + 1)]
     expr = parts[0]
     for p in parts[1:]:
         expr = f"(({expr}) * 16 + {p})"
     return expr
+
+
+def hex4_to_int_sql(h: str) -> str:
+    return hex_to_int_sql(h, 4)
 
 
 def simhash_col(text: Column, bits: int = 16, n: int = 3) -> Column:

@@ -30,9 +30,25 @@ def exact_dedupe(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
-    return df.select(
+    """Shingles become ROWS (explode), so hashing and the k min-reductions
+    run inside whole-stage codegen with map-side combine — the nested
+    higher-order-function form re-evaluates the token array per element
+    (interpreted, O(L²) per doc) and does not scale. Docs with no shingle
+    (< n tokens) produce no signature row, same as the SQL oracle.
+    """
+    sh = df.select(
         F.col(id_col),
-        H.minhash_sig_col(F.col(text_col), k, shingle_n).alias("sig"))
+        F.explode(H.shingles_col(F.col(text_col), shingle_n)).alias("shingle"))
+    h = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % H._MERSENNE31).alias(f"m{j}")
+        for j, (a, b) in enumerate(H._perm_consts(k))
+    ]
+    sig = h.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col),
+                      F.array(*[F.col(f"m{j}") for j in range(k)]).alias("sig"))
 
 
 def minhash_lsh_buckets(df: DataFrame, text_col: str = "text",
@@ -64,12 +80,34 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_values(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Scalable SimHash: shingles exploded to rows, one md5+hex-parse each,
+    per-bit ±1 sums as codegen'd aggregates, bits assembled post-agg.
+    Value-identical to functions.hashing.simhash_col / simhash_sql."""
+    sh = df.select(F.col(id_col),
+                   F.explode(H.shingles_col(F.col(text_col), 3)).alias("shingle"))
+    h = sh.select(F.col(id_col), H._hex4_to_int_col(F.md5("shingle")).alias("h"))
+    aggs = [
+        F.sum(F.when(F.call_function("shiftright", F.col("h"), F.lit(b)) % 2 == 1,
+                     1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash_dedupe(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Group by exact SimHash value (Hamming-0 buckets); near-dup variant
-    joins on bit-masked sub-keys."""
+    joins on bit-masked sub-keys. Docs with no shingle are excluded."""
     return (
-        df.select(F.col(id_col), H.simhash_col(F.col(text_col), bits).alias("simhash"))
+        simhash_values(df, text_col, id_col, bits)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
@@ -83,16 +121,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     candidates from MinHash bands, refined with
     |A ∩ B| / |A ∪ B| ≥ threshold on distinct shingle sets."""
     pairs = minhash_candidate_pairs(df, text_col, id_col, k, bands, shingle_n)
-    sh = df.select(
+    shd = df.select(
         F.col(id_col),
-        F.array_distinct(H.shingles_col(F.col(text_col), shingle_n)).alias("sh"))
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "a").join(b, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+        F.explode(H.shingles_col(F.col(text_col), shingle_n)).alias("shingle")
+    ).distinct()
+    sizes = shd.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        pairs
+        .join(shd.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(shd.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    j = (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+    )
     return (
-        j.withColumn("jaccard", F.round(inter / union, 4))
+        j.withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -135,28 +135,40 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()),
-                          T.StructField("lon", T.DoubleType())]))
-def _geotag_udf(html: pd.Series) -> pd.DataFrame:
+def extract_geotags(pages: DataFrame) -> DataFrame:
+    """pages + (lat, lon) columns; null for ungeotagged rows.
+
+    Single mapInPandas pass (a struct-returning pandas_udf would risk one
+    UDF evaluation per extracted field): gzip-sniff each html payload
+    (0x1f8b, the binary analog of src/vtcomposite.cpp:224-235), regex out
+    the geo.position meta tag.
+    """
     import re
 
-    pat = re.compile(rb'geo\.position"\s+content="(-?[\d.,]+);(-?[\d.,]+)"')
-    lats = np.full(len(html), np.nan)
-    lons = np.full(len(html), np.nan)
-    for i, buf in enumerate(html):
-        if buf is None:
-            continue
-        b = bytes(buf)
-        if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
-            b = gzip.decompress(b)
-        m = pat.search(b)
-        if m:
-            lats[i] = float(m.group(1).replace(b",", b"").decode())
-            lons[i] = float(m.group(2).replace(b",", b"").decode())
-    return pd.DataFrame({"lat": lats, "lon": lons})
+    from pyspark.sql import types as T
 
+    out_schema = T.StructType(pages.schema.fields + [
+        T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
+    pat = re.compile(rb'geo\.position"\s+content="(-?[\d.]+);(-?[\d.]+)"')
 
-def extract_geotags(pages: DataFrame) -> DataFrame:
-    """pages + (lat, lon) columns; null for ungeotagged rows."""
-    g = _geotag_udf(F.col("html"))
-    return pages.withColumn("_g", g).select("*", "_g.lat", "_g.lon").drop("_g")
+    def kernel(pdfs):
+        for pdf in pdfs:
+            html = pdf["html"]
+            lats = np.full(len(html), np.nan)
+            lons = np.full(len(html), np.nan)
+            for i, buf in enumerate(html):
+                if buf is None:
+                    continue
+                b = bytes(buf)
+                if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+                    b = gzip.decompress(b)
+                m = pat.search(b)
+                if m:
+                    lats[i] = float(m.group(1))
+                    lons[i] = float(m.group(2))
+            pdf = pdf.copy()
+            pdf["lat"] = lats
+            pdf["lon"] = lons
+            yield pdf
+
+    return pages.mapInPandas(kernel, schema=out_schema)

@@ -66,9 +66,9 @@ def build_workload(spark, sf_dir):
             F.col("tile_x").alias("src_x"), F.col("tile_y").alias("src_y"),
             F.lit("pages").alias("layer"), F.lit(2).alias("layer_version"),
             F.lit(4096).alias("extent"),
-            F.row_number().over(__import__("pyspark").sql.Window
-                                .partitionBy("tile_x", "tile_y")
-                                .orderBy("url")).cast("int").alias("feature_idx"),
+            # hash ordinal, not a per-tile window: the hot SF tile would
+            # serialize row_number() into one task
+            F.pmod(F.xxhash64("url"), F.lit(1 << 30)).cast("int").alias("feature_idx"),
             F.lit(None).cast("long").alias("feature_id"),
             F.lit(1).cast("byte").alias("geom_type"),
             F.array(F.col("px")).alias("xs"), F.array(F.col("py")).alias("ys"),

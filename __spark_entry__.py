@@ -155,6 +155,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "src_z", "src_x", "src_y")
     q["tile_ancestry_filter"] = tile_ancestry_filter
 
+    def composite_overzoom_points(spark, sf):
+        """The flagship operator itself under the oracle gate: point
+        features derived from lineitem, composited z4→z6 with buffer 128
+        through composite_points (ancestor equi-join → first-wins →
+        overzoom affine → closed-box clip), replayed in ANSI SQL."""
+        from vtcomposite_spark.operators.composite import composite_points
+        li = _read(spark, sf, "lineitem")
+        feats = li.select(
+            (F.col("l_linenumber") % 3).cast("int").alias("tile_idx"),
+            F.lit(4).alias("src_z"),
+            (F.col("l_orderkey") % 16).cast("long").alias("src_x"),
+            (F.col("l_suppkey") % 16).cast("long").alias("src_y"),
+            F.lit("pts").alias("layer"), F.lit(2).alias("layer_version"),
+            F.lit(4096).alias("extent"),
+            F.col("l_linenumber").cast("int").alias("feature_idx"),
+            F.col("l_orderkey").alias("feature_id"),
+            F.lit(1).cast("byte").alias("geom_type"),
+            F.array((F.col("l_partkey") % 4096).cast("long")).alias("xs"),
+            F.array(((F.col("l_suppkey") * 7) % 4096).cast("long")).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"),
+            F.array(F.lit(0).cast("byte")).alias("ring_types"),
+            F.create_map(F.lit("k"), F.col("l_returnflag")).alias("properties"))
+        targets = (spark.range(0, 8).select(F.col("id").alias("x"))
+                   .crossJoin(spark.range(0, 8).select(F.col("id").alias("y")))
+                   .select(F.lit(6).alias("z"), F.col("x").cast("long"),
+                           F.col("y").cast("long"),
+                           F.lit(128).alias("buffer_size"),
+                           F.lit(None).cast("array<string>").alias("keep_layers"),
+                           F.lit(False).alias("compress")))
+        out = composite_points(feats, targets)
+        # try_element_at: ANSI-safe — Catalyst may evaluate the projection
+        # speculatively on rows the size()>0 filter later removes
+        return out.select(
+            "z", "x", "y", "tile_idx", "feature_id",
+            F.try_element_at("xs", F.lit(1)).alias("px"),
+            F.try_element_at("ys", F.lit(1)).alias("py"))
+    q["composite_overzoom_points"] = composite_overzoom_points
+
     def first_wins_orders(spark, sf):
         from pyspark.sql import Window
         o = _read(spark, sf, "orders")
@@ -318,6 +356,21 @@ def oracle_sql() -> dict[str, str]:
         "l_suppkey % (1 << (l_linenumber % 8)) AS src_y FROM lineitem) "
         "SELECT l_orderkey, l_linenumber, src_z, src_x, src_y FROM t "
         "WHERE (97 // (1 << (7 - src_z))) = src_x AND (76 // (1 << (7 - src_z))) = src_y"
+    )
+
+    o["composite_overzoom_points"] = (
+        "WITH f AS (SELECT l_linenumber % 3 AS tile_idx, l_orderkey AS feature_id, "
+        "l_orderkey % 16 AS sx, l_suppkey % 16 AS sy, "
+        "l_partkey % 4096 AS x0, (l_suppkey * 7) % 4096 AS y0 FROM lineitem), "
+        "t AS (SELECT tx.range AS x, ty.range AS y FROM range(0, 8) tx, range(0, 8) ty), "
+        "cand AS (SELECT f.*, t.x, t.y FROM f JOIN t ON (t.x // 4) = f.sx "
+        "AND (t.y // 4) = f.sy), "
+        "win AS (SELECT *, min(tile_idx) OVER (PARTITION BY x, y) AS w FROM cand), "
+        "clip AS (SELECT 6 AS z, x, y, tile_idx, feature_id, "
+        "x0 * 4 - (x % 4) * 4096 AS px, y0 * 4 - (y % 4) * 4096 AS py "
+        "FROM win WHERE tile_idx = w) "
+        "SELECT z, x, y, tile_idx, feature_id, px, py FROM clip "
+        "WHERE px BETWEEN -128 AND 4224 AND py BETWEEN -128 AND 4224"
     )
 
     o["first_wins_orders"] = (

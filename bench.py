@@ -27,7 +27,7 @@ def build_workload(spark, sf_dir):
     from vtcomposite_spark.operators import dedupe as D
     from vtcomposite_spark.operators import similarity as SIM
     from vtcomposite_spark.operators.cells import encode_cells, rollup_counts, tile_pixels
-    from vtcomposite_spark.operators.composite import composite
+    from vtcomposite_spark.operators.composite import composite_points
     from vtcomposite_spark.operators.joins import knn_join
     from vtcomposite_spark.operators.localize import localize
     from vtcomposite_spark.sources.ingest import targets_df
@@ -52,13 +52,13 @@ def build_workload(spark, sf_dir):
     counters: dict[str, int] = {}
 
     def pages_geocode():
-        geo = extract_geotags(pages_src).filter(F.col("lat").isNotNull())
+        geo = extract_geotags(pages_src, keep=["url", "lang"]).filter(F.col("lat").isNotNull())
         out = encode_cells(geo, 12)
         counters["pages_geocoded"] = out.count()
 
     def tile_composite_overzoom():
         # pages → z8 point features → composite every z10 descendant tile
-        geo = extract_geotags(pages_src).filter(F.col("lat").isNotNull())
+        geo = extract_geotags(pages_src, keep=["url", "lang"]).filter(F.col("lat").isNotNull())
         src = tile_pixels(encode_cells(geo, 8), 8)
         feats = src.select(
             F.lit(0).alias("tile_idx"),
@@ -81,7 +81,7 @@ def build_workload(spark, sf_dir):
             F.lit(128).alias("buffer_size"),
             F.lit(None).cast("array<string>").alias("keep_layers"),
             F.lit(False).alias("compress"))
-        out = composite(feats, targets)
+        out = composite_points(feats, targets)
         counters["tiles_composited"] = out.select("z", "x", "y").distinct().count()
         counters["features_out"] = out.count()
 

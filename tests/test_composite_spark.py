@@ -172,3 +172,58 @@ def test_encode_tiles_roundtrip(spark, fixture_bytes):
     layers = mvt.decode_tile(blob)
     assert layers[0].name == "quadrants"
     assert layers[0].features[0].parts == [[(1280, 1664)]]
+
+
+def test_composite_points_expr_equals_kernel(spark, fixture_bytes):
+    """The zero-Python point path must match the Arrow kernel exactly."""
+    from vtcomposite_spark.operators.composite import composite_points
+
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    f = ingest.features_from_tiles(spark, [(buf, 0, 0, 0)])
+    t = ingest.targets_df(spark, [
+        {"z": 1, "x": 0, "y": 0, "buffer_size": 128},
+        {"z": 3, "x": 1, "y": 1},
+        {"z": 0, "x": 0, "y": 0},  # same-zoom fast path
+    ])
+
+    def canon(df):
+        return sorted((r.z, r.x, r.y, r.layer, tuple(r.xs), tuple(r.ys),
+                       tuple(r.part_offsets), tuple(r.ring_types))
+                      for r in df.collect())
+
+    assert canon(C.composite(f, t)) == canon(composite_points(f, t))
+
+
+def test_envelope_prefilter_preserves_output(spark, fixture_bytes):
+    """The hoisted JVM-side envelope filter must never drop a feature the
+    kernel would keep — polygons crossing the window included."""
+    buf = fixture_bytes("polygons-with-holes-4-13-6.mvt")
+    out = run(spark, [(buf, 4, 13, 6)],
+              [{"z": 8, "x": 221, "y": 99, "buffer_size": 4080}]).collect()
+    # boost golden (test/vtcomposite-polygons.test.js:133-167): 1 feature,
+    # 9 rings across 2 polygons with these exact vertex counts
+    assert len(out) == 1
+    starts = list(out[0].part_offsets) + [len(out[0].xs)]
+    sizes = sorted(starts[i + 1] - starts[i] for i in range(len(starts) - 1))
+    assert sizes == sorted([95, 25, 23, 18, 26, 18, 14, 16, 6])
+
+
+def test_v1_malformed_geometry_tolerance(spark, fixture_bytes):
+    """test/vtcomposite.test.js:223-248 — v1 tiles with malformed geometries
+    composite successfully; 567 features total."""
+    out = run(spark, [
+        (fixture_bytes("0.mvt"), 14, 4396, 6458),
+        (fixture_bytes("1.mvt"), 14, 4396, 6458),
+        (fixture_bytes("2.mvt"), 12, 1099, 1614),
+    ], [{"z": 14, "x": 4396, "y": 6458}])
+    assert out.count() == 567
+
+
+def test_v1_overzoom_zero_length_linestrings(spark, fixture_bytes):
+    """test/vtcomposite.test.js:249-268 — 11 output layers, no error."""
+    out = run(spark, [
+        (fixture_bytes("3.mvt"), 14, 5088, 5937),
+        (fixture_bytes("4.mvt"), 14, 5088, 5937),
+        (fixture_bytes("5.mvt"), 12, 1272, 1484),
+    ], [{"z": 14, "x": 5088, "y": 5937, "buffer_size": 4080}])
+    assert out.select("layer").distinct().count() == 11

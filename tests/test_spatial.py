@@ -145,3 +145,13 @@ def test_knn_grid_matches_brute(spark):
     g = {(r.url, r.knn_rank): r.site_id for r in grid.collect()}
     assert b == g
     assert len(b) == 60 * 3
+
+
+def test_extract_geotags_keep_projection(spark):
+    pages = synthesize_pages(spark, 50, partitions=1)
+    slim = extract_geotags(pages, keep=["url"])
+    assert slim.columns == ["url", "lat", "lon"]
+    full = extract_geotags(pages)
+    a = {r.url: (r.lat, r.lon) for r in slim.collect()}
+    b = {r.url: (r.lat, r.lon) for r in full.collect()}
+    assert a == b

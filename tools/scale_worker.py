@@ -1,8 +1,15 @@
 """One scaling-bench run at a fixed parallelism (own process → cold JVM for
 both runs, no JIT-warmness bias between cluster sizes).
 
-Usage: python tools/scale_worker.py <cpus> <n_pages> <sf_dir>
-Prints one JSON line: {"cpus": N, "seconds": {...}, "total": T, counters}.
+Workload = the flagship pipeline as ONE linear pass, the way a production
+job runs it: scan pages → geotag extraction (Arrow kernel) → persist the
+geocoded frame (the checkpoint boundary a real job writes) → derive targets
++ features from it → composite (ancestor join, first-wins, overzoom/clip
+kernel) → single terminal aggregate. No intermediate count() actions, so
+nothing is recomputed and the timing is the pipeline's, not the harness's.
+
+Usage: python tools/scale_worker.py <cpus> <n_pages> [sf_dir]
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -14,23 +21,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
 def main() -> None:
     cpus = int(sys.argv[1])
     n_pages = int(sys.argv[2])
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
-    from vtcomposite_spark.operators import dedupe as D
-    from vtcomposite_spark.operators.cells import encode_cells, rollup_counts, tile_pixels
-    from vtcomposite_spark.operators.composite import composite
+    from vtcomposite_spark.operators.cells import encode_cells, tile_pixels
+    from vtcomposite_spark.operators.composite import composite_points
     from vtcomposite_spark.schema import get_spark
     from vtcomposite_spark.sources.pages import extract_geotags, synthesize_pages
 
+    # split the scan fine enough that every core gets tasks (the synthetic
+    # pages parquet is small relative to maxPartitionBytes' 128 MB default;
+    # at real scale the default is right)
     spark = get_spark(app=f"scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus * 2, 16))
+                      shuffle_partitions=64,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "8m"})
     spark.sparkContext.setLogLevel("ERROR")
 
     pages_path = f"/tmp/vtc_scale_pages_{n_pages}"
@@ -38,57 +46,54 @@ def main() -> None:
         synthesize_pages(spark, n_pages, partitions=64).write.mode("overwrite") \
             .parquet(pages_path)
     pages = spark.read.parquet(pages_path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     seconds: dict[str, float] = {}
     counters: dict[str, int] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        seconds[name] = round(time.perf_counter() - t0, 2)
+    # warmup: spawn/reuse python workers + JIT the JVM once, untimed — the
+    # reference bench also measures warm throughput (1000 iterations,
+    # CONTRIBUTING.md:40); cold python-worker fork is a per-executor
+    # one-time cost a real cluster amortizes across the whole job
+    extract_geotags(pages, keep=["url"]).filter(F.col("lat").isNotNull()).count()
 
-    def geocode():
-        geo = extract_geotags(pages).filter(F.col("lat").isNotNull())
-        counters["pages_geocoded"] = encode_cells(geo, 12).count()
+    # --- stage 1: geocode (scan + gzip-sniff + regex + cell index), persist
+    t0 = time.perf_counter()
+    geo = (encode_cells(
+        extract_geotags(pages, keep=["url"]).filter(F.col("lat").isNotNull()), 8)
+        .select("url", "lat", "lon", "tile_x", "tile_y").persist())
+    counters["pages_geocoded"] = geo.count()
+    seconds["pages_geocode"] = round(time.perf_counter() - t0, 2)
 
-    def composite_overzoom():
-        geo = extract_geotags(pages).filter(F.col("lat").isNotNull())
-        src = tile_pixels(encode_cells(geo, 8), 8)
-        feats = src.select(
-            F.lit(0).alias("tile_idx"), F.lit(8).alias("src_z"),
-            F.col("tile_x").alias("src_x"), F.col("tile_y").alias("src_y"),
-            F.lit("pages").alias("layer"), F.lit(2).alias("layer_version"),
-            F.lit(4096).alias("extent"),
-            # deterministic ordinal WITHOUT a per-tile window: the SF hot
-            # tile holds ~50% of rows, so row_number() over it would
-            # serialize half the stage in one task (the exact skew the
-            # north rule targets); a url-hash ordinal is order-free
-            F.pmod(F.xxhash64("url"), F.lit(1 << 30)).cast("int").alias("feature_idx"),
-            F.lit(None).cast("long").alias("feature_id"),
-            F.lit(1).cast("byte").alias("geom_type"),
-            F.array(F.col("px")).alias("xs"), F.array(F.col("py")).alias("ys"),
-            F.array(F.lit(0)).alias("part_offsets"),
-            F.array(F.lit(0).cast("byte")).alias("ring_types"),
-            F.create_map(F.lit("url"), F.col("url")).alias("properties"))
-        t10 = encode_cells(geo, 10).select("tile_x", "tile_y").distinct()
-        targets = t10.select(
-            F.lit(10).alias("z"), F.col("tile_x").alias("x"),
-            F.col("tile_y").alias("y"), F.lit(128).alias("buffer_size"),
-            F.lit(None).cast("array<string>").alias("keep_layers"),
-            F.lit(False).alias("compress"))
-        out = composite(feats, targets)
-        counters["tiles_composited"] = out.select("z", "x", "y").distinct().count()
-
-    def rollup():
-        geo = extract_geotags(pages).filter(F.col("lat").isNotNull())
-        counters["rollup_rows"] = rollup_counts(encode_cells(geo, 12), 12, 2).count()
-
-    def minhash():
-        counters["lsh_pairs"] = D.minhash_candidate_pairs(docs, k=8, bands=4).count()
-
-    timed("pages_geocode", geocode)
-    timed("tile_composite_overzoom", composite_overzoom)
+    # --- stage 2: composite z8 → z10 from the persisted frame, one action
+    t0 = time.perf_counter()
+    src = tile_pixels(geo, 8)
+    feats = src.select(
+        F.lit(0).alias("tile_idx"), F.lit(8).alias("src_z"),
+        F.col("tile_x").alias("src_x"), F.col("tile_y").alias("src_y"),
+        F.lit("pages").alias("layer"), F.lit(2).alias("layer_version"),
+        F.lit(4096).alias("extent"),
+        F.pmod(F.xxhash64("url"), F.lit(1 << 30)).cast("int").alias("feature_idx"),
+        F.lit(None).cast("long").alias("feature_id"),
+        F.lit(1).cast("byte").alias("geom_type"),
+        F.array(F.col("px")).alias("xs"), F.array(F.col("py")).alias("ys"),
+        F.array(F.lit(0)).alias("part_offsets"),
+        F.array(F.lit(0).cast("byte")).alias("ring_types"),
+        F.create_map(F.lit("url"), F.col("url")).alias("properties"))
+    targets = (
+        encode_cells(geo, 10).select(
+            F.col("tile_x").alias("x"), F.col("tile_y").alias("y")).distinct()
+        .select(F.lit(10).alias("z"), "x", "y",
+                F.lit(128).alias("buffer_size"),
+                F.lit(None).cast("array<string>").alias("keep_layers"),
+                F.lit(False).alias("compress")))
+    out = composite_points(feats, targets)
+    res = out.agg(
+        F.count(F.lit(1)).alias("features_out"),
+        F.approx_count_distinct(
+            F.concat_ws("/", "z", "x", "y"), 0.02).alias("tiles")).collect()[0]
+    counters["features_out"] = int(res.features_out)
+    counters["tiles_composited"] = int(res.tiles)
+    seconds["tile_composite_overzoom"] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(seconds.values()), 2)
     print(json.dumps({"cpus": cpus, "seconds": seconds, "total": total,

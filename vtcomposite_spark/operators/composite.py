@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import geometry as geo
+from .. import polyclip
 
 _I64 = np.int64
 
@@ -109,7 +110,12 @@ def first_wins(df: DataFrame, strategy: str = "agg") -> DataFrame:
         df.groupBy("z", "x", "y", "layer")
         .agg(F.min("tile_idx").alias("tile_idx"))
     )
-    return df.join(winners, on=["z", "x", "y", "layer", "tile_idx"], how="left_semi")
+    # explicit broadcast: winners is keys-only (one row per tile×layer); an
+    # SMJ fallback would sort the full-width features — the dominant cost.
+    # For planet-scale winner sets (>~100M tiles) switch to strategy
+    # "window" or bucket both sides instead.
+    return df.join(F.broadcast(winners), on=["z", "x", "y", "layer", "tile_idx"],
+                   how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -239,9 +245,10 @@ def _overzoom_clip_batches(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
                 rt_vals = rt_col.values.to_numpy(zero_copy_only=False)
                 rtake = geo.multi_arange(rt_off[rows], rt_off[rows + 1])
                 in_rts = rt_vals[rtake].astype(np.int8) if len(rtake) else np.empty(0, np.int8)
-                asm, kept_rt, _poly = geo.assemble_polygons(g, in_rts, lo, hi)
-                out, src_ring = geo.clip_rings(asm, lo, hi)
-                rts = kept_rt[src_ring].astype(np.int8) if len(src_ring) else np.empty(0, np.int8)
+                asm, kept_rt, poly = geo.assemble_polygons(g, in_rts, lo, hi)
+                # exact polygon-overlay clip (boost parity): holes crossing
+                # the window carve and can split the output polygons
+                out, rts = polyclip.clip_polygons_packed(asm, kept_rt, poly, lo, hi)
             rb = _emit_rows(batch, rows, out, rts, out_schema)
             if rb is not None:
                 yield rb
@@ -269,6 +276,24 @@ def overzoom_clip(df: DataFrame) -> DataFrame:
             (F.col("y").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
              * F.col("extent")).cast("long"))
     )
+    # envelope pre-filter, HOISTED out of the kernel into codegen: a feature
+    # whose scaled bbox misses the target clip window never crosses to
+    # Python. This is the reference's cheap-reject (src/feature_builder.hpp:
+    # 232-238) applied where it pays most at scale — the ancestor join fans
+    # each feature out to several candidate targets, and this prunes the
+    # misses before the (allocation-heavy) Arrow conversion.
+    zf = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz"))
+    bxmin = F.array_min("xs") * zf - F.col("disp_x")
+    bxmax = F.array_max("xs") * zf - F.col("disp_x")
+    bymin = F.array_min("ys") * zf - F.col("disp_y")
+    bymax = F.array_max("ys") * zf - F.col("disp_y")
+    blo = -F.col("buffer_size").cast("long")
+    bhi = (F.col("extent") + F.col("buffer_size")).cast("long")
+    df = df.filter(
+        (F.col("dz") == 0)
+        | ((bxmax >= blo) & (bxmin <= bhi) & (bymax >= blo) & (bymin <= bhi))
+    )
+
     out_fields = [f for f in df.schema.fields if f.name not in _KERNEL_HELPER_COLS]
     out_schema_spark = T.StructType(out_fields)
     out_schema_arrow = pa.schema([
@@ -304,6 +329,57 @@ def composite(features: DataFrame, targets: DataFrame) -> DataFrame:
     return out.drop("keep_layers")
 
 
+def overzoom_clip_points_expr(df: DataFrame) -> DataFrame:
+    """Point-feature overzoom+clip as PURE column expressions — no Python.
+
+    Semantically identical to the Arrow kernel for geom_type == 1 rows
+    (affine p*2^dz − d, closed-box covered_by keep/drop per point,
+    same-zoom raw pass-through) but stays entirely JVM-side: the Arrow
+    crossing costs ~40µs/row at scale, the expression path ~1µs. The page
+    pipeline (one point per geotagged page) is exactly this shape.
+    """
+    dz = F.col("z") - F.col("src_z")
+    zf = F.call_function("shiftleft", F.lit(1).cast("long"), dz)
+    mask = zf - F.lit(1).cast("long")
+    dxp = F.col("x").bitwiseAND(mask) * F.col("extent")
+    dyp = F.col("y").bitwiseAND(mask) * F.col("extent")
+    blo = -F.col("buffer_size").cast("long")
+    bhi = (F.col("extent") + F.col("buffer_size")).cast("long")
+
+    txs = F.transform("xs", lambda v: v * zf - dxp)
+    tys = F.transform("ys", lambda v: v * zf - dyp)
+    pairs = F.filter(
+        F.arrays_zip(txs.alias("px"), tys.alias("py")),
+        lambda p: (p["px"] >= blo) & (p["px"] <= bhi)
+        & (p["py"] >= blo) & (p["py"] <= bhi))
+    new_xs = F.when(dz == 0, F.col("xs")).otherwise(
+        F.transform(pairs, lambda p: p["px"]))
+    new_ys = F.when(dz == 0, F.col("ys")).otherwise(
+        F.transform(pairs, lambda p: p["py"]))
+    # withColumns (plural): both expressions bind to the ORIGINAL xs/ys —
+    # sequential withColumn would make new_ys's `pairs` re-read the already
+    # transformed xs and double-apply the affine
+    out = (
+        df.withColumns({"xs": new_xs, "ys": new_ys})
+        .filter(F.size("xs") > 0)
+        .withColumn("part_offsets",
+                    F.sequence(F.lit(0), F.size("xs") - 1).cast("array<int>"))
+        .withColumn("ring_types",
+                    F.transform(F.col("part_offsets"), lambda _: F.lit(0).cast("byte")))
+    )
+    return out
+
+
+def composite_points(features: DataFrame, targets: DataFrame) -> DataFrame:
+    """Composite specialization for all-point features (e.g. the page
+    pipeline): same plan as ``composite`` with the geometry step in pure
+    expressions — zero Python crossings end-to-end."""
+    j = ancestor_join(features, targets)
+    j = apply_keep_layers(j)
+    j = first_wins(j)
+    return overzoom_clip_points_expr(j).drop("keep_layers")
+
+
 def encode_tiles(composited: DataFrame) -> DataFrame:
     """S3/S4 terminal sink: (z, x, y, tile:binary) via applyInPandas.
 
@@ -335,7 +411,8 @@ def encode_tiles(composited: DataFrame) -> DataFrame:
             props = dict(row.properties) if row.properties is not None else {}
             layers[name].features.append(mvt.Feature(
                 geom_type=int(row.geom_type), parts=parts,
-                ring_types=[int(r) for r in (row.ring_types or [])],
+                ring_types=[int(r) for r in
+                            (row.ring_types if row.ring_types is not None else [])],
                 properties=props,
                 fid=int(row.feature_id) if row.feature_id is not None and not pd.isna(row.feature_id) else None))
         buf = mvt.encode_tile([layers[n] for n in order])

@@ -49,7 +49,8 @@ PAGES_SCHEMA = T.StructType([
 
 
 def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
-              shuffle_partitions: int = 32) -> SparkSession:
+              shuffle_partitions: int = 32,
+              extra_conf: dict | None = None) -> SparkSession:
     """Session tuned for the engine.
 
     * AQE on (skew-join split, partition coalescing at runtime)
@@ -60,6 +61,8 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -67,6 +70,8 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.driver.memory", "8g")
+        # local mode: driver heap IS the executor heap; at 32 concurrent
+        # tasks an 8g heap GC-thrashes under Arrow batches + broadcast
+        .config("spark.driver.memory", __import__("os").environ.get("VTC_DRIVER_MEM", "16g"))
         .getOrCreate()
     )

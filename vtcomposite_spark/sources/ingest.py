@@ -24,6 +24,17 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
     geometries inside v1 tiles are skipped, not fatal
     (src/vtcomposite.cpp:159-178).
     """
+    def geometry_malformed(f: mvt.Feature) -> bool:
+        """vtzero's strict geometry checks: a polygon ring needs ≥4 points
+        (closed), a linestring part ≥2, a point geometry ≥1 point. The
+        reference skips such features in v1 layers (the try/catch at
+        src/vtcomposite.cpp:159-178) and fails the request for v2."""
+        if f.geom_type == 3:
+            return any(len(p) < 4 for p in f.parts) or not f.parts
+        if f.geom_type == 2:
+            return any(len(p) < 2 for p in f.parts) or not f.parts
+        return not f.parts
+
     rows: list[dict] = []
     for tile_idx, (buf, z, x, y) in enumerate(tiles):
         try:
@@ -34,6 +45,12 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
             continue
         for layer in layers:
             for fidx, f in enumerate(layer.features):
+                if geometry_malformed(f):
+                    if layer.version == 1:
+                        continue  # v1 tolerance: skip the feature
+                    raise ValueError(
+                        f"malformed geometry in v{layer.version} layer "
+                        f"'{layer.name}' feature {fidx}")
                 xs: list[int] = []
                 ys: list[int] = []
                 offsets: list[int] = []

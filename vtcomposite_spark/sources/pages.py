@@ -135,20 +135,33 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_geotags(pages: DataFrame) -> DataFrame:
+def extract_geotags(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """pages + (lat, lon) columns; null for ungeotagged rows.
 
     Single mapInPandas pass (a struct-returning pandas_udf would risk one
     UDF evaluation per extracted field): gzip-sniff each html payload
     (0x1f8b, the binary analog of src/vtcomposite.cpp:224-235), regex out
     the geo.position meta tag.
+
+    ``keep``: columns to carry through the Python crossing (default: all).
+    Catalyst's column pruning cannot see inside mapInPandas, so at scale
+    pass the minimal set — shipping the html payload back OUT of the worker
+    doubles the Arrow traffic for nothing.
     """
     import re
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(pages.schema.fields + [
-        T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
+    if keep is not None:
+        in_cols = list(dict.fromkeys([*keep, "html"]))
+        pages = pages.select(*in_cols)
+        out_cols = list(keep)
+    else:
+        out_cols = list(pages.columns)
+
+    out_schema = T.StructType(
+        [pages.schema[c] for c in out_cols]
+        + [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
     pat = re.compile(rb'geo\.position"\s+content="(-?[\d.]+);(-?[\d.]+)"')
 
     def kernel(pdfs):
@@ -166,9 +179,9 @@ def extract_geotags(pages: DataFrame) -> DataFrame:
                 if m:
                     lats[i] = float(m.group(1))
                     lons[i] = float(m.group(2))
-            pdf = pdf.copy()
-            pdf["lat"] = lats
-            pdf["lon"] = lons
-            yield pdf
+            out = pdf[out_cols].copy()
+            out["lat"] = lats
+            out["lon"] = lons
+            yield out
 
     return pages.mapInPandas(kernel, schema=out_schema)

@@ -214,6 +214,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.min("tile_idx").alias("win_tile")))
     q["first_wins_layer_dedupe"] = first_wins_layer_dedupe
 
+    def pip_join_regions(spark, sf):
+        """J2 under the oracle gate: events-derived points vs 5 rectangular
+        region polygons (offset 0.005° so no point sits exactly on an edge;
+        the even-odd interior then equals strict inequalities in SQL)."""
+        from vtcomposite_spark.operators.joins import pip_join
+        pts = _events_points(spark, sf)
+        reg = _read(spark, sf, "region").select(
+            F.col("r_regionkey").alias("poly_id"),
+            (F.col("r_regionkey") * 60 - 170 + 0.005).alias("lon0"),
+            (F.col("r_regionkey") * 25 - 65 + 0.005).alias("lat0"))
+        polys = reg.select(
+            "poly_id",
+            F.array(F.col("lon0"), F.col("lon0") + 50, F.col("lon0") + 50,
+                    F.col("lon0"), F.col("lon0")).alias("xs"),
+            F.array(F.col("lat0"), F.col("lat0"), F.col("lat0") + 20,
+                    F.col("lat0") + 20, F.col("lat0")).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"))
+        out = pip_join(pts, polys, zoom=3, point_cols=["event_id"])
+        return out.select("event_id", "poly_id")
+    q["pip_join_regions"] = pip_join_regions
+
     def knn_sites(spark, sf):
         pts = _events_points(spark, sf)
         out = knn_join(pts, _sites(spark, sf), k=3,
@@ -383,6 +404,16 @@ def oracle_sql() -> dict[str, str]:
     o["first_wins_layer_dedupe"] = (
         "SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y, l_returnflag AS layer, "
         "min(l_linenumber) AS win_tile FROM lineitem GROUP BY 1, 2, 3"
+    )
+
+    o["pip_join_regions"] = (
+        f"WITH pts AS ({_EVENTS_POINTS_SQL}), "
+        "reg AS (SELECT r_regionkey AS poly_id, "
+        "r_regionkey * 60 - 170 + 0.005 AS lon0, "
+        "r_regionkey * 25 - 65 + 0.005 AS lat0 FROM region) "
+        "SELECT p.event_id, r.poly_id FROM pts p JOIN reg r "
+        "ON p.lon > r.lon0 AND p.lon < r.lon0 + 50 "
+        "AND p.lat > r.lat0 AND p.lat < r.lat0 + 20"
     )
 
     o["knn_sites"] = (

@@ -227,3 +227,22 @@ def test_v1_overzoom_zero_length_linestrings(spark, fixture_bytes):
         (fixture_bytes("5.mvt"), 12, 1272, 1484),
     ], [{"z": 14, "x": 5088, "y": 5937, "buffer_size": 4080}])
     assert out.select("layer").distinct().count() == 11
+
+
+def test_encode_deterministic_bytes(spark, fixture_bytes):
+    """Two runs over the same input produce byte-identical tiles (O3:
+    deterministic feature order at the sink)."""
+    buf = fixture_bytes("points-poi-sf-15-5239-12666.mvt")
+    from pyspark.sql import functions as F
+
+    def one():
+        f = ingest.features_from_tiles(spark, [(buf, 15, 5239, 12666)])
+        # shuffle the input rows to prove sink ordering restores determinism
+        f = f.repartition(7)
+        t = ingest.targets_df(spark, [{"z": 16, "x": 10478, "y": 25332,
+                                       "buffer_size": 128}])
+        tiles = C.encode_tiles(C.composite(f, t)
+                               .withColumn("compress", F.lit(False))).collect()
+        return bytes(tiles[0].tile) if tiles else b""
+
+    assert one() == one() != b""

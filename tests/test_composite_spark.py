@@ -246,3 +246,14 @@ def test_encode_deterministic_bytes(spark, fixture_bytes):
         return bytes(tiles[0].tile) if tiles else b""
 
     assert one() == one() != b""
+
+
+def test_road_segments_overzoom_buffer4080(spark, fixture_bytes):
+    """test/vtcomposite-linestrings.test.js:75-96 — z15→z16 buffer 4080
+    keeps 5 road features (we are also consistent at 4079/4081, unlike the
+    boost edge-case quirk noted in the reference's comment)."""
+    buf = fixture_bytes("z15-road-segments.mvt")
+    for b in (4079, 4080, 4081):
+        out = run(spark, [(buf, 15, 29570, 20109)],
+                  [{"z": 16, "x": 59140, "y": 40218, "buffer_size": b}])
+        assert out.count() == 5

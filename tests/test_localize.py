@@ -12,8 +12,18 @@ SCHEMA = T.StructType([
 ])
 
 
+def ordered_props_df(spark, props):
+    """Build a map column that PRESERVES entry order (createDataFrame from a
+    python dict does not — see sources.ingest.features_from_tiles)."""
+    from itertools import chain
+
+    from pyspark.sql import functions as F
+    args = [F.lit(x) for x in chain.from_iterable(props.items())]
+    return spark.range(1).select(F.create_map(*args).alias("properties"))
+
+
 def run(spark, props, **params):
-    df = spark.createDataFrame([(1, props)], schema=SCHEMA)
+    df = ordered_props_df(spark, props)
     rows = localize(df, **params).collect()
     if not rows:
         return None
@@ -197,3 +207,60 @@ def test_localized_drops_untranslated_name_variants(spark):
     props = {"name": "a", "name_en": "b", "name_fr": "c"}
     out = run(spark, props, worldviews=["US"])
     assert out == {"name": "a", "name_local": "a"}
+
+
+# --- additional exact ports from test/vtcomposite-localize-language.test.js ---
+
+def test_custom_property_and_prefix_jp(spark):
+    # :390-434
+    props = {"language": "hello", "_drop_me_language_jp": "kon'nichiwa",
+             "language_es": "hola"}
+    out = run(spark, props, languages=["jp"], language_property="language",
+              hidden_prefix="_drop_me_")
+    assert out == {"language": "kon'nichiwa", "language_local": "hello"}
+
+
+def test_local_with_fallback_original_script_ok(spark):
+    # :622-666 — 'local' ranks above 'en' and the script is acceptable
+    props = {"name": "你好", "name_script": "Han", "name_zh-Hant": "Nǐ hǎo",
+             "name_en": "hello"}
+    out = run(spark, props, languages=["local", "en"])
+    assert out == {"name": "你好", "name_local": "你好"}
+
+
+def test_omitted_script_no_fallback_found(spark):
+    # :717-764 — script omitted, no requested translation exists ⇒ the
+    # original name is the last resort
+    props = {"name": "你好", "name_script": "Han", "name_zh-Hant": "Nǐ hǎo",
+             "name_en": "hello", "_mbx_name_fi": "moi"}
+    out = run(spark, props, languages=["de", "local", "fr"], omit_scripts=["Han"])
+    assert out == {"name": "你好", "name_local": "你好"}
+
+
+def test_name_local_in_input_tile(spark):
+    # :766-813 — input name_local matches the 'local' precedence slot
+    props = {"name": "你好", "name_script": "Han", "name_local": "Nǐ hǎo",
+             "name_en": "hello", "_mbx_name_fi": "moi"}
+    out = run(spark, props, languages=["de", "local", "fi"], omit_scripts=["Han"])
+    assert out == {"name": "Nǐ hǎo", "name_local": "你好"}
+
+
+def test_mbx_name_local_in_input_tile(spark):
+    # :815-862
+    props = {"name": "你好", "name_script": "Han", "_mbx_name_local": "Nǐ hǎo",
+             "name_en": "hello", "_mbx_name_fi": "moi"}
+    out = run(spark, props, languages=["de", "local", "fi"], omit_scripts=["Han"])
+    assert out == {"name": "Nǐ hǎo", "name_local": "你好"}
+
+
+def test_languages_all_without_name_property(spark):
+    # :1019-1068 — name missing entirely: no name/name_local in output,
+    # later duplicates of a cleaned key overwrite earlier
+    props = {"name_script": "Han", "name_zh-Hant": "Nǐ hǎo",
+             "name_en": "EN first value - to be overwritten",
+             "_mbx_name_de": "DE first value - to be overwritten",
+             "name_de": "hallo", "_mbx_name_it": "ciao",
+             "_mbx_name_fr": "bonjour", "_mbx_name_en": "hello"}
+    out = run(spark, props, languages=["all"])
+    assert out == {"name_zh-Hant": "Nǐ hǎo", "name_en": "hello",
+                   "name_de": "hallo", "name_it": "ciao", "name_fr": "bonjour"}

@@ -104,7 +104,8 @@ MATRIX = [
 @pytest.mark.parametrize("name,props,params,expected",
                          MATRIX, ids=[m[0] for m in MATRIX])
 def test_worldview_matrix(spark, name, props, params, expected):
-    df = spark.createDataFrame([(1, props)], schema=SCHEMA)
+    from tests.test_localize import ordered_props_df
+    df = ordered_props_df(spark, props)
     rows = localize(df, **params).collect()
     if expected is None:
         assert rows == [], name

@@ -79,7 +79,25 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
 
 def features_from_tiles(spark: SparkSession,
                         tiles: list[tuple[bytes, int, int, int]]) -> DataFrame:
-    return spark.createDataFrame(feature_rows(tiles), schema=FEATURES_SCHEMA)
+    """createDataFrame does NOT preserve python-dict entry order for map
+    columns (it round-trips through a JVM hash map); the reference's
+    ``languages=all`` last-wins semantics depend on input PROPERTY ORDER
+    (src/vtcomposite.cpp:871-877), so properties travel as an ordered
+    entries array and become a map via map_from_entries (order-preserving).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = feature_rows(tiles)
+    for r in rows:
+        r["properties"] = [{"key": k, "value": v} for k, v in r["properties"].items()]
+    entry_t = T.ArrayType(T.StructType([
+        T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]))
+    schema = T.StructType([
+        f if f.name != "properties" else T.StructField("properties", entry_t)
+        for f in FEATURES_SCHEMA.fields])
+    df = spark.createDataFrame(rows, schema=schema)
+    return df.withColumn("properties", F.map_from_entries("properties"))
 
 
 def targets_df(spark: SparkSession, targets: list[dict]) -> DataFrame:

@@ -257,3 +257,31 @@ def test_road_segments_overzoom_buffer4080(spark, fixture_bytes):
         out = run(spark, [(buf, 15, 29570, 20109)],
                   [{"z": 16, "x": 59140, "y": 40218, "buffer_size": b}])
         assert out.count() == 5
+
+
+def test_multi_geometries_overzoom_buffer(spark, fixture_bytes):
+    """test/vtcomposite-multis.test.js:62-91 — multipoint+multiline overzoomed
+    z15→z16 with multipolygon at target zoom: 1 surviving layer without
+    buffer, all 3 with buffer 4096."""
+    tiles = [
+        (fixture_bytes("multipoint.mvt"), 15, 5239, 12666),
+        (fixture_bytes("multiline.mvt"), 15, 5239, 12666),
+        (fixture_bytes("multipolygon.mvt"), 16, 10479, 25332),
+    ]
+    no_buf = run(spark, tiles, [{"z": 16, "x": 10479, "y": 25332}])
+    assert no_buf.select("layer").distinct().count() == 1
+    with_buf = run(spark, tiles, [{"z": 16, "x": 10479, "y": 25332,
+                                   "buffer_size": 4096}])
+    assert with_buf.select("layer").distinct().count() == 3
+
+
+def test_multi_geometries_with_v1_tile(spark, fixture_bytes):
+    """test/vtcomposite-multis.test.js:93-123 — same with a v1 multipoint."""
+    tiles = [
+        (fixture_bytes("v1-multipoint.mvt"), 15, 5239, 12666),
+        (fixture_bytes("multiline.mvt"), 15, 5239, 12666),
+        (fixture_bytes("multipolygon.mvt"), 16, 10479, 25332),
+    ]
+    out = run(spark, tiles, [{"z": 16, "x": 10479, "y": 25332,
+                              "buffer_size": 4096}])
+    assert out.select("layer").distinct().count() == 3

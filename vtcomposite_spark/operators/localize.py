@@ -58,6 +58,14 @@ def localize(
     omit_scripts: list[str] | None = None,
     properties_col: str = "properties",
 ) -> DataFrame:
+    # the languages=all last-wins semantics and the final map_concat rely on
+    # LAST_WIN map-key dedupe; set it here so the operator works on any
+    # session (runtime-settable SQL conf), not only ones from schema.get_spark
+    try:
+        df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    except Exception:
+        pass
+
     lp, hp, wp, cp = language_property, hidden_prefix, worldview_property, class_property
     omit_scripts = omit_scripts or []
     return_localized = languages is not None or worldviews is not None

@@ -140,3 +140,38 @@ def test_ancestry_error_through_api(spark, fixture_bytes):
         api.composite([{"buffer": buf, "z": 3, "x": 1, "y": 1}],
                       {"z": 2, "x": 1, "y": 1}, spark=spark)
     assert str(ei.value) == "Invalid tile composite request: SOURCE(3,1,1) TARGET(2,1,1)"
+
+
+def _multi_layer_tile(order):
+    layers = []
+    for i, name in enumerate(order):
+        layers.append(mvt.Layer(name=name, features=[mvt.Feature(
+            geom_type=1, parts=[[(100 * (i + 1), 100)]], ring_types=[0],
+            properties={"n": name})]))
+    return mvt.encode_tile(layers)
+
+
+def test_output_layer_order_is_source_order_not_keep_order(spark):
+    """test/vtcomposite.test.js:326-339: output layer order follows the
+    source tile's stream order, regardless of the keep-list order."""
+    buf = _multi_layer_tile(["water", "building", "poi_label"])
+    out = api.composite(
+        [{"buffer": buf, "z": 3, "x": 1, "y": 1,
+          "layers": ["poi_label", "building"]}],  # keep-list reversed
+        {"z": 3, "x": 1, "y": 1}, spark=spark)
+    assert [l.name for l in mvt.decode_tile(out)] == ["building", "poi_label"]
+
+
+def test_output_layer_order_across_tiles(spark):
+    """test/vtcomposite.test.js:371-384 ('reversed'): tile order decides."""
+    buf = _multi_layer_tile(["building", "poi_label"])
+    out = api.composite(
+        [{"buffer": buf, "z": 3, "x": 1, "y": 1, "layers": ["poi_label"]},
+         {"buffer": buf, "z": 3, "x": 1, "y": 1, "layers": ["building"]}],
+        {"z": 3, "x": 1, "y": 1}, spark=spark)
+    assert [l.name for l in mvt.decode_tile(out)] == ["poi_label", "building"]
+    out2 = api.composite(
+        [{"buffer": buf, "z": 3, "x": 1, "y": 1, "layers": ["building"]},
+         {"buffer": buf, "z": 3, "x": 1, "y": 1, "layers": ["poi_label"]}],
+        {"z": 3, "x": 1, "y": 1}, spark=spark)
+    assert [l.name for l in mvt.decode_tile(out2)] == ["building", "poi_label"]

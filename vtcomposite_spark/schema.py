@@ -18,7 +18,7 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("layer", T.StringType()),
     T.StructField("layer_version", T.IntegerType()),
     T.StructField("extent", T.IntegerType()),
-    T.StructField("feature_idx", T.IntegerType()),    # ordinal within layer (output order)
+    T.StructField("feature_idx", T.IntegerType()),    # stream ordinal within tile (output order)
     T.StructField("feature_id", T.LongType()),
     T.StructField("geom_type", T.ByteType()),         # 1=point 2=line 3=poly
     T.StructField("xs", T.ArrayType(T.LongType())),

@@ -43,8 +43,11 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
             if keep_malformed:
                 raise
             continue
+        fidx = 0  # stream ordinal across the WHOLE tile: output layer and
+        # feature order must equal the reference's streaming decode order
+        # (src/vtcomposite.cpp:239,742 — first-seen layer order, O3)
         for layer in layers:
-            for fidx, f in enumerate(layer.features):
+            for f in layer.features:
                 if geometry_malformed(f):
                     if layer.version == 1:
                         continue  # v1 tolerance: skip the feature
@@ -60,6 +63,7 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
                         xs.append(px)
                         ys.append(py)
                 props = {k: str(v) for k, v in f.properties.items()}
+                fidx += 1
                 rows.append({
                     "tile_idx": tile_idx,
                     "src_z": z, "src_x": x, "src_y": y,

@@ -285,6 +285,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at(p, "population").alias("population"))
     q["localize_property_algebra"] = localize_property_algebra
 
+    def localize_languages_all(spark, sf):
+        """L6 under the oracle gate: languages=['all'] — hidden prefixes
+        stripped, later duplicate of a cleaned key overwrites (map entry
+        order = create_map argument order), values equal to the original
+        name dropped, name_script excluded; name_de equals name so it must
+        vanish. Output keys serialized sorted for exact comparison."""
+        docs = _read(spark, sf, "documents")
+        feats = docs.select(
+            "doc_id",
+            F.create_map(
+                F.lit("name"), F.col("source"),
+                F.lit("name_script"), F.lit("Latn"),
+                F.lit("name_en"), F.concat(F.col("source"), F.lit("_en1")),
+                F.lit("_mbx_name_en"), F.concat(F.col("source"), F.lit("_en2")),
+                F.lit("_mbx_name_fr"), F.concat(F.col("source"), F.lit("_fr")),
+                F.lit("name_de"), F.col("source"),
+                F.lit("other"), F.col("lang"),
+            ).alias("properties"))
+        out = localize(feats, languages=["all"])
+        p = F.col("properties")
+        return out.select(
+            "doc_id",
+            F.element_at(p, "name").alias("name"),
+            F.element_at(p, "name_local").alias("name_local"),
+            F.element_at(p, "name_en").alias("name_en"),
+            F.element_at(p, "name_fr").alias("name_fr"),
+            F.concat_ws(",", F.array_sort(F.map_keys(p))).alias("keyset"))
+    q["localize_languages_all"] = localize_languages_all
+
     # --- webtext: text analysis ---
 
     def text_stats(spark, sf):
@@ -463,6 +492,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, coalesce(name_en, mbx_name_de, name) AS name, "
         "name AS name_local, coalesce(cls_hidden, cls_plain) AS cls, "
         "inter[1] AS worldview, population FROM m WHERE len(inter) > 0"
+    )
+
+    # independent SQL rendering of L6: name_en ends as source||'_en2'
+    # (later _mbx_name_en overwrites), name_fr from hidden prefix, name_de
+    # equals name so it is dropped, name_script excluded, 'other' kept
+    o["localize_languages_all"] = (
+        "SELECT doc_id, source AS name, source AS name_local, "
+        "source || '_en2' AS name_en, source || '_fr' AS name_fr, "
+        "'name,name_en,name_fr,name_local,other' AS keyset FROM documents"
     )
 
     o["text_stats"] = (

@@ -285,3 +285,27 @@ def test_multi_geometries_with_v1_tile(spark, fixture_bytes):
     out = run(spark, tiles, [{"z": 16, "x": 10479, "y": 25332,
                               "buffer_size": 4096}])
     assert out.select("layer").distinct().count() == 3
+
+
+def test_clipping_test_tile_all_within_extent(spark, fixture_bytes):
+    """test/vtcomposite.test.js:270-298 — every output feature bbox within
+    [-4080, 4096+4080]² for z1/1/1 → z4/10/14, buffer 4080."""
+    buf = fixture_bytes("clipping-test-tile.mvt")
+    out = run(spark, [(buf, 1, 1, 1)],
+              [{"z": 4, "x": 10, "y": 14, "buffer_size": 4080}]).collect()
+    assert out
+    lo, hi = -4080, 4096 + 4080
+    for row in out:
+        assert min(row.xs) >= lo and max(row.xs) <= hi
+        assert min(row.ys) >= lo and max(row.ys) <= hi
+
+
+def test_v1_zlib_tiles_polygon_clockwise(spark, fixture_bytes):
+    """test/vtcomposite.test.js:303-324 — zlib-coded v1 tiles with zero-area
+    polygons composite without error; 7 output layers."""
+    out = run(spark, [
+        (fixture_bytes("v1-6.mvt"), 3, 4, 2),
+        (fixture_bytes("v1-7.mvt"), 3, 4, 2),
+        (fixture_bytes("v1-8.mvt"), 2, 2, 1),
+    ], [{"z": 4, "x": 8, "y": 5, "buffer_size": 4080}])
+    assert out.select("layer").distinct().count() == 7

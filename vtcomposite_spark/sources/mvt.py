@@ -105,9 +105,13 @@ def ring_area2(pts) -> int:
 # ---------------------------------------------------------------------------
 
 def maybe_gunzip(buf: bytes) -> bytes:
-    """gzip magic-byte sniff (reference src/vtcomposite.cpp:224-235)."""
+    """Compression sniff (reference src/vtcomposite.cpp:224-235; its gzip
+    lib accepts both gzip and raw zlib streams — v1-6.mvt is zlib-coded)."""
     if len(buf) >= 2 and buf[0] == 0x1F and buf[1] == 0x8B:
         return _gzip.decompress(buf)
+    if len(buf) >= 2 and buf[0] == 0x78 and buf[1] in (0x01, 0x5E, 0x9C, 0xDA):
+        import zlib
+        return zlib.decompress(buf)
     return buf
 
 
@@ -176,6 +180,8 @@ def _decode_geometry(geom: list[int], geom_type: int):
                 x += _unzigzag(geom[i]); y += _unzigzag(geom[i + 1]); i += 2
                 cur.append((x, y))
         elif cid == 7:  # ClosePath
+            if not cur:
+                raise ValueError("ClosePath with no open ring")
             cur.append(cur[0])
             pending_rings.append(cur)
             cur = []
@@ -282,7 +288,13 @@ def _decode_feature(buf: bytes, keys: list[str], values: list) -> Feature:
                 ln, pos = _uvarint(buf, pos)
                 pos += ln
     props = {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags) - 1, 2)}
-    parts, ring_types = _decode_geometry(geom, geom_type)
+    try:
+        parts, ring_types = _decode_geometry(geom, geom_type)
+    except Exception:
+        # malformed geometry: keep the feature shell with empty parts —
+        # ingestion classifies it malformed (skip in v1 layers, error in
+        # v2), matching vtzero's per-feature decode failure semantics
+        parts, ring_types = [], []
     return Feature(geom_type=geom_type, parts=parts, ring_types=ring_types,
                    properties=props, fid=fid)
 

@@ -109,6 +109,21 @@ def build_workload(spark, sf_dir):
                        method="grid", zoom=3)
         counters["knn_rows"] = out.count()
 
+    def pip_join_stage():
+        from vtcomposite_spark.operators.joins import pip_join
+        tagged, lat, lon = geo_cols("event_id")
+        pts = events.filter(tagged).select("event_id", lat.alias("lat"), lon.alias("lon"))
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        polys = region.select(
+            F.col("r_regionkey").alias("poly_id"),
+            F.array(*[(F.col("r_regionkey") * 60 - 170 + d).cast("double")
+                      for d in (0.005, 50.005, 50.005, 0.005, 0.005)]).alias("xs"),
+            F.array(*[(F.col("r_regionkey") * 25 - 65 + d).cast("double")
+                      for d in (0.005, 0.005, 20.005, 20.005, 0.005)]).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"))
+        out = pip_join(pts, polys, zoom=3, point_cols=["event_id"])
+        counters["pip_matches"] = out.count()
+
     def dedupe_minhash():
         counters["lsh_pairs"] = D.minhash_candidate_pairs(docs, k=8, bands=4).count()
 
@@ -133,6 +148,7 @@ def build_workload(spark, sf_dir):
         "tile_composite_overzoom": tile_composite_overzoom,
         "localize_props": localize_props,
         "knn_grid": knn_grid,
+        "pip_join": pip_join_stage,
         "dedupe_minhash": dedupe_minhash,
         "text_quality": text_quality,
         "ann_topk": ann_topk,

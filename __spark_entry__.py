@@ -328,11 +328,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_stats"] = text_stats
 
     def lang_quality_agg(spark, sf):
+        """Average aggregated in integer milli-units: quality is an exact
+        multiple of 0.001 (functions/text.py round(...,3)), so summing
+        round(q*1000) as long is order-independent — float avg() is not
+        (partition-parallel Spark vs sequential DuckDB summation rounds
+        differently at .00005 boundaries). One float division at the end,
+        on identical integers in both engines → bit-identical."""
         docs = _read(spark, sf, "documents")
+        qm = F.round(TX.quality_score_col(F.col("text")) * 1000).cast("long")
         return (docs.groupBy("lang")
-                .agg(F.round(F.avg(TX.quality_score_col(F.col("text"))), 4).alias("avg_q"),
+                .agg(F.sum(qm).alias("qm_sum"),
                      F.sum(TX.token_count_col(F.col("text"))).alias("total_tokens"),
-                     F.count("*").alias("n_docs")))
+                     F.count("*").alias("n_docs"))
+                .select("lang",
+                        F.round(F.col("qm_sum") / (F.col("n_docs") * 1000.0), 4)
+                        .alias("avg_q"),
+                        "total_tokens", "n_docs"))
     q["lang_quality_agg"] = lang_quality_agg
 
     # --- webtext: dedupe family ---
@@ -511,7 +522,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["lang_quality_agg"] = (
-        f"SELECT lang, round(avg({TX.quality_score_sql('text')}), 4) AS avg_q, "
+        "SELECT lang, "
+        f"round(sum(CAST(round({TX.quality_score_sql('text')} * 1000) AS BIGINT)) "
+        "/ (count(*) * 1000.0), 4) AS avg_q, "
         f"sum({TX.TOKEN_COUNT_SQL.format(c='text')}) AS total_tokens, "
         "count(*) AS n_docs FROM documents GROUP BY lang"
     )

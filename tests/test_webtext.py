@@ -75,6 +75,39 @@ def test_minhash_sig_parity(spark, docs):
         assert v == want[k], k
 
 
+def test_short_docs_no_shingles(spark):
+    """Docs with fewer than n tokens must yield an empty shingle array, not
+    crash: Spark sequence(1, 0) is the DESCENDING [1, 0], so an unguarded
+    slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "   "), (6, " a  b ")],
+        ["doc_id", "text"])
+    got = {r.doc_id: list(r.sh) for r in df.select(
+        "doc_id", H.shingles_col(F.col("text"), 3).alias("sh")).collect()}
+    assert got == {1: [], 2: [], 3: [], 4: ["one two three"], 5: [], 6: []}
+    # the whole dedupe family must survive short docs end-to-end
+    sigs = D.minhash_signatures(df, k=4).collect()
+    assert {r.doc_id for r in sigs} == {4}  # sub-n docs produce no signature
+    assert D.minhash_candidate_pairs(df, k=4, bands=2).collect() == []
+    df.select(H.simhash_col(F.col("text"), 4).alias("s")).collect()
+    assert D.ngram_jaccard_pairs(df, threshold=0.1, k=4, bands=2).collect() == []
+
+
+def test_short_docs_shingles_sql_parity(spark):
+    """Spark guard and DuckDB range(1,1)=[] agree on the short-doc edge."""
+    rows = [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: list(r.sh) for r in df.select(
+        "doc_id", H.shingles_col(F.col("text"), 3).alias("sh")).collect()}
+    con = duckdb.connect()
+    con.sql("create table t(doc_id int, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    want = dict(con.sql(
+        f"select doc_id, {H.shingles_sql('text', 3)} from t").fetchall())
+    assert got == want
+
+
 def test_simhash_parity(spark, docs):
     got = {r.doc_id: r.sh for r in docs.limit(30).select(
         "doc_id", H.simhash_col(F.col("text"), 8).alias("sh")).collect()}

@@ -15,12 +15,22 @@ HEX = "0123456789abcdef"
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles: contiguous n-token windows joined by spaces."""
+    """Word n-gram shingles: contiguous n-token windows joined by spaces.
+
+    Docs with fewer than n tokens produce an empty shingle array. The
+    ``F.when`` guard is load-bearing: Spark's sequence(1, 0) yields the
+    DESCENDING array [1, 0], so slice(toks, 0, n) would throw
+    INVALID_PARAMETER_VALUE.START on short docs (DuckDB's range(1, 1) is
+    empty, so the SQL twin needs no guard).
+    """
     toks = tokens_col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(c: str, n: int = 3) -> str:

@@ -21,6 +21,10 @@ def encode_cells(df: DataFrame, zoom: int,
                  lat_col: str = "lat", lon_col: str = "lon",
                  out_col: str = "cell") -> DataFrame:
     """Add packed cell id + tile_x/tile_y at ``zoom``; null-geo rows get null."""
+    if not 0 <= zoom <= tm.MAX_CELL_ZOOM:
+        raise ValueError(
+            f"encode_cells: zoom must be in [0, {tm.MAX_CELL_ZOOM}] "
+            "(cell ids pack x/y into 29-bit fields)")
     tx, ty = tm.tile_xy_cols(F.col(lon_col), F.col(lat_col), zoom)
     df = df.withColumn("tile_x", tx).withColumn("tile_y", ty)
     cell = F.when(

@@ -109,7 +109,10 @@ def maybe_gunzip(buf: bytes) -> bytes:
     lib accepts both gzip and raw zlib streams — v1-6.mvt is zlib-coded)."""
     if len(buf) >= 2 and buf[0] == 0x1F and buf[1] == 0x8B:
         return _gzip.decompress(buf)
-    if len(buf) >= 2 and buf[0] == 0x78 and buf[1] in (0x01, 0x5E, 0x9C, 0xDA):
+    # generic zlib sniff: CM==8 (deflate) with any window size, and the
+    # CMF/FLG pair a valid mod-31 checksum (RFC 1950 §2.2) — not just 0x78
+    if (len(buf) >= 2 and (buf[0] & 0x0F) == 8
+            and ((buf[0] << 8) | buf[1]) % 31 == 0):
         import zlib
         return zlib.decompress(buf)
     return buf

@@ -34,6 +34,9 @@ except ImportError:  # pragma: no cover
     _HAVE_SPARK = False
 
 MAX_ZOOM = 30
+# cell ids pack x/y into 29-bit fields; z=30 coords would silently corrupt
+# the z and x fields, so cells cap one zoom below tile math's MAX_ZOOM
+MAX_CELL_ZOOM = 29
 
 
 # ---------------------------------------------------------------------------
@@ -98,11 +101,14 @@ def displacement(src_z, extent, z, x, y):
 def pack_cell(z, x, y):
     """Pack (z, x, y) into one int64 quadkey-style cell id.
 
-    Layout: (1 << (2z + 5)) marker | x interleave-free packing:
-    cell = (z << 58) | (x << 29) | y  — valid for z <= 28 (x,y < 2^29).
-    Pure integer math so the same expression is writable in ANSI SQL.
+    Layout: cell = (z << 58) | (x << 29) | y — valid for z <= MAX_CELL_ZOOM
+    (= 29, so x,y < 2^29 fit their bit fields; tile math's MAX_ZOOM=30 does
+    NOT apply to cell ids). Pure integer math so the same expression is
+    writable in ANSI SQL.
     """
     z = np.asarray(z, dtype=np.int64)
+    if np.any(z > MAX_CELL_ZOOM) or np.any(z < 0):
+        raise ValueError(f"pack_cell: zoom must be in [0, {MAX_CELL_ZOOM}]")
     return (z << 58) | (np.asarray(x, dtype=np.int64) << 29) | np.asarray(y, dtype=np.int64)
 
 

@@ -396,6 +396,7 @@ def encode_tiles(composited: DataFrame) -> DataFrame:
         pdf = pdf.sort_values(["tile_idx", "feature_idx"], kind="stable")
         z = int(pdf["z"].iloc[0]); x = int(pdf["x"].iloc[0]); y = int(pdf["y"].iloc[0])
         compress = bool(pdf["compress"].iloc[0]) if "compress" in pdf else False
+        has_types = "prop_types" in pdf.columns
         layers: dict[str, mvt.Layer] = {}
         order: list[str] = []
         for row in pdf.itertuples(index=False):
@@ -408,12 +409,24 @@ def encode_tiles(composited: DataFrame) -> DataFrame:
             parts = [list(zip([int(v) for v in row.xs[starts[i]:starts[i + 1]]],
                               [int(v) for v in row.ys[starts[i]:starts[i + 1]]]))
                      for i in range(len(starts) - 1)]
-            props = dict(row.properties) if row.properties is not None else {}
+            raw = dict(row.properties) if row.properties is not None else {}
+            if has_types and row.prop_types is not None:
+                # typed re-materialization: canonical string + tag → the
+                # original MVT value variant (parity with the reference's
+                # property_mapper, src/feature_builder.hpp:169-180); keys
+                # with no tag (engine-generated, e.g. localize outputs)
+                # encode as strings
+                tags = {k: int(t) for k, t in dict(row.prop_types).items()}
+                props = {k: mvt.from_canonical(tags.get(k, mvt.TAG_STRING), v)
+                         for k, v in raw.items()}
+                ptypes = {k: tags.get(k, mvt.TAG_STRING) for k in raw}
+            else:
+                props, ptypes = raw, None
             layers[name].features.append(mvt.Feature(
                 geom_type=int(row.geom_type), parts=parts,
                 ring_types=[int(r) for r in
                             (row.ring_types if row.ring_types is not None else [])],
-                properties=props,
+                properties=props, prop_types=ptypes,
                 fid=int(row.feature_id) if row.feature_id is not None and not pd.isna(row.feature_id) else None))
         buf = mvt.encode_tile([layers[n] for n in order])
         buf = mvt.gzip_sink(buf, compress)

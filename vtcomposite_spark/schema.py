@@ -26,6 +26,12 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("part_offsets", T.ArrayType(T.IntegerType())),  # starts, first=0
     T.StructField("ring_types", T.ArrayType(T.ByteType())),       # aligned with parts
     T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+    # per-key MVT value-type tag (sources.mvt.TAG_*): properties carries a
+    # lossless canonical-string view for the (string-only) property algebra;
+    # prop_types lets the encode sink re-emit every value with its original
+    # wire type (reference src/feature_builder.hpp:169-180). Entry order
+    # mirrors `properties` exactly.
+    T.StructField("prop_types", T.MapType(T.StringType(), T.ByteType())),
 ])
 
 # composite requests (FIXTURES.md §3)

@@ -2,10 +2,12 @@
 
 One-time decode of opaque tile protobufs into the engine's exploded form
 (SURVEY.md §1.2). Inside the engine there is no decode — data is relational.
-String-typed properties only, matching the string-only semantics the
-reference enforces for its property algebra (src/vtcomposite.cpp:787,806);
-non-string values are stringified for transport and typed columns can be
-added at ingestion when a key's type is known.
+Property values travel as a lossless canonical-string map (the reference's
+property algebra is string-only, src/vtcomposite.cpp:787,806) PLUS a
+parallel ``prop_types`` tag map, so the encode sink re-emits every value
+with its original MVT wire type (int/uint/sint/float/double/bool/string —
+typed parity with the reference's property_mapper,
+src/feature_builder.hpp:169-180).
 """
 
 from __future__ import annotations
@@ -62,7 +64,11 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
                     for px, py in part:
                         xs.append(px)
                         ys.append(py)
-                props = {k: str(v) for k, v in f.properties.items()}
+                ptypes = f.prop_types or {}
+                tags = {k: ptypes.get(k) or mvt.infer_tag(v)
+                        for k, v in f.properties.items()}
+                props = {k: mvt.to_canonical(tags[k], v)
+                         for k, v in f.properties.items()}
                 fidx += 1
                 rows.append({
                     "tile_idx": tile_idx,
@@ -77,6 +83,7 @@ def feature_rows(tiles: list[tuple[bytes, int, int, int]],
                     "part_offsets": offsets,
                     "ring_types": [int(r) for r in f.ring_types],
                     "properties": props,
+                    "prop_types": tags,
                 })
     return rows
 
@@ -94,14 +101,22 @@ def features_from_tiles(spark: SparkSession,
 
     rows = feature_rows(tiles)
     for r in rows:
+        # one entries array drives BOTH maps so their entry orders align
+        r["prop_types"] = [{"key": k, "value": r["prop_types"][k]}
+                           for k in r["properties"]]
         r["properties"] = [{"key": k, "value": v} for k, v in r["properties"].items()]
-    entry_t = T.ArrayType(T.StructType([
-        T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]))
+
+    def entry_t(vt):
+        return T.ArrayType(T.StructType([
+            T.StructField("key", T.StringType()), T.StructField("value", vt)]))
+    overrides = {"properties": entry_t(T.StringType()),
+                 "prop_types": entry_t(T.ByteType())}
     schema = T.StructType([
-        f if f.name != "properties" else T.StructField("properties", entry_t)
+        T.StructField(f.name, overrides[f.name]) if f.name in overrides else f
         for f in FEATURES_SCHEMA.fields])
     df = spark.createDataFrame(rows, schema=schema)
-    return df.withColumn("properties", F.map_from_entries("properties"))
+    return df.withColumns({"properties": F.map_from_entries("properties"),
+                           "prop_types": F.map_from_entries("prop_types")})
 
 
 def targets_df(spark: SparkSession, targets: list[dict]) -> DataFrame:

@@ -73,6 +73,27 @@ def _write_len_delim(out: bytearray, field_no: int, payload: bytes) -> None:
 # model
 # ---------------------------------------------------------------------------
 
+# MVT Value message field numbers double as the engine's type tags
+# (spec 4.1): 1=string 2=float(32) 3=double 4=int 5=uint 6=sint 7=bool
+TAG_STRING, TAG_FLOAT, TAG_DOUBLE, TAG_INT, TAG_UINT, TAG_SINT, TAG_BOOL = \
+    1, 2, 3, 4, 5, 6, 7
+
+
+def infer_tag(v) -> int:
+    """Type tag for a plain python value (decode-less construction paths):
+    matches the historical encoder's dispatch — bool→bool_value, str→string,
+    float→double, int→int (sint when negative)."""
+    if isinstance(v, bool):
+        return TAG_BOOL
+    if isinstance(v, str):
+        return TAG_STRING
+    if isinstance(v, float):
+        return TAG_DOUBLE
+    if isinstance(v, int):
+        return TAG_INT if v >= 0 else TAG_SINT
+    raise TypeError(f"unsupported property value type {type(v)}")
+
+
 @dataclass
 class Feature:
     geom_type: int                     # 1=point 2=linestring 3=polygon
@@ -80,6 +101,7 @@ class Feature:
     ring_types: list[int]              # per part: 1=outer 2=inner (polygons)
     properties: dict                   # key -> typed python value
     fid: int | None = None
+    prop_types: dict | None = None     # key -> MVT value-type tag; None ⇒ infer
 
 
 @dataclass
@@ -88,6 +110,31 @@ class Layer:
     features: list[Feature] = field(default_factory=list)
     extent: int = 4096
     version: int = 2
+
+
+def to_canonical(tag: int, v) -> str:
+    """Lossless string transport for a typed MVT value: the relational layer
+    carries ``properties: map<string,string>`` (the reference's property
+    algebra is string-only anyway, src/vtcomposite.cpp:787,806) plus a
+    parallel ``prop_types`` tag map; this pair round-trips exactly through
+    ``from_canonical``. Floats use repr (shortest round-trip — a float32's
+    exact double survives), bools the MVT-ish lowercase true/false."""
+    if tag == TAG_BOOL:
+        return "true" if v else "false"
+    if tag in (TAG_FLOAT, TAG_DOUBLE):
+        return repr(float(v))
+    return str(v)
+
+
+def from_canonical(tag: int, s: str):
+    """Inverse of ``to_canonical``: canonical string + tag → typed value."""
+    if tag == TAG_BOOL:
+        return s == "true"
+    if tag in (TAG_FLOAT, TAG_DOUBLE):
+        return float(s)
+    if tag in (TAG_INT, TAG_UINT, TAG_SINT):
+        return int(s)
+    return s
 
 
 def ring_area2(pts) -> int:
@@ -119,31 +166,37 @@ def maybe_gunzip(buf: bytes) -> bytes:
 
 
 def _decode_value(buf: bytes):
+    """MVT Value message → (type_tag, python value). The tag is the Value
+    field number itself (TAG_*); the reference carries values as a typed
+    union end-to-end (src/vtcomposite.cpp:768-828) and re-emits them with
+    their original wire types (src/feature_builder.hpp:169-180), so decode
+    must preserve which variant was set — int/uint/sint all surface as
+    python int and would otherwise be indistinguishable."""
     pos = 0
     import struct
     while pos < len(buf):
         tag, pos = _uvarint(buf, pos)
         f, wire = tag >> 3, tag & 7
-        if f == 1:
+        if f == TAG_STRING:
             ln, pos = _uvarint(buf, pos)
-            return buf[pos:pos + ln].decode("utf-8")
-        if f == 2:
-            return struct.unpack_from("<f", buf, pos)[0]
-        if f == 3:
-            return struct.unpack_from("<d", buf, pos)[0]
-        if f == 4:
+            return TAG_STRING, buf[pos:pos + ln].decode("utf-8")
+        if f == TAG_FLOAT:
+            return TAG_FLOAT, struct.unpack_from("<f", buf, pos)[0]
+        if f == TAG_DOUBLE:
+            return TAG_DOUBLE, struct.unpack_from("<d", buf, pos)[0]
+        if f == TAG_INT:
             v, pos = _uvarint(buf, pos)
-            return v - (1 << 64) if v >= 1 << 63 else v
-        if f == 5:
+            return TAG_INT, (v - (1 << 64) if v >= 1 << 63 else v)
+        if f == TAG_UINT:
             v, pos = _uvarint(buf, pos)
-            return v
-        if f == 6:
+            return TAG_UINT, v
+        if f == TAG_SINT:
             v, pos = _uvarint(buf, pos)
-            return _unzigzag(v)
-        if f == 7:
+            return TAG_SINT, _unzigzag(v)
+        if f == TAG_BOOL:
             v, pos = _uvarint(buf, pos)
-            return bool(v)
-    return None
+            return TAG_BOOL, bool(v)
+    return TAG_STRING, None
 
 
 def _decode_geometry(geom: list[int], geom_type: int):
@@ -290,7 +343,12 @@ def _decode_feature(buf: bytes, keys: list[str], values: list) -> Feature:
             else:
                 ln, pos = _uvarint(buf, pos)
                 pos += ln
-    props = {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags) - 1, 2)}
+    props = {}
+    ptypes = {}
+    for i in range(0, len(tags) - 1, 2):
+        vtag, val = values[tags[i + 1]]
+        props[keys[tags[i]]] = val
+        ptypes[keys[tags[i]]] = vtag
     try:
         parts, ring_types = _decode_geometry(geom, geom_type)
     except Exception:
@@ -299,29 +357,39 @@ def _decode_feature(buf: bytes, keys: list[str], values: list) -> Feature:
         # v2), matching vtzero's per-feature decode failure semantics
         parts, ring_types = [], []
     return Feature(geom_type=geom_type, parts=parts, ring_types=ring_types,
-                   properties=props, fid=fid)
+                   properties=props, fid=fid, prop_types=ptypes)
 
 
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
 
-def _encode_value(v) -> bytes:
+def _encode_value(v, tag: int | None = None) -> bytes:
+    """Encode one MVT Value. With an explicit ``tag`` the original wire
+    variant is re-emitted exactly (typed parity with the reference's
+    property_mapper, src/feature_builder.hpp:169-180); without one the tag
+    is inferred from the python type."""
     import struct
+    if tag is None:
+        tag = infer_tag(v)
     out = bytearray()
-    if isinstance(v, bool):
-        _write_tag(out, 7, 0); _write_uvarint(out, int(v))
-    elif isinstance(v, str):
-        _write_len_delim(out, 1, v.encode("utf-8"))
-    elif isinstance(v, float):
-        _write_tag(out, 3, 1); out += struct.pack("<d", v)
-    elif isinstance(v, int):
-        if v >= 0:
-            _write_tag(out, 4, 0); _write_uvarint(out, v)
-        else:
-            _write_tag(out, 6, 0); _write_uvarint(out, _zigzag(v))
+    if tag == TAG_BOOL:
+        _write_tag(out, TAG_BOOL, 0); _write_uvarint(out, int(bool(v)))
+    elif tag == TAG_STRING:
+        _write_len_delim(out, TAG_STRING, str(v).encode("utf-8"))
+    elif tag == TAG_FLOAT:
+        _write_tag(out, TAG_FLOAT, 5); out += struct.pack("<f", v)
+    elif tag == TAG_DOUBLE:
+        _write_tag(out, TAG_DOUBLE, 1); out += struct.pack("<d", v)
+    elif tag == TAG_INT:
+        _write_tag(out, TAG_INT, 0)
+        _write_uvarint(out, v + (1 << 64) if v < 0 else v)
+    elif tag == TAG_UINT:
+        _write_tag(out, TAG_UINT, 0); _write_uvarint(out, v)
+    elif tag == TAG_SINT:
+        _write_tag(out, TAG_SINT, 0); _write_uvarint(out, _zigzag(v))
     else:
-        raise TypeError(f"unsupported property value type {type(v)}")
+        raise TypeError(f"unsupported property value tag {tag}")
     return bytes(out)
 
 
@@ -382,11 +450,11 @@ def _encode_layer(layer: Layer) -> bytes:
             keys[k] = len(keys)
         return keys[k]
 
-    def val_idx(v) -> int:
-        kv = (type(v).__name__, v)
+    def val_idx(v, tag: int) -> int:
+        kv = (tag, v)
         if kv not in values:
             values[kv] = len(value_list)
-            value_list.append(v)
+            value_list.append((v, tag))
         return values[kv]
 
     feats = bytearray()
@@ -396,10 +464,11 @@ def _encode_layer(layer: Layer) -> bytes:
             _write_tag(fb, 1, 0)
             _write_uvarint(fb, f.fid)
         if f.properties:
+            ptypes = f.prop_types or {}
             tags = bytearray()
             for k, v in f.properties.items():
                 _write_uvarint(tags, key_idx(k))
-                _write_uvarint(tags, val_idx(v))
+                _write_uvarint(tags, val_idx(v, ptypes.get(k) or infer_tag(v)))
             _write_len_delim(fb, 2, bytes(tags))
         _write_tag(fb, 3, 0)
         _write_uvarint(fb, f.geom_type)
@@ -416,8 +485,8 @@ def _encode_layer(layer: Layer) -> bytes:
     out += feats
     for k in keys:
         _write_len_delim(out, 3, k.encode("utf-8"))
-    for v in value_list:
-        _write_len_delim(out, 4, _encode_value(v))
+    for v, tag in value_list:
+        _write_len_delim(out, 4, _encode_value(v, tag))
     _write_tag(out, 5, 0)
     _write_uvarint(out, layer.extent)
     return bytes(out)

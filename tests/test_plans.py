@@ -1,5 +1,7 @@
-"""Skew (salted two-phase agg) and lineage/checkpoint-resume tests."""
+"""Skew (salted two-phase agg), lineage/checkpoint-resume, and physical-
+join-strategy tests (J1 scale fallback: VERDICT r1 items 4-5)."""
 
+import contextlib
 import shutil
 import tempfile
 
@@ -8,6 +10,99 @@ from pyspark.sql import functions as F
 
 from vtcomposite_spark.plans import lineage as L
 from vtcomposite_spark.plans import skew as K
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    """Disable every automatic broadcast so 'auto' strategies must survive
+    on shuffle joins — the planet-scale-target regime, simulated."""
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _points_fixture(spark):
+    from vtcomposite_spark.sources import ingest
+    feats = spark.range(0, 2000).select(
+        F.lit(0).alias("tile_idx"), F.lit(4).alias("src_z"),
+        (F.col("id") % 16).cast("long").alias("src_x"),
+        ((F.col("id") * 7) % 16).cast("long").alias("src_y"),
+        F.lit("pts").alias("layer"), F.lit(2).alias("layer_version"),
+        F.lit(4096).alias("extent"), F.col("id").cast("int").alias("feature_idx"),
+        F.col("id").alias("feature_id"), F.lit(1).cast("byte").alias("geom_type"),
+        F.array((F.col("id") * 13 % 4096).cast("long")).alias("xs"),
+        F.array((F.col("id") * 29 % 4096).cast("long")).alias("ys"),
+        F.array(F.lit(0)).alias("part_offsets"),
+        F.array(F.lit(0).cast("byte")).alias("ring_types"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("properties"))
+    targets = (spark.range(0, 32).select(F.col("id").alias("x"))
+               .crossJoin(spark.range(0, 32).select(F.col("id").alias("y")))
+               .select(F.lit(5).alias("z"), F.col("x").cast("long"),
+                       F.col("y").cast("long"), F.lit(64).alias("buffer_size"),
+                       F.lit(None).cast("array<string>").alias("keep_layers"),
+                       F.lit(False).alias("compress")))
+    return feats, targets
+
+
+def _canon(df):
+    return sorted((r.z, r.x, r.y, r.feature_id, tuple(r.xs), tuple(r.ys))
+                  for r in df.collect())
+
+
+def test_composite_auto_join_no_broadcast_regime(spark):
+    """J1 scale fallback: with every auto-broadcast disabled (the regime a
+    planet-scale target set forces), the 'auto' strategies must run the
+    whole composite on shuffle joins — no BroadcastExchange anywhere — and
+    produce exactly the forced-broadcast results."""
+    from vtcomposite_spark.operators.composite import composite_points
+    feats, targets = _points_fixture(spark)
+    want = _canon(composite_points(
+        feats, targets, join_strategy="broadcast", winners_join="broadcast"))
+    assert want  # non-trivial output
+    with _no_broadcast(spark):
+        out = composite_points(feats, targets)
+        got = _canon(out)  # collect first: AQE finalizes the plan on run
+        plan = _final_plan(out)
+    assert got == want
+    assert "BroadcastExchange" not in plan
+    # forced hints still broadcast even in the no-auto regime
+    hinted = composite_points(feats, targets, join_strategy="broadcast",
+                              winners_join="broadcast")
+    with _no_broadcast(spark):
+        hinted.collect()
+        assert "BroadcastExchange" in _final_plan(hinted)
+
+
+def test_ancestor_join_src_zooms_restriction(spark):
+    """Exploding targets only over the zooms present in the features table
+    must not change results (and shrinks the exploded side)."""
+    from vtcomposite_spark.operators.composite import ancestor_join
+    feats, targets = _points_fixture(spark)
+    full = ancestor_join(feats, targets)
+    restricted = ancestor_join(feats, targets, src_zooms=[4])
+    key = lambda df: sorted(  # noqa: E731
+        (r.z, r.x, r.y, r.feature_id) for r in df.collect())
+    assert key(full) == key(restricted)
+    exploded_full = targets.withColumn(
+        "src_z", F.explode(F.sequence(F.lit(0), F.col("z")))).count()
+    exploded_restricted = targets.withColumn(
+        "src_z", F.explode(F.filter(F.array(F.lit(4)),
+                                    lambda z: z <= F.col("z")))).count()
+    assert exploded_restricted * 6 == exploded_full  # z=5 ⇒ 6 levels vs 1
 
 
 def test_salted_counts_match_plain(spark):

@@ -62,7 +62,10 @@ def composite(tiles: list[dict], zxy: dict, options: dict | None = None,
         "buffer_size": options.get("buffer_size", 0),
         "compress": options.get("compress", False),
     }])
-    out = C.composite(feats, targets)
+    # single-request targets are a handful of rows: force the broadcast
+    # hints rather than waiting for AQE stats
+    out = C.composite(feats, targets,
+                      join_strategy="broadcast", winners_join="broadcast")
     tiles_out = C.encode_tiles(
         out.withColumn("compress", F.lit(bool(options.get("compress", False))))
     ).collect()

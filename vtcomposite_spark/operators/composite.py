@@ -26,9 +26,13 @@ declarative plan over a *features* DataFrame (one row per feature) and a
    rebuilds MVT buffers (deterministic order: tile_idx, first-seen layer,
    feature_idx) and applies the empty-tile gzip rule.
 
-Scale notes (100 TB): the only shuffle in 1-4 is the broadcast exchange of
-targets; the features scan streams map-side. The encode sink groups by
-(z,x,y) — hot tiles there are handled by AQE + the salting helpers in
+Scale notes (100 TB): with request-scale targets the only exchange in 1-4
+is the broadcast of targets and the features scan streams map-side; with a
+planet-scale target set (a full z14 pyramid won't broadcast) the same plan
+degrades gracefully to shuffle joins — sizing is AQE's runtime decision,
+not a hard-coded hint (``join_strategy``/``winners_join`` params force it
+when plan-time certainty is wanted). The encode sink groups by (z,x,y) —
+hot tiles there are handled by AQE + the salting helpers in
 ``vtcomposite_spark.plans.skew``.
 """
 
@@ -65,19 +69,43 @@ def validate_request(tiles: list[tuple[int, int, int]], z: int, x: int, y: int) 
                 f" TARGET({z},{x},{y})")
 
 
-def ancestor_join(features: DataFrame, targets: DataFrame) -> DataFrame:
+def ancestor_join(features: DataFrame, targets: DataFrame,
+                  strategy: str = "auto",
+                  src_zooms: list[int] | None = None) -> DataFrame:
     """J1: assign each source feature to every requested descendant target.
 
-    Targets explode to (src_z, ancestor_x, ancestor_y) keys — an equi-join
-    Catalyst can broadcast; no theta-join, no features-side shuffle.
+    Targets explode to (src_z, ancestor_x, ancestor_y) keys — a plain
+    equi-join; no theta-join, no per-tile predicate.
+
+    ``strategy`` picks the physical join:
+
+    * ``"auto"`` (default, the 100-TB-safe path): no hint. Catalyst
+      broadcasts small target sets at plan time; for big ones AQE reads the
+      exploded side's real shuffle size at runtime and either converts to
+      broadcast or keeps a shuffle join. A planet-scale target set (full
+      z14 pyramid ≈ 3.6×10⁸ tiles, ×15 ancestors exploded) shuffle-joins
+      instead of OOMing the driver on a forced broadcast.
+    * ``"broadcast"``: force the hint — right for request-API calls where
+      targets are a handful of rows and plan-time certainty beats stats.
+
+    ``src_zooms``: when the feature table's zoom levels are known (e.g. a
+    single-zoom tileset), explode targets only over those levels instead of
+    0..z — shrinks the join's build side by z/len(src_zooms)×.
     """
+    if src_zooms is not None:
+        zs = F.array(*[F.lit(int(z)) for z in sorted(set(src_zooms))])
+        src_z = F.explode(F.filter(zs, lambda z: z <= F.col("z")))
+    else:
+        src_z = F.explode(F.sequence(F.lit(0), F.col("z")))
     t = (
         targets
-        .withColumn("src_z", F.explode(F.sequence(F.lit(0), F.col("z"))))
+        .withColumn("src_z", src_z)
         .withColumn("src_x", F.call_function("shiftright", F.col("x"), F.col("z") - F.col("src_z")).cast("long"))
         .withColumn("src_y", F.call_function("shiftright", F.col("y"), F.col("z") - F.col("src_z")).cast("long"))
     )
-    return features.join(F.broadcast(t), on=["src_z", "src_x", "src_y"], how="inner")
+    if strategy == "broadcast":
+        t = F.broadcast(t)
+    return features.join(t, on=["src_z", "src_x", "src_y"], how="inner")
 
 
 def apply_keep_layers(df: DataFrame) -> DataFrame:
@@ -89,15 +117,23 @@ def apply_keep_layers(df: DataFrame) -> DataFrame:
     )
 
 
-def first_wins(df: DataFrame, strategy: str = "agg") -> DataFrame:
+def first_wins(df: DataFrame, strategy: str = "agg",
+               winners_join: str = "auto") -> DataFrame:
     """A2: first tile contributing a layer name wins, per target tile
     (src/vtcomposite.cpp:210,243-251; test/vtcomposite.test.js:50-71).
 
     ``agg`` (default): winners = groupBy(target, layer).min(tile_idx) —
-    shuffles only the 5 key columns with map-side combine, then joins back
-    (broadcast when small, AQE decides otherwise). ``window``: classic
-    min-over-window; shuffles every column — only preferable when the
-    winners table would rival the features table in size.
+    shuffles only the 5 key columns with map-side combine, then semi-joins
+    back. ``window``: classic min-over-window; shuffles every column — only
+    preferable when the winners table would rival the features table in
+    size.
+
+    ``winners_join`` sizes the semi-join: ``"auto"`` (default) leaves it to
+    AQE — the winners side comes out of a shuffle stage, so AQE sees its
+    REAL size at runtime and broadcasts when it fits, shuffle-joins when a
+    planet-scale winner set (>~100M tile×layer rows) would OOM a forced
+    broadcast. ``"broadcast"`` forces the hint for plan-time certainty on
+    request-scale inputs.
     """
     if strategy == "window":
         w = Window.partitionBy("z", "x", "y", "layer")
@@ -110,11 +146,9 @@ def first_wins(df: DataFrame, strategy: str = "agg") -> DataFrame:
         df.groupBy("z", "x", "y", "layer")
         .agg(F.min("tile_idx").alias("tile_idx"))
     )
-    # explicit broadcast: winners is keys-only (one row per tile×layer); an
-    # SMJ fallback would sort the full-width features — the dominant cost.
-    # For planet-scale winner sets (>~100M tiles) switch to strategy
-    # "window" or bucket both sides instead.
-    return df.join(F.broadcast(winners), on=["z", "x", "y", "layer", "tile_idx"],
+    if winners_join == "broadcast":
+        winners = F.broadcast(winners)
+    return df.join(winners, on=["z", "x", "y", "layer", "tile_idx"],
                    how="left_semi")
 
 
@@ -314,17 +348,23 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
 # public API
 # ---------------------------------------------------------------------------
 
-def composite(features: DataFrame, targets: DataFrame) -> DataFrame:
+def composite(features: DataFrame, targets: DataFrame,
+              join_strategy: str = "auto",
+              winners_join: str = "auto") -> DataFrame:
     """Full composite pipeline, relational in/out.
 
     Output: one row per surviving feature keyed by target (z, x, y), with
     coordinates rewritten into the target tile's frame. Matches the
     reference's CompositeWorker::Execute semantics (src/vtcomposite.cpp:205-323)
     minus serialization (see ``encode_tiles``).
+
+    ``join_strategy``/``winners_join``: physical-join sizing for the
+    ancestor join and the first-wins semi-join — see ``ancestor_join`` /
+    ``first_wins``. Defaults let Catalyst+AQE pick from real sizes.
     """
-    j = ancestor_join(features, targets)
+    j = ancestor_join(features, targets, strategy=join_strategy)
     j = apply_keep_layers(j)
-    j = first_wins(j)
+    j = first_wins(j, winners_join=winners_join)
     out = overzoom_clip(j)
     return out.drop("keep_layers")
 
@@ -370,13 +410,15 @@ def overzoom_clip_points_expr(df: DataFrame) -> DataFrame:
     return out
 
 
-def composite_points(features: DataFrame, targets: DataFrame) -> DataFrame:
+def composite_points(features: DataFrame, targets: DataFrame,
+                     join_strategy: str = "auto",
+                     winners_join: str = "auto") -> DataFrame:
     """Composite specialization for all-point features (e.g. the page
     pipeline): same plan as ``composite`` with the geometry step in pure
     expressions — zero Python crossings end-to-end."""
-    j = ancestor_join(features, targets)
+    j = ancestor_join(features, targets, strategy=join_strategy)
     j = apply_keep_layers(j)
-    j = first_wins(j)
+    j = first_wins(j, winners_join=winners_join)
     return overzoom_clip_points_expr(j).drop("keep_layers")
 
 

@@ -82,8 +82,100 @@ def build_workload(spark, sf_dir):
             F.lit(None).cast("array<string>").alias("keep_layers"),
             F.lit(False).alias("compress"))
         out = composite_points(feats, targets)
-        counters["tiles_composited"] = out.select("z", "x", "y").distinct().count()
-        counters["features_out"] = out.count()
+        row = out.agg(F.countDistinct("z", "x", "y").alias("tiles"),
+                      F.count("*").alias("feats")).collect()[0]
+        counters["tiles_composited"] = row.tiles
+        counters["features_out"] = row.feats
+
+    # --- Arrow geometry kernel at table scale (reference rules 10/11:
+    # bench/rules.js:83-98 — full typed-property fixture tiles, one-level
+    # overzoom, buffer 128; BASELINE.md rows 10/11: 1163 / 254 runs/s).
+    # Each target tile processes the full fixture feature set, so one
+    # output tile ≈ one reference run.
+    FIXTURES = "/root/reference/test/fixtures"
+    n_events = events.count()
+
+    def _fixture_grid_paths(fixture_name, n_src, src_z=8):
+        """Replicate a decoded fixture across n_src distinct source tiles
+        (all 4 children of each requested — one-level overzoom) and
+        MATERIALIZE features+targets to parquet once, so the timed stages
+        measure scan→composite (the analog of the reference's per-run
+        decode→composite), not synthetic input construction."""
+        from vtcomposite_spark.sources.ingest import features_from_tiles
+        tag = fixture_name.split("-")[0]
+        fpath = f"/tmp/vtc_bench_{tag}_feats_{n_src}"
+        tpath = f"/tmp/vtc_bench_{tag}_targets_{n_src}"
+        if not (os.path.isdir(fpath) and os.path.isdir(tpath)):
+            buf = open(f"{FIXTURES}/{fixture_name}", "rb").read()
+            template = features_from_tiles(spark, [(buf, 0, 0, 0)]) \
+                .drop("src_z", "src_x", "src_y")
+            grid = spark.range(n_src, numPartitions=32).select(
+                (F.col("id") % 256).cast("long").alias("src_x"),
+                (F.col("id") / 256).cast("long").alias("src_y"))
+            feats = template.crossJoin(grid).withColumn("src_z", F.lit(src_z))
+            quad = spark.range(4).select(
+                (F.col("id") % 2).alias("dx"), (F.col("id") / 2).cast("long").alias("dy"))
+            targets = grid.crossJoin(quad).select(
+                F.lit(src_z + 1).alias("z"),
+                (F.col("src_x") * 2 + F.col("dx")).cast("long").alias("x"),
+                (F.col("src_y") * 2 + F.col("dy")).cast("long").alias("y"),
+                F.lit(128).alias("buffer_size"),
+                F.lit(None).cast("array<string>").alias("keep_layers"),
+                F.lit(False).alias("compress"))
+            feats.write.mode("overwrite").parquet(fpath)
+            targets.coalesce(1).write.mode("overwrite").parquet(tpath)
+        return spark.read.parquet(fpath), spark.read.parquet(tpath)
+
+    def _run_composite(fixture_name, n_src, steady_key):
+        """First action warms (codegen, page cache, python workers); the
+        second is the steady-state measurement — the comparable of the
+        reference's runs/s, which amortizes over thousands of repeats."""
+        from vtcomposite_spark.operators.composite import composite
+        feats, targets = _fixture_grid_paths(fixture_name, n_src)
+        out = composite(feats, targets)
+        agg = out.agg(F.countDistinct("z", "x", "y").alias("tiles"),
+                      F.count("*").alias("feats"))
+        agg.collect()
+        t0 = time.perf_counter()
+        row = agg.collect()[0]
+        counters[steady_key] = round(time.perf_counter() - t0, 3)
+        return row.tiles, row.feats
+
+    N_LINE_SRC = max(32, n_events // 40)
+    N_POLY_SRC = max(16, n_events // 160)
+    if os.path.isdir(FIXTURES):  # materialize inputs at build time, not in
+        # the timed stages (mirrors the pages table's pre-synthesis)
+        _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
+        _fixture_grid_paths("polygons-properties-16-10498-22872.mvt", N_POLY_SRC)
+        _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
+
+    def line_composite_overzoom():
+        counters["line_tiles"], counters["line_features_out"] = _run_composite(
+            "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC,
+            "line_steady_sec")
+
+    def polygon_composite_overzoom():
+        counters["poly_tiles"], counters["poly_features_out"] = _run_composite(
+            "polygons-properties-16-10498-22872.mvt", N_POLY_SRC,
+            "poly_steady_sec")
+
+    def encode_sink():
+        """S3 sink throughput. The composite input is persisted+materialized
+        first, so the reported encode_sec counter times the sink alone;
+        the stage wall time additionally includes that preparation."""
+        from vtcomposite_spark.operators.composite import composite, encode_tiles
+        feats, targets = _fixture_grid_paths(
+            "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
+        df = composite(feats, targets).withColumn("compress", F.lit(False)).persist()
+        df.count()
+        t0 = time.perf_counter()
+        agg = encode_tiles(df).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("tile")).alias("bytes")).collect()[0]
+        counters["encode_sec"] = round(time.perf_counter() - t0, 3)
+        counters["encoded_tiles"] = agg.n
+        counters["encoded_mb"] = round((agg.bytes or 0) / 1e6, 1)
+        df.unpersist()
 
     def localize_props():
         feats = docs.select(
@@ -146,6 +238,9 @@ def build_workload(spark, sf_dir):
     stages = {
         "pages_geocode": pages_geocode,
         "tile_composite_overzoom": tile_composite_overzoom,
+        "line_composite_overzoom": line_composite_overzoom,
+        "polygon_composite_overzoom": polygon_composite_overzoom,
+        "encode_sink": encode_sink,
         "localize_props": localize_props,
         "knn_grid": knn_grid,
         "pip_join": pip_join_stage,
@@ -154,6 +249,10 @@ def build_workload(spark, sf_dir):
         "ann_topk": ann_topk,
         "cell_rollup": cell_rollup,
     }
+    if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those
+        for k in ("line_composite_overzoom", "polygon_composite_overzoom",
+                  "encode_sink"):
+            stages.pop(k)
     return stages, counters
 
 
@@ -163,7 +262,13 @@ def run(sf_dir=None, cpus=None, quiet=False):
 
     from vtcomposite_spark.schema import get_spark
     spark = get_spark(app=f"bench-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8),
+                      # keep AQE's partition coalescing from shrinking the
+                      # (CPU-bound) Arrow-kernel stages below one task/core —
+                      # a small-scale artifact: at 100-TB partition sizes the
+                      # coalescer never goes this low
+                      extra_conf={"spark.sql.adaptive.coalescePartitions"
+                                  ".minPartitionNum": str(cpus)})
     spark.sparkContext.setLogLevel("ERROR")
     stages, counters = build_workload(spark, sf_dir)
 
@@ -188,6 +293,16 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                / max(times.get("tile_composite_overzoom", 1e-9), 1e-9), 1),
         "pages_per_sec": round(counters.get("pages_geocoded", 0)
                                / max(times.get("pages_geocode", 1e-9), 1e-9), 1),
+        # per-tile work ≈ one reference bench run (rules 10/11); compare to
+        # BASELINE.md rows 10 (1163 runs/s) and 11 (254 runs/s). Steady-state
+        # (2nd run in-session) — the reference's runs/s also amortizes over
+        # thousands of repeats.
+        "line_tiles_per_sec": round(counters.get("line_tiles", 0)
+                                    / max(counters.get("line_steady_sec", 1e-9), 1e-9), 1),
+        "poly_tiles_per_sec": round(counters.get("poly_tiles", 0)
+                                    / max(counters.get("poly_steady_sec", 1e-9), 1e-9), 1),
+        "encode_tiles_per_sec": round(counters.get("encoded_tiles", 0)
+                                      / max(counters.get("encode_sec", 1e-9), 1e-9), 1),
     }
     spark.stop()
     if not quiet:

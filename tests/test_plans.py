@@ -74,7 +74,8 @@ def test_composite_auto_join_no_broadcast_regime(spark):
         feats, targets, join_strategy="broadcast", winners_join="broadcast"))
     assert want  # non-trivial output
     with _no_broadcast(spark):
-        out = composite_points(feats, targets)
+        out = composite_points(feats, targets,
+                               join_strategy="auto", winners_join="auto")
         got = _canon(out)  # collect first: AQE finalizes the plan on run
         plan = _final_plan(out)
     assert got == want

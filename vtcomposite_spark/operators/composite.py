@@ -118,7 +118,7 @@ def apply_keep_layers(df: DataFrame) -> DataFrame:
 
 
 def first_wins(df: DataFrame, strategy: str = "agg",
-               winners_join: str = "auto") -> DataFrame:
+               winners_join: str = "broadcast") -> DataFrame:
     """A2: first tile contributing a layer name wins, per target tile
     (src/vtcomposite.cpp:210,243-251; test/vtcomposite.test.js:50-71).
 
@@ -128,12 +128,15 @@ def first_wins(df: DataFrame, strategy: str = "agg",
     preferable when the winners table would rival the features table in
     size.
 
-    ``winners_join`` sizes the semi-join: ``"auto"`` (default) leaves it to
-    AQE — the winners side comes out of a shuffle stage, so AQE sees its
-    REAL size at runtime and broadcasts when it fits, shuffle-joins when a
-    planet-scale winner set (>~100M tile×layer rows) would OOM a forced
-    broadcast. ``"broadcast"`` forces the hint for plan-time certainty on
-    request-scale inputs.
+    ``winners_join`` sizes the semi-join. ``"broadcast"`` (default) forces
+    the hint: winners are keys-only (one row per tile×layer), and the
+    forced broadcast keeps the FULL-WIDTH features side shuffle-free.
+    ``"auto"`` leaves it to AQE — scale-safe for planet-scale winner sets
+    (>~100M tile×layer rows, where a forced broadcast OOMs the driver) but
+    measurably slower below that: AQE's runtime conversion still pays the
+    probe side's full-width shuffle WRITE before it can decide (measured
+    2.3× on the lines-overzoom bench, 9.9s auto vs 4.3s broadcast at
+    1000 tiles / 2M joined rows).
     """
     if strategy == "window":
         w = Window.partitionBy("z", "x", "y", "layer")
@@ -350,7 +353,7 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
 
 def composite(features: DataFrame, targets: DataFrame,
               join_strategy: str = "auto",
-              winners_join: str = "auto") -> DataFrame:
+              winners_join: str = "broadcast") -> DataFrame:
     """Full composite pipeline, relational in/out.
 
     Output: one row per surviving feature keyed by target (z, x, y), with
@@ -412,7 +415,7 @@ def overzoom_clip_points_expr(df: DataFrame) -> DataFrame:
 
 def composite_points(features: DataFrame, targets: DataFrame,
                      join_strategy: str = "auto",
-                     winners_join: str = "auto") -> DataFrame:
+                     winners_join: str = "broadcast") -> DataFrame:
     """Composite specialization for all-point features (e.g. the page
     pipeline): same plan as ``composite`` with the geometry step in pure
     expressions — zero Python crossings end-to-end."""

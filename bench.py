@@ -129,16 +129,24 @@ def build_workload(spark, sf_dir):
     def _run_composite(fixture_name, n_src, steady_key):
         """First action warms (codegen, page cache, python workers); the
         second is the steady-state measurement — the comparable of the
-        reference's runs/s, which amortizes over thousands of repeats."""
+        reference's runs/s, which amortizes over thousands of repeats.
+        The plan is REBUILT per run: re-collecting the same DataFrame lets
+        Spark skip whole stages via shuffle-output reuse, which would fake
+        the number."""
         from vtcomposite_spark.operators.composite import composite
         feats, targets = _fixture_grid_paths(fixture_name, n_src)
-        out = composite(feats, targets)
-        agg = out.agg(F.countDistinct("z", "x", "y").alias("tiles"),
-                      F.count("*").alias("feats"))
-        agg.collect()
-        t0 = time.perf_counter()
-        row = agg.collect()[0]
-        counters[steady_key] = round(time.perf_counter() - t0, 3)
+
+        def run():
+            return composite(feats, targets).agg(
+                F.countDistinct("z", "x", "y").alias("tiles"),
+                F.count("*").alias("feats")).collect()[0]
+        run()
+        best = None
+        for _ in range(2):  # best-of-2: the sandbox host is noisy
+            t0 = time.perf_counter()
+            row = run()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        counters[steady_key] = round(best, 3)
         return row.tiles, row.feats
 
     N_LINE_SRC = max(32, n_events // 40)

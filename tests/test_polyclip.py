@@ -132,3 +132,69 @@ def test_packed_driver_matches_scalar(spark=None):
     sizes = np.diff(out.part_start).tolist()
     assert sizes[0] == 5  # passthrough
     assert sizes[1] == 5  # clipped square
+
+
+def _packed_from_fixture(name):
+    from vtcomposite_spark import geometry as geo
+    layers = mvt.decode_tile(open(f"{FIXTURES}/{name}", "rb").read())
+    rows = [(f.parts, f.ring_types) for l in layers for f in l.features]
+    vx, vy, pstart, pfeat, rts = [], [], [0], [], []
+    n = 0
+    for i, (parts, rtypes) in enumerate(rows):
+        for part, rt in zip(parts, rtypes):
+            pfeat.append(i)
+            rts.append(rt)
+            vx.extend(p[0] for p in part)
+            vy.extend(p[1] for p in part)
+            n += len(part)
+            pstart.append(n)
+    return (PackedParts(np.array(vx, I), np.array(vy, I),
+                        np.array(pstart, I), np.array(pfeat, I)),
+            np.array(rts, np.int8), len(rows))
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURES), reason="no fixtures")
+@pytest.mark.parametrize("name,buf", [
+    ("polygons-properties-16-10498-22872.mvt", 128),
+    ("polygons-buildings-sf-15-5239-12666.mvt", 128),
+    ("polygons-with-holes-4-13-6.mvt", 4080),
+])
+@pytest.mark.parametrize("dz,ddx,ddy", [
+    (1, 0, 0), (1, 4096, 0), (1, 0, 4096), (2, 4096, 8192), (0, 0, 0)])
+def test_batch_driver_equals_per_polygon_reference(name, buf, dz, ddx, ddy):
+    """The globally-vectorized batch driver must emit EXACTLY what the
+    per-polygon clip_polygon reference path emits — same rings, same
+    vertices, same order — on real fixture tiles across overzoom shifts."""
+    from vtcomposite_spark import geometry as geo
+    g0, rts, nfeat = _packed_from_fixture(name)
+    zf = np.full(nfeat, 1 << dz, I)
+    lo = np.full(nfeat, -buf, I)
+    hi = np.full(nfeat, 4096 + buf, I)
+    g = geo.affine(geo.dedupe_consecutive(g0), zf,
+                   np.full(nfeat, ddx, I), np.full(nfeat, ddy, I))
+    asm, kept_rt, poly = geo.assemble_polygons(g, rts, lo, hi)
+
+    nrings = len(asm.part_feat)
+    key_change = np.ones(nrings, bool)
+    key_change[1:] = ((asm.part_feat[1:] != asm.part_feat[:-1])
+                      | (poly[1:] != poly[:-1]))
+    starts = np.nonzero(key_change)[0]
+    ends = np.concatenate([starts[1:], [nrings]])
+    flo = lo[asm.part_feat]
+    want = []
+    for s, e in zip(starts, ends):
+        rings = [(asm.vx[asm.part_start[ri]:asm.part_start[ri + 1]],
+                  asm.vy[asm.part_start[ri]:asm.part_start[ri + 1]])
+                 for ri in range(s, e)]
+        for p in polyclip.clip_polygon(rings, int(flo[s]), int(hi[asm.part_feat[s]])):
+            for k, (xs, ys) in enumerate(p):
+                want.append((int(asm.part_feat[s]), 1 if k == 0 else 2,
+                             xs.tolist(), ys.tolist()))
+
+    out, ort = polyclip.clip_polygons_packed(asm, kept_rt, poly, lo, hi)
+    got = []
+    for ri in range(len(out.part_feat)):
+        s, e = out.part_start[ri], out.part_start[ri + 1]
+        got.append((int(out.part_feat[ri]), int(ort[ri]),
+                    out.vx[s:e].tolist(), out.vy[s:e].tolist()))
+    assert got == want

@@ -493,7 +493,9 @@ def _encode_layer(layer: Layer) -> bytes:
 
 
 def gzip_sink(buf: bytes, compress: bool) -> bytes:
-    """Empty tiles stay 0-byte raw buffers (src/vtcomposite.cpp:300-311)."""
+    """Empty tiles stay 0-byte raw buffers (src/vtcomposite.cpp:300-311).
+    mtime pinned to 0 so compressed output is byte-deterministic (O3) —
+    python's default stamps the current time into the gzip header."""
     if compress and len(buf) > 0:
-        return _gzip.compress(buf)
+        return _gzip.compress(buf, mtime=0)
     return buf

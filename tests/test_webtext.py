@@ -199,6 +199,54 @@ def test_ann_ivf_recall(spark, emb):
     assert recall >= 0.5, recall  # approximate, but must be meaningfully high
 
 
+def _clustered_corpus(spark, n_clusters=8, per_cluster=50, dim=16):
+    """Deterministic clustered embeddings — the shape that craters the
+    degenerate first-N-ids seed (most of the corpus lands in few buckets)."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + 0.08 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_ivf_recall_clustered(spark):
+    """VERDICT r1 done-criterion: k-means centroids reach recall >= 0.9 on a
+    CLUSTERED corpus (and beat the degenerate lowest-id seed, whose buckets
+    collapse because the first N vectors all come from cluster 0)."""
+    emb = _clustered_corpus(spark)
+    q = emb.filter(F.col("vec_id") % 40 == 0)  # one query per cluster region
+    b = {(r.query_id, r.corpus_id)
+         for r in S.ann_topk_brute(q, emb, k=5).collect()}
+
+    def recall(centroids):
+        ivf = S.ann_topk_ivf(q, emb, k=5, n_centroids=8, nprobe=2,
+                             centroids=centroids)
+        i = {(r.query_id, r.corpus_id) for r in ivf.collect()}
+        return len(b & i) / len(b)
+
+    r_seed = recall("seed")
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= 0.9, (r_kmeans, r_seed)
+    assert r_kmeans >= r_seed
+
+
+def test_kmeans_centroids_deterministic_and_separating(spark):
+    emb = _clustered_corpus(spark, n_clusters=4, per_cluster=30)
+    c1 = {r.centroid_id: tuple(r.centv)
+          for r in S.kmeans_centroids(emb, 4, iters=3).collect()}
+    c2 = {r.centroid_id: tuple(r.centv)
+          for r in S.kmeans_centroids(emb, 4, iters=3).collect()}
+    assert c1 == c2  # bit-deterministic
+    assert len(c1) == 4
+
+
 def test_multimodal_decode_and_resize(spark):
     media = MM.synthesize_media(spark, 20, partitions=2)
     feats = MM.decode_image(media).collect()

@@ -43,16 +43,72 @@ def ann_topk_brute(queries: DataFrame, corpus: DataFrame, k: int,
     return _ranked(cand, k).select("query_id", "corpus_id", "cos", "rank")
 
 
-def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
-                 n_centroids: int = 16, nprobe: int = 4,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF bucketed ANN. Centroids = the ``n_centroids`` lowest-id corpus
-    vectors (deterministic; replace with real k-means offline at scale)."""
-    cent = (
+def _seed_centroids(corpus: DataFrame, n_centroids: int,
+                    vec_col: str, id_col: str) -> DataFrame:
+    return (
         corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"),
                 F.col(vec_col).cast("array<double>").alias("centv"))
     )
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int, iters: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd's iterations as DataFrame ops.
+
+    Seed = the ``n_centroids`` lowest-id corpus vectors; each iteration
+    assigns every vector to its nearest centroid by cosine (one broadcast
+    pass over the corpus — no corpus shuffle beyond the keys-only
+    dim-explode agg) and re-centers on the per-dimension mean. Centroids
+    that lose every member keep their previous position. The (tiny,
+    C×D-doubles) centroid table is collected per iteration — driver-side
+    metadata like the lineage manifest, never the corpus.
+
+    On clustered data this fixes the degenerate seed's recall collapse
+    (first-N-ids land most of the corpus in few buckets); see
+    test_ann_ivf_recall_clustered.
+    """
+    spark = corpus.sparkSession
+    cent = _seed_centroids(corpus, n_centroids, vec_col, id_col)
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc())
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", cosine_col(F.col("cv"), F.col("centv")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("centroid_id").alias("bucket"), "cv"))
+        upd = (
+            assigned.select("bucket", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("bucket", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(F.col("bucket").alias("centroid_id"),
+                    F.transform("pm", lambda s: s["m"]).alias("centv")))
+        # empty clusters keep their previous centroid
+        merged = {r.centroid_id: list(r.centv) for r in cent.collect()}
+        merged.update({r.centroid_id: list(r.centv) for r in upd.collect()})
+        cent = spark.createDataFrame(
+            sorted(merged.items()), schema="centroid_id long, centv array<double>")
+    return cent
+
+
+def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: str = "kmeans", kmeans_iters: int = 3) -> DataFrame:
+    """IVF bucketed ANN. ``centroids="kmeans"`` (default) runs
+    ``kmeans_centroids``; ``"seed"`` uses the raw lowest-id seed (the old
+    degenerate behavior, kept for comparison tests)."""
+    if centroids == "kmeans":
+        cent = kmeans_centroids(corpus, n_centroids, kmeans_iters,
+                                vec_col, id_col)
+    else:
+        cent = _seed_centroids(corpus, n_centroids, vec_col, id_col)
     c = corpus.select(F.col(id_col).alias("corpus_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
     # assign each corpus vector to its nearest centroid (one broadcast pass)

@@ -155,3 +155,41 @@ def test_extract_geotags_keep_projection(spark):
     a = {r.url: (r.lat, r.lon) for r in slim.collect()}
     b = {r.url: (r.lat, r.lon) for r in full.collect()}
     assert a == b
+
+
+def test_pip_interior_cell_shortcut(spark):
+    """P9 filter-refine upgrade: classified covering cells produce results
+    identical to the classic bbox cover, interior cells exist at a fine
+    enough zoom, and a measurable share of candidates skips the ray cast."""
+    from vtcomposite_spark.operators.cells import encode_cells
+    from vtcomposite_spark.operators.joins import (cover_cells_classified,
+                                                   pip_join)
+
+    pts = spark.range(0, 800).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 37) % 400) / 10.0 - 15.0).alias("lat"),
+        (((F.col("id") * 53) % 900) / 10.0 - 40.0).alias("lon"))
+    polys = spark.createDataFrame(
+        [(1, [-30.0, 20.0, 20.0, -30.0, -30.0],
+          [-10.0, -10.0, 18.0, 18.0, -10.0], [0]),
+         (2, [25.0, 40.0, 40.0, 25.0, 25.0],
+          [0.0, 0.0, 12.0, 12.0, 0.0], [0])],
+        "poly_id int, xs array<double>, ys array<double>, part_offsets array<int>")
+
+    a = sorted((r.pid, r.poly_id) for r in
+               pip_join(pts, polys, zoom=6, point_cols=["pid"]).collect())
+    b = sorted((r.pid, r.poly_id) for r in
+               pip_join(pts, polys, zoom=6, point_cols=["pid"],
+                        classify_cells=False).collect())
+    assert a == b and a
+
+    cls = cover_cells_classified(polys, 6)
+    n_int = cls.filter("interior").count()
+    assert n_int > 0
+    # interior rows carry no ring geometry into the probe-side join
+    assert cls.filter("interior").filter(F.size("poly_xs") > 0).count() == 0
+    # refine-row reduction: candidates landing on interior cells skip the cast
+    pc = encode_cells(pts, 6).filter(F.col("cell").isNotNull())
+    skipped = pc.join(cls.filter("interior"), "cell").count()
+    total = pc.join(cls, "cell").count()
+    assert skipped > 0.1 * total, (skipped, total)  # 85/525 measured

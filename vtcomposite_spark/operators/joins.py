@@ -65,14 +65,217 @@ def cover_cells(polys: DataFrame, zoom: int,
     )
 
 
+def _tilex_to_lon(x, zoom):
+    return np.asarray(x, np.float64) / (1 << zoom) * 360.0 - 180.0
+
+
+def _tiley_to_lat(y, zoom):
+    n = np.pi * (1.0 - 2.0 * np.asarray(y, np.float64) / (1 << zoom))
+    return np.degrees(np.arctan(np.sinh(n)))
+
+
+def _raycast(px, py, vx, vy, ring_start_abs, vrow, n):
+    """Even-odd crossings for n test points against their packed rings."""
+    total_v = len(vx)
+    is_edge = np.ones(total_v, bool)
+    if total_v:
+        is_edge[-1] = False
+    all_starts = np.concatenate([ring_start_abs, [total_v]])
+    is_edge[all_starts[1:] - 1] = False
+    ei = np.nonzero(is_edge)[0]
+    x0, y0 = vx[ei], vy[ei]
+    x1, y1 = vx[ei + 1], vy[ei + 1]
+    erow = vrow[ei]
+    ppx, ppy = px[erow], py[erow]
+    cond = (y0 > ppy) != (y1 > ppy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (ppy - y0) / (y1 - y0) * (x1 - x0)
+    cross = cond & (ppx < xint)
+    crossings = np.bincount(erow[cross], minlength=n)
+    return (crossings % 2) == 1
+
+
+def _cover_classify_batches(it: Iterator[pa.RecordBatch],
+                            out_schema: pa.Schema, zoom: int):
+    """Per polygon: covering cells + INTERIOR flag (P9 filter-refine
+    upgrade). A cell is interior when its center is inside the polygon and
+    no polygon edge's (1-cell-widened, so float rounding can only cost
+    optimization, never correctness) bbox touches it — interior candidates
+    skip the ray-cast refine entirely. Interior rows carry EMPTY ring
+    arrays: they never reach the refine math, and the probe-side join
+    transports no geometry for them."""
+    nz = 1 << zoom
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        xs = batch.column("xs")
+        ys = batch.column("ys")
+        off = xs.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+        vx = xs.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        vy = ys.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        po = batch.column("part_offsets")
+        pooff = po.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+        povals = po.values.to_numpy(zero_copy_only=False).astype(_I64)
+        P = batch.num_rows
+
+        vrow_all = np.repeat(np.arange(P, dtype=_I64), np.diff(off))
+        # polygon bbox -> covering cell ranges (same math as cover_cells)
+        lon_min = np.minimum.reduceat(vx, off[:-1])
+        lon_max = np.maximum.reduceat(vx, off[:-1])
+        lat_min = np.minimum.reduceat(vy, off[:-1])
+        lat_max = np.maximum.reduceat(vy, off[:-1])
+        x0, y0 = tm.lonlat_to_tile(lon_min, lat_max, zoom)
+        x1, y1 = tm.lonlat_to_tile(lon_max, lat_min, zoom)
+        nx = x1 - x0 + 1
+        ny = y1 - y0 + 1
+        ncells = nx * ny
+        cell_off = np.concatenate([[0], np.cumsum(ncells)]).astype(_I64)
+        T = int(cell_off[-1])
+        local = np.arange(T, dtype=_I64) - np.repeat(cell_off[:-1], ncells)
+        cp = np.repeat(np.arange(P, dtype=_I64), ncells)  # poly per cell
+        ccx = x0[cp] + local % nx[cp]
+        ccy = y0[cp] + local // nx[cp]
+
+        # center-in-polygon (vectorized ray cast over all cells at once)
+        ctr_lon = _tilex_to_lon(ccx.astype(np.float64) + 0.5, zoom)
+        ctr_lat = _tiley_to_lat(ccy.astype(np.float64) + 0.5, zoom)
+        # rings per CELL: reuse each polygon's rings by re-basing the ray
+        # cast on the cell index (vrow maps vertices → cells via gather)
+        # build per-cell "virtual" geometry references: ray cast per cell
+        # against its polygon's edges — do it polygon-major: crossings per
+        # (edge, cell) would explode; instead run the standard per-point
+        # cast with points grouped by polygon using edge→poly mapping.
+        total_v = len(vx)
+        is_edge = np.ones(total_v, bool)
+        if total_v:
+            is_edge[-1] = False
+        ring_start_abs = povals + off[np.repeat(
+            np.arange(P, dtype=_I64), np.diff(pooff))]
+        all_starts = np.concatenate([ring_start_abs, [total_v]])
+        is_edge[all_starts[1:] - 1] = False
+        ei = np.nonzero(is_edge)[0]
+        ex0, ey0 = vx[ei], vy[ei]
+        ex1, ey1 = vx[ei + 1], vy[ei + 1]
+        epoly = vrow_all[ei]
+        # fan edges out to their polygon's cells (bounded: per-poly cells ×
+        # edges stays small for dimension-table polygons)
+        e_ncells = ncells[epoly]
+        e_rep = np.repeat(np.arange(len(ei), dtype=_I64), e_ncells)
+        c_idx = cell_off[epoly[e_rep]] + (
+            np.arange(len(e_rep), dtype=_I64)
+            - np.repeat(np.concatenate([[0], np.cumsum(e_ncells)[:-1]]), e_ncells))
+        ppx = ctr_lon[c_idx]
+        ppy = ctr_lat[c_idx]
+        gx0, gy0 = ex0[e_rep], ey0[e_rep]
+        gx1, gy1 = ex1[e_rep], ey1[e_rep]
+        cond = (gy0 > ppy) != (gy1 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = gx0 + (ppy - gy0) / (gy1 - gy0) * (gx1 - gx0)
+        cross = cond & (ppx < xint)
+        inside = (np.bincount(c_idx[cross], minlength=T) % 2) == 1
+
+        # boundary marking: each edge's cell-bbox, widened by 1, is boundary
+        bx0, _ = tm.lonlat_to_tile(np.minimum(ex0, ex1),
+                                   np.maximum(ey0, ey1), zoom)
+        bx1, _ = tm.lonlat_to_tile(np.maximum(ex0, ex1),
+                                   np.minimum(ey0, ey1), zoom)
+        _, by0 = tm.lonlat_to_tile(np.minimum(ex0, ex1),
+                                   np.maximum(ey0, ey1), zoom)
+        _, by1 = tm.lonlat_to_tile(np.maximum(ex0, ex1),
+                                   np.minimum(ey0, ey1), zoom)
+        bx0 = np.maximum(bx0 - 1, x0[epoly])
+        bx1 = np.minimum(bx1 + 1, x1[epoly])
+        by0 = np.maximum(by0 - 1, y0[epoly])
+        by1 = np.minimum(by1 + 1, y1[epoly])
+        boundary = np.zeros(T, bool)
+        rows_per_edge = np.maximum(by1 - by0 + 1, 0)
+        er = np.repeat(np.arange(len(ei), dtype=_I64), rows_per_edge)
+        row_local = np.arange(len(er), dtype=_I64) - np.repeat(
+            np.concatenate([[0], np.cumsum(rows_per_edge)[:-1]]), rows_per_edge)
+        rcy = by0[er] + row_local
+        run_starts = cell_off[epoly[er]] + (rcy - y0[epoly[er]]) * nx[epoly[er]] \
+            + (bx0[er] - x0[epoly[er]])
+        run_lens = bx1[er] - bx0[er] + 1
+        ok = run_lens > 0
+        marked = geo.multi_arange(run_starts[ok], run_starts[ok] + run_lens[ok])
+        boundary[marked] = True
+
+        interior = inside & ~boundary
+        keep = inside | boundary  # cells fully outside drop from the build
+        kidx = np.nonzero(keep)[0]
+        kcp = cp[kidx]
+        kint = interior[kidx]
+        cell_ids = (np.full(len(kidx), zoom, _I64) << 58) \
+            | (ccx[kidx] << 29) | ccy[kidx]
+
+        # geometry columns: boundary rows copy their polygon's arrays,
+        # interior rows are empty
+        arrays = []
+        for nm in out_schema.names:
+            if nm == "cell":
+                arrays.append(pa.array(cell_ids, pa.int64()))
+            elif nm == "interior":
+                arrays.append(pa.array(kint))
+            elif nm in ("poly_xs", "poly_ys"):
+                src_vals = vx if nm == "poly_xs" else vy
+                sz = np.where(kint, 0, (off[kcp + 1] - off[kcp]))
+                o = np.concatenate([[0], np.cumsum(sz)]).astype(np.int32)
+                take = geo.multi_arange(
+                    off[kcp[~kint]], off[kcp[~kint] + 1])
+                vals = np.zeros(int(o[-1]), np.float64)
+                dst = geo.multi_arange(o[:-1][~kint], o[1:][~kint])
+                vals[dst] = src_vals[take]
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(o), pa.array(vals, pa.float64())))
+            elif nm == "poly_offsets":
+                sz = np.where(kint, 0, (pooff[kcp + 1] - pooff[kcp]))
+                o = np.concatenate([[0], np.cumsum(sz)]).astype(np.int32)
+                take = geo.multi_arange(pooff[kcp[~kint]], pooff[kcp[~kint] + 1])
+                vals = np.zeros(int(o[-1]), _I64)
+                dst = geo.multi_arange(o[:-1][~kint], o[1:][~kint])
+                vals[dst] = povals[take]
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(o), pa.array(vals, pa.int64())))
+            else:
+                arrays.append(batch.column(nm).take(pa.array(kcp, pa.int32())))
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def cover_cells_classified(polys: DataFrame, zoom: int,
+                           poly_id_col: str = "poly_id") -> DataFrame:
+    """cover_cells + interior classification in one Arrow pass over the
+    (dimension-table-sized) polygon side."""
+    out_spark = T.StructType([
+        polys.schema[poly_id_col],
+        T.StructField("poly_xs", T.ArrayType(T.DoubleType())),
+        T.StructField("poly_ys", T.ArrayType(T.DoubleType())),
+        T.StructField("poly_offsets", T.ArrayType(T.LongType())),
+        T.StructField("cell", T.LongType()),
+        T.StructField("interior", T.BooleanType()),
+    ])
+    from pyspark.sql.pandas.types import to_arrow_type
+    out_arrow = pa.schema([pa.field(f.name, to_arrow_type(f.dataType))
+                           for f in out_spark.fields])
+    src = polys.select(
+        poly_id_col,
+        F.col("xs").cast("array<double>").alias("xs"),
+        F.col("ys").cast("array<double>").alias("ys"),
+        F.col("part_offsets").cast("array<bigint>").alias("part_offsets"))
+    return src.mapInArrow(
+        lambda it: _cover_classify_batches(it, out_arrow, zoom),
+        schema=out_spark)
+
+
 def _pip_refine(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
     """Vectorized even-odd ray cast: candidate rows carry (lon, lat) and the
-    polygon's packed rings (closed, lon/lat degrees)."""
+    polygon's packed rings (closed, lon/lat degrees). Rows flagged
+    ``interior`` (their cell is fully inside the polygon) skip the cast."""
     for batch in it:
         if batch.num_rows == 0:
             continue
         px = batch.column("lon").to_numpy(zero_copy_only=False)
         py = batch.column("lat").to_numpy(zero_copy_only=False)
+        has_interior = "interior" in batch.schema.names
         xs = batch.column("poly_xs")
         ys = batch.column("poly_ys")
         off = xs.offsets.to_numpy(zero_copy_only=False).astype(_I64)
@@ -109,6 +312,10 @@ def _pip_refine(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
         cross = cond & (ppx < xint)
         crossings = np.bincount(erow[cross], minlength=n)
         inside = (crossings % 2) == 1
+        if has_interior:
+            # interior-cell shortcut: those rows carry empty ring arrays
+            # (crossings 0) and are inside by construction
+            inside |= batch.column("interior").to_numpy(zero_copy_only=False)
 
         keep = pa.array(inside)
         out = batch.filter(keep)
@@ -118,19 +325,30 @@ def _pip_refine(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
 
 def pip_join(points: DataFrame, polys: DataFrame, zoom: int = 8,
              point_cols: list[str] | None = None,
-             poly_id_col: str = "poly_id") -> DataFrame:
+             poly_id_col: str = "poly_id",
+             classify_cells: bool = True) -> DataFrame:
     """J2: points (lat, lon) ⋈ polygons (poly_id, xs, ys, part_offsets).
 
     Polygon rings are CLOSED lon/lat arrays; multi-ring polygons (holes) use
     ``part_offsets`` (even-odd rule handles holes without ring types).
     Returns point columns + ``poly_id``.
+
+    ``classify_cells`` (default): the build side classifies covering cells
+    interior/boundary (cover_cells_classified) — interior candidates skip
+    the ray cast inside the single refine kernel and transport no ring
+    geometry, and fully-outside bbox cells never join at all. The classic
+    bbox cover (``False``) is kept as the correctness reference.
     """
     point_cols = point_cols or [c for c in points.columns]
     pts = encode_cells(points, zoom).filter(F.col("cell").isNotNull())
-    pol = cover_cells(polys, zoom).select(
-        F.col(poly_id_col).alias("poly_id"),
-        F.col("xs").alias("poly_xs"), F.col("ys").alias("poly_ys"),
-        F.col("part_offsets").alias("poly_offsets"), "cell")
+    if classify_cells:
+        pol = cover_cells_classified(polys, zoom, poly_id_col) \
+            .withColumnRenamed(poly_id_col, "poly_id")
+    else:
+        pol = cover_cells(polys, zoom).select(
+            F.col(poly_id_col).alias("poly_id"),
+            F.col("xs").alias("poly_xs"), F.col("ys").alias("poly_ys"),
+            F.col("part_offsets").alias("poly_offsets"), "cell")
     cand = pts.join(pol, on="cell", how="inner")
 
     out_cols = [*point_cols, "poly_id"]
@@ -140,6 +358,8 @@ def pip_join(points: DataFrame, polys: DataFrame, zoom: int = 8,
     out_arrow = pa.schema([pa.field(f.name, to_arrow_type(f.dataType))
                            for f in out_spark.fields])
     keep = [*out_cols, "lat", "lon", "poly_xs", "poly_ys", "poly_offsets"]
+    if classify_cells:
+        keep.append("interior")
     seen = []
     for c in keep:
         if c not in seen:

@@ -79,8 +79,14 @@ def validate_localize_request(params: dict) -> None:
     """Mirror of src/vtcomposite.cpp:1074-1331."""
     if "buffer" not in params:
         raise ValueError("params.buffer is required")
-    if not isinstance(params["buffer"], (bytes, bytearray)):
-        raise ValueError("params.buffer must be a Buffer")
+    buf = params["buffer"]
+    if not isinstance(buf, (bytes, bytearray)):
+        # the reference distinguishes non-objects ("must be a Buffer",
+        # src/vtcomposite.cpp:1129) from buffer-shaped objects that aren't
+        # true buffers (:1134); python analog: primitives vs objects
+        if buf is None or isinstance(buf, (bool, int, float, str)):
+            raise ValueError("params.buffer must be a Buffer")
+        raise ValueError("params.buffer is not a true Buffer")
     _non_empty_str(params, "hidden_prefix")
     if "omit_scripts" in params:
         v = params["omit_scripts"]

@@ -149,8 +149,8 @@ def build_workload(spark, sf_dir):
         counters[steady_key] = round(best, 3)
         return row.tiles, row.feats
 
-    N_LINE_SRC = max(32, n_events // 40)
-    N_POLY_SRC = max(16, n_events // 160)
+    N_LINE_SRC = max(32, n_events // 400)
+    N_POLY_SRC = max(16, n_events // 800)
     if os.path.isdir(FIXTURES):  # materialize inputs at build time, not in
         # the timed stages (mirrors the pages table's pre-synthesis)
         _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
@@ -166,6 +166,28 @@ def build_workload(spark, sf_dir):
         counters["poly_tiles"], counters["poly_features_out"] = _run_composite(
             "polygons-properties-16-10498-22872.mvt", N_POLY_SRC,
             "poly_steady_sec")
+
+    def line_composite_encode_fused():
+        """The closest analog of a reference bench run (whose output IS an
+        encoded tile): scan -> composite -> encode with one shuffle + one
+        python seam (composite_encode_tiles)."""
+        from vtcomposite_spark.operators.composite import composite_encode_tiles
+        feats, targets = _fixture_grid_paths(
+            "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
+
+        def run():
+            return composite_encode_tiles(feats, targets).agg(
+                F.count("*").alias("tiles"),
+                F.sum(F.length("tile")).alias("bytes")).collect()[0]
+        run()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = run()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        counters["fused_steady_sec"] = round(best, 3)
+        counters["fused_tiles"] = row.tiles
+        counters["fused_mb"] = round((row.bytes or 0) / 1e6, 1)
 
     def encode_sink():
         """S3 sink throughput. The composite input is persisted+materialized
@@ -248,6 +270,7 @@ def build_workload(spark, sf_dir):
         "tile_composite_overzoom": tile_composite_overzoom,
         "line_composite_overzoom": line_composite_overzoom,
         "polygon_composite_overzoom": polygon_composite_overzoom,
+        "line_composite_encode_fused": line_composite_encode_fused,
         "encode_sink": encode_sink,
         "localize_props": localize_props,
         "knn_grid": knn_grid,
@@ -259,7 +282,7 @@ def build_workload(spark, sf_dir):
     }
     if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those
         for k in ("line_composite_overzoom", "polygon_composite_overzoom",
-                  "encode_sink"):
+                  "line_composite_encode_fused", "encode_sink"):
             stages.pop(k)
     return stages, counters
 
@@ -311,6 +334,8 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                     / max(counters.get("poly_steady_sec", 1e-9), 1e-9), 1),
         "encode_tiles_per_sec": round(counters.get("encoded_tiles", 0)
                                       / max(counters.get("encode_sec", 1e-9), 1e-9), 1),
+        "fused_tiles_per_sec": round(counters.get("fused_tiles", 0)
+                                     / max(counters.get("fused_steady_sec", 1e-9), 1e-9), 1),
     }
     spark.stop()
     if not quiet:

@@ -72,3 +72,20 @@ def test_varint_encode_matches_reference():
         mvt._write_uvarint(want, v)
     assert blob.tobytes() == bytes(want)
     assert int(nb.sum()) == len(want)
+
+
+@pytest.mark.parametrize("name,src,tgt", CASES)
+def test_fused_composite_encode_byte_parity(spark, fixture_bytes, name, src, tgt):
+    """composite_encode_tiles (one shuffle + one seam) must emit exactly
+    the tiles of composite() + encode_tiles(), including which tiles exist
+    (fully-clipped groups produce no row in either path)."""
+    buf = fixture_bytes(name)
+    f = ingest.features_from_tiles(spark, [(buf, *src)])
+    t = ingest.targets_df(spark, [dict(tgt)])
+    out = C.composite(f, t).withColumn(
+        "compress", F.lit(bool(tgt.get("compress", False))))
+    want = {(r.z, r.x, r.y): bytes(r.tile)
+            for r in C.encode_tiles(out).collect()}
+    got = {(r.z, r.x, r.y): bytes(r.tile)
+           for r in C.composite_encode_tiles(f, t).collect()}
+    assert got == want

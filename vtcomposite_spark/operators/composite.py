@@ -425,6 +425,82 @@ def composite_points(features: DataFrame, targets: DataFrame,
     return overzoom_clip_points_expr(j).drop("keep_layers")
 
 
+def composite_encode_tiles(features: DataFrame, targets: DataFrame,
+                           join_strategy: str = "auto",
+                           winners_join: str = "broadcast") -> DataFrame:
+    """Fused composite→encode: (z, x, y, tile:binary) with ONE python seam.
+
+    ``composite(...)`` then ``encode_tiles(...)`` crosses the seam twice
+    (mapInArrow out-and-back, then the groupBy shuffle, then applyInArrow)
+    and transports every intermediate feature row both ways. Tile
+    MATERIALIZATION pipelines — the reference's only output shape — never
+    look at the intermediate rows, so this fuses the clip kernel INTO the
+    encode group: join → first-wins → JVM envelope prune → groupBy(z,x,y)
+    → one applyInArrow that clips the group's features and encodes the
+    tile. One wide shuffle + one seam whose output is just tile blobs.
+
+    Byte-identical to composite()+encode_tiles() (kernel and encoder are
+    the same code), parity-tested in tests/test_encode_columnar.py.
+    """
+    import pyarrow as pa
+
+    from ..sources import mvt_vec
+
+    j = ancestor_join(features, targets, strategy=join_strategy)
+    j = apply_keep_layers(j)
+    j = first_wins(j, winners_join=winners_join).drop("keep_layers")
+    # same prep + envelope prune as overzoom_clip, JVM-side
+    j = j.withColumn("dz", F.col("z") - F.col("src_z"))
+    j = j.withColumn(
+        "disp_x",
+        (F.col("x").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
+         * F.col("extent")).cast("long"))
+    j = j.withColumn(
+        "disp_y",
+        (F.col("y").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
+         * F.col("extent")).cast("long"))
+    zf = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz"))
+    bxmin = F.array_min("xs") * zf - F.col("disp_x")
+    bxmax = F.array_max("xs") * zf - F.col("disp_x")
+    bymin = F.array_min("ys") * zf - F.col("disp_y")
+    bymax = F.array_max("ys") * zf - F.col("disp_y")
+    blo = -F.col("buffer_size").cast("long")
+    bhi = (F.col("extent") + F.col("buffer_size")).cast("long")
+    j = j.filter(
+        (F.col("dz") == 0)
+        | ((bxmax >= blo) & (bxmin <= bhi) & (bymax >= blo) & (bymin <= bhi)))
+
+    out_fields = [f for f in j.schema.fields if f.name not in _KERNEL_HELPER_COLS]
+    clip_schema = pa.schema([
+        pa.field(f.name, _to_arrow(f.dataType)) for f in out_fields])
+    out_schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("tile", T.BinaryType()),
+    ])
+
+    def clip_encode(tbl: pa.Table) -> pa.Table:
+        clipped = list(_overzoom_clip_batches(iter(tbl.to_batches()), clip_schema))
+        if not clipped:
+            # every feature clipped away: no output row, exactly like the
+            # unfused path (the group never reaches encode_tiles there)
+            return pa.table(
+                {"z": pa.array([], pa.int32()),
+                 "x": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64()),
+                 "tile": pa.array([], pa.binary())})
+        z, x, y, buf = mvt_vec.encode_tile_table(
+            pa.Table.from_batches(clipped, schema=clip_schema))
+        return pa.table(
+            {"z": pa.array([z], pa.int32()),
+             "x": pa.array([x], pa.int64()),
+             "y": pa.array([y], pa.int64()),
+             "tile": pa.array([buf], pa.binary())})
+
+    return j.groupBy("z", "x", "y").applyInArrow(clip_encode, schema=out_schema)
+
+
 def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
     """S3/S4 terminal sink: (z, x, y, tile:binary).
 

@@ -327,6 +327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TX.fingerprint_col(t).alias("fingerprint"))
     q["text_stats"] = text_stats
 
+    def bpe_token_stats(spark, sf):
+        """Subword-ish token counting (GPT-2 pretokenizer regex, no merge
+        table) next to whitespace tokens — the training-data token budget
+        per document."""
+        docs = _read(spark, sf, "documents")
+        t = F.col("text")
+        return docs.select(
+            "doc_id",
+            TX.bpe_token_count_col(t).alias("bpe_tokens"),
+            TX.token_count_col(t).alias("ws_tokens"))
+    q["bpe_token_stats"] = bpe_token_stats
+
     def lang_quality_agg(spark, sf):
         """Average aggregated in integer milli-units: quality is an exact
         multiple of 0.001 (functions/text.py round(...,3)), so summing
@@ -519,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
         f"{TX.lang_guess_sql('text')} AS lang_guess, "
         f"{TX.quality_score_sql('text')} AS quality, "
         f"{TX.fingerprint_sql('text')} AS fingerprint FROM documents"
+    )
+
+    o["bpe_token_stats"] = (
+        f"SELECT doc_id, {TX.BPE_TOKEN_COUNT_SQL.format(c='text')} AS bpe_tokens, "
+        f"{TX.TOKEN_COUNT_SQL.format(c='text')} AS ws_tokens FROM documents"
     )
 
     o["lang_quality_agg"] = (

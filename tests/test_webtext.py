@@ -40,6 +40,22 @@ def test_token_count_parity(spark, docs):
     assert got == want
 
 
+def test_bpe_token_count_parity(spark, docs):
+    """GPT-2-style pretokenizer count: Java regex (Spark) and RE2 (DuckDB)
+    must agree exactly on the shared pattern subset."""
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", TX.bpe_token_count_col(F.col("text")).alias("n")).collect()}
+    want = dict(duck(
+        f"select doc_id, {TX.BPE_TOKEN_COUNT_SQL.format(c='text')} from documents"))
+    assert got == want
+    # sanity on the tokenizer shape itself
+    one = spark.createDataFrame(
+        [(1, "I'll pay 12345 dollars, you won't!")], ["doc_id", "text"])
+    toks = one.select(TX.bpe_tokens_col(F.col("text")).alias("t")).collect()[0].t
+    assert toks == ["I", "'ll", " pay", " 123", "45", " dollars", ",",
+                    " you", " won", "'t", "!"]
+
+
 def test_lang_guess_parity(spark, docs):
     got = {r.doc_id: r.lg for r in docs.select(
         "doc_id", TX.lang_guess_col(F.col("text")).alias("lg")).collect()}

@@ -24,6 +24,31 @@ def token_count_col(text: Column) -> Column:
 TOKEN_COUNT_SQL = "len(list_filter(string_split({c}, ' '), t -> t != ''))"
 
 
+# --- BPE-ish subword counting: GPT-2-style pretokenizer regex ---
+# contractions | optional-space word | optional-space 1-3 digit chunk |
+# optional-space punctuation run. Kept to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB) so the oracle replays it exactly.
+
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-ish token count: the GPT-2 pretokenizer split (digits
+    chunked to ≤3, punctuation runs, contraction suffixes) WITHOUT a merge
+    table — a deterministic, engine-portable upper bound on BPE tokens."""
+    return F.size(bpe_tokens_col(text))
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "len(regexp_extract_all({c}, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]{{1,3}}| ?[^a-zA-Z0-9\\s]+'))"
+)
+
+
 # --- language-ID: stopword heuristic over padded text ---
 
 _LANG_MARKERS = [

@@ -38,7 +38,7 @@ def main() -> None:
     # at real scale the default is right)
     spark = get_spark(app=f"scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=64,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "8m"})
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "8m", "spark.sql.execution.arrow.maxRecordsPerBatch": __import__("os").environ.get("VTC_ARROW_BATCH", "131072")})
     spark.sparkContext.setLogLevel("ERROR")
 
     pages_path = f"/tmp/vtc_scale_pages_{n_pages}"

@@ -63,12 +63,11 @@ def composite(tiles: list[dict], zxy: dict, options: dict | None = None,
         "compress": options.get("compress", False),
     }])
     # single-request targets are a handful of rows: force the broadcast
-    # hints rather than waiting for AQE stats
-    out = C.composite(feats, targets,
-                      join_strategy="broadcast", winners_join="broadcast")
-    tiles_out = C.encode_tiles(
-        out.withColumn("compress", F.lit(bool(options.get("compress", False))))
-    ).collect()
+    # hints rather than waiting for AQE stats; the fused clip+encode path
+    # crosses the python seam once (byte-parity-tested vs the unfused pair)
+    tiles_out = C.composite_encode_tiles(
+        feats, targets,
+        join_strategy="broadcast", winners_join="broadcast").collect()
     if not tiles_out:
         return mvt.gzip_sink(b"", options.get("compress", False))
     return bytes(tiles_out[0].tile)

@@ -74,11 +74,12 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 64k-row batches: the Arrow seam's per-batch fixed cost (JVM writer
-        # → socket → python parse → back) dominates kernel compute at 10k
-        # rows; 64k amortizes it 6× and stays ~10-15 MB/batch for feature
-        # rows (measured: lines composite 215 → 287 tiles/s from this alone)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 128k-row batches: the Arrow seam's per-batch fixed cost (JVM
+        # writer → socket → python parse → back) dominates kernel compute
+        # at the 10k default; measured on the lines-composite seam:
+        # 16k 5.34s / 64k 4.59s / 128k 4.20s. ~25 MB/batch for feature
+        # rows; parquet's 128 MB maxPartitionBytes bounds the worst case.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # local mode: driver heap IS the executor heap; at 32 concurrent
         # tasks an 8g heap GC-thrashes under Arrow batches + broadcast

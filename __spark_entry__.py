@@ -542,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang, "
         f"round(sum(CAST(round({TX.quality_score_sql('text')} * 1000) AS BIGINT)) "
         "/ (count(*) * 1000.0), 4) AS avg_q, "
-        f"sum({TX.TOKEN_COUNT_SQL.format(c='text')}) AS total_tokens, "
+        f"CAST(sum({TX.TOKEN_COUNT_SQL.format(c='text')}) AS BIGINT) AS total_tokens, "
         "count(*) AS n_docs FROM documents GROUP BY lang"
     )
 

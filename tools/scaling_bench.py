@@ -170,7 +170,12 @@ one ~100KB cache-hot buffer. This engine is table-at-a-time; bench.py
 mirrors those rule shapes at table scale (per output tile = the same
 2000-feature fixture clipped one overzoom level, per-tile work identical
 to one reference run) and reports steady-state best-of-2 on freshly built
-plans. At local[32], sf0.1 (round 2):
+plans.
+
+FIXED SNAPSHOT — the table below is a hand-recorded round-2 measurement
+(BENCH_r02.json, local[32], sf0.1), NOT produced by this scaling run;
+re-generating this file on other hardware or after code changes does not
+refresh it. The per-round BENCH_r{{N}}.json files are the live numbers.
 
 | rule analog | reference runs/s | this engine tiles/s (32 cores) | ratio |
 |---|---|---|---|

@@ -74,27 +74,6 @@ def _tiley_to_lat(y, zoom):
     return np.degrees(np.arctan(np.sinh(n)))
 
 
-def _raycast(px, py, vx, vy, ring_start_abs, vrow, n):
-    """Even-odd crossings for n test points against their packed rings."""
-    total_v = len(vx)
-    is_edge = np.ones(total_v, bool)
-    if total_v:
-        is_edge[-1] = False
-    all_starts = np.concatenate([ring_start_abs, [total_v]])
-    is_edge[all_starts[1:] - 1] = False
-    ei = np.nonzero(is_edge)[0]
-    x0, y0 = vx[ei], vy[ei]
-    x1, y1 = vx[ei + 1], vy[ei + 1]
-    erow = vrow[ei]
-    ppx, ppy = px[erow], py[erow]
-    cond = (y0 > ppy) != (y1 > ppy)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x0 + (ppy - y0) / (y1 - y0) * (x1 - x0)
-    cross = cond & (ppx < xint)
-    crossings = np.bincount(erow[cross], minlength=n)
-    return (crossings % 2) == 1
-
-
 def _cover_classify_batches(it: Iterator[pa.RecordBatch],
                             out_schema: pa.Schema, zoom: int):
     """Per polygon: covering cells + INTERIOR flag (P9 filter-refine

@@ -33,11 +33,17 @@ values pass through with their original tags; keys this operator generates
 reference's output too. When the input has no ``prop_types`` column the
 all-string model applies unchanged.
 
-Output property ORDER matches the reference byte-for-byte: pass-through
+Output property ORDER matches the reference byte-for-byte in non-localized
+mode and in localized mode with an explicit language list: pass-through
 keys in input order, then class, then name(+name_local), then worldview
-LAST (build_new_feature appends it, src/vtcomposite.cpp:617-643) — in BOTH
-modes (non-localized also re-emits class/name/worldview at the end,
-:944-998).
+LAST (build_new_feature appends it, src/vtcomposite.cpp:617-643;
+non-localized re-emits class/name/worldview at the end, :944-998).
+Exception — languages=['all']: the reference emplaces the raw ``name`` key
+INLINE at its input position while iterating the property map (and the
+name_xx family order follows unordered_map iteration, which is not a
+stable contract); here ``name`` lands after class with the family keys
+after it, so encoded key/tag order can differ in that one mode even
+though the key→value content is identical (oracle-gated).
 
 Mode selection (src/vtcomposite.cpp:681-720, :1188, :1234, :1307-1314):
 ``return_localized_tile`` is true iff a ``languages`` or ``worldviews``

@@ -451,7 +451,10 @@ def _encode_layer(layer: Layer) -> bytes:
         return keys[k]
 
     def val_idx(v, tag: int) -> int:
-        kv = (tag, v)
+        # NaN != NaN would mint a fresh value entry per NaN property; key
+        # NaN on a sentinel so all NaNs share ONE entry, matching the
+        # columnar path's canonical-string dedupe (mvt_vec value table)
+        kv = (tag, "nan") if isinstance(v, float) and v != v else (tag, v)
         if kv not in values:
             values[kv] = len(value_list)
             value_list.append((v, tag))

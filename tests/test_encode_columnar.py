@@ -120,3 +120,40 @@ def test_nan_double_value_dedupe_parity(spark):
     dec2 = mvt.decode_tile(tile_bytes)
     assert all(v != v for feat in dec2[0].features
                for v in feat.properties.values())
+
+
+def test_multi_tile_encode_parity(spark, fixture_bytes):
+    """encode_tiles_table over MANY tiles in one table must yield, per
+    tile, exactly the bytes of encoding that tile's rows alone (the
+    amortized global factorize/varint/framing passes must not leak state
+    across tiles)."""
+    import numpy as np
+    import pyarrow as pa
+
+    buf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    template = ingest.features_from_tiles(spark, [(buf, 0, 0, 0)]) \
+        .drop("src_z", "src_x", "src_y")
+    grid = spark.range(4).select(
+        (F.col("id") % 2).cast("long").alias("src_x"),
+        (F.col("id") / 2).cast("long").alias("src_y"))
+    feats = template.crossJoin(grid).withColumn("src_z", F.lit(8))
+    quad = spark.range(4).select(
+        (F.col("id") % 2).alias("dx"), (F.col("id") / 2).cast("long").alias("dy"))
+    targets = grid.crossJoin(quad).select(
+        F.lit(9).alias("z"),
+        (F.col("src_x") * 2 + F.col("dx")).cast("long").alias("x"),
+        (F.col("src_y") * 2 + F.col("dy")).cast("long").alias("y"),
+        F.lit(128).alias("buffer_size"),
+        F.lit(None).cast("array<string>").alias("keep_layers"),
+        F.lit(False).alias("compress"))
+    ct = C.composite(feats, targets, join_strategy="broadcast") \
+        .withColumn("compress", F.lit(False)).toArrow().combine_chunks()
+    multi = {(z, x, y): b for z, x, y, b in mvt_vec.encode_tiles_table(ct)}
+    assert len(multi) == 16
+    xc = ct.column("x").to_numpy(zero_copy_only=False)
+    yc = ct.column("y").to_numpy(zero_copy_only=False)
+    key = (xc.astype(np.int64) << 32) | yc.astype(np.int64)
+    for k in np.unique(key):
+        sel = ct.filter(pa.array(key == k))
+        z, x, y, b = mvt_vec.encode_tile_table(sel)
+        assert multi[(z, x, y)] == b, (z, x, y)

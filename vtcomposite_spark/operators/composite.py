@@ -430,19 +430,77 @@ def composite_points(features: DataFrame, targets: DataFrame,
     return overzoom_clip_points_expr(j).drop("keep_layers")
 
 
+_TILE_LEVEL_COLS = ("z", "x", "y", "buffer_size", "compress")
+
+_ENCODE_OUT_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("tile", T.BinaryType()),
+])
+
+
+def _pack_tiles(df: DataFrame) -> DataFrame:
+    """ONE row per (z, x, y): tile-level columns + a ``feats`` list of
+    feature structs. The python seam's per-ROW conversion cost (JVM
+    ArrowWriter + return-path InternalRow rebuild, measured ~payload-width-
+    INDEPENDENT on the lines bench: 4.5s full width vs 4.9s scalars-only
+    for the same 1M rows) then applies to thousands of rows, not millions —
+    the feature data rides inside nested Arrow children, which serialize
+    columnar. Measured 2.26s vs 4.15s for the identical one-way seam.
+
+    Scale note: one packed row = one tile, so a tile must fit in one
+    executor's memory — the same invariant a grouped applyInArrow needs;
+    hot tiles are a skew problem before they are a packing problem.
+    """
+    data_cols = [c for c in df.columns if c not in _TILE_LEVEL_COLS]
+    aggs = [F.collect_list(F.struct(*data_cols)).alias("feats")]
+    for c in ("buffer_size", "compress"):
+        if c in df.columns:
+            aggs.append(F.first(c).alias(c))
+    return df.groupBy("z", "x", "y").agg(*aggs)
+
+
+def _unpack_batch(batch, tile_cols: list[str]):
+    """(flat feature RecordBatch columns dict, per-tile repeated arrays) —
+    zero-copy: the packed list's struct children ARE the flat feature
+    arrays; only the tile-level scalars are np.repeat'ed per feature."""
+    import pyarrow as pa
+
+    fl = batch.column("feats")
+    off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = int(off[0])
+    vals = fl.values
+    if base != 0 or int(off[-1]) != len(vals):
+        vals = vals.slice(base, int(off[-1]) - base)
+        off = off - base
+    nfeat = np.diff(off)
+    cols: dict = {}
+    for i, fld in enumerate(vals.type):
+        cols[fld.name] = vals.field(i)
+    total = int(off[-1])
+    for name in tile_cols:
+        col = batch.column(name)
+        rep = np.repeat(col.to_numpy(zero_copy_only=False), nfeat)
+        cols[name] = pa.array(rep, type=col.type)
+    return cols, total
+
+
 def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                            join_strategy: str = "auto",
                            winners_join: str = "broadcast") -> DataFrame:
     """Fused composite→encode: (z, x, y, tile:binary) with ONE python seam.
 
     ``composite(...)`` then ``encode_tiles(...)`` crosses the seam twice
-    (mapInArrow out-and-back, then the groupBy shuffle, then applyInArrow)
-    and transports every intermediate feature row both ways. Tile
-    MATERIALIZATION pipelines — the reference's only output shape — never
-    look at the intermediate rows, so this fuses the clip kernel INTO the
-    encode group: join → first-wins → JVM envelope prune → groupBy(z,x,y)
-    → one applyInArrow that clips the group's features and encodes the
-    tile. One wide shuffle + one seam whose output is just tile blobs.
+    (mapInArrow out-and-back, then the groupBy shuffle, then the encode
+    seam) and pays the seam's per-row cost for every intermediate feature
+    row, both ways. Tile MATERIALIZATION pipelines — the reference's only
+    output shape — never look at the intermediate rows, so this fuses the
+    clip kernel INTO the encode: join → first-wins → JVM envelope prune →
+    groupBy(z,x,y) packing ONE row per tile (``_pack_tiles``) → mapInArrow
+    batches of whole tiles → vectorized clip + MULTI-tile encode
+    (``mvt_vec.encode_tiles_table``) amortizing the per-tile fixed numpy
+    cost across the batch. One wide shuffle + one seam of tile-count rows.
 
     Byte-identical to composite()+encode_tiles() (kernel and encoder are
     the same code), parity-tested in tests/test_encode_columnar.py.
@@ -475,35 +533,40 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
         (F.col("dz") == 0)
         | ((bxmax >= blo) & (bxmin <= bhi) & (bymax >= blo) & (bymin <= bhi)))
 
-    out_fields = [f for f in j.schema.fields if f.name not in _KERNEL_HELPER_COLS]
+    clip_fields = [f for f in j.schema.fields if f.name not in _KERNEL_HELPER_COLS]
     clip_schema = pa.schema([
-        pa.field(f.name, _to_arrow(f.dataType)) for f in out_fields])
-    out_schema = T.StructType([
-        T.StructField("z", T.IntegerType()),
-        T.StructField("x", T.LongType()),
-        T.StructField("y", T.LongType()),
-        T.StructField("tile", T.BinaryType()),
-    ])
+        pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields])
+    kernel_names = [f.name for f in j.schema.fields]
+    packed = _pack_tiles(j)
+    tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
 
-    def clip_encode(tbl: pa.Table) -> pa.Table:
-        clipped = list(_overzoom_clip_batches(iter(tbl.to_batches()), clip_schema))
-        if not clipped:
-            # every feature clipped away: no output row, exactly like the
-            # unfused path (the group never reaches encode_tiles there)
-            return pa.table(
-                {"z": pa.array([], pa.int32()),
-                 "x": pa.array([], pa.int64()),
-                 "y": pa.array([], pa.int64()),
-                 "tile": pa.array([], pa.binary())})
-        z, x, y, buf = mvt_vec.encode_tile_table(
-            pa.Table.from_batches(clipped, schema=clip_schema))
-        return pa.table(
-            {"z": pa.array([z], pa.int32()),
-             "x": pa.array([x], pa.int64()),
-             "y": pa.array([y], pa.int64()),
-             "tile": pa.array([buf], pa.binary())})
+    def clip_encode(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            cols, total = _unpack_batch(batch, tile_cols)
+            if total == 0:
+                continue
+            flat = pa.RecordBatch.from_arrays(
+                [pa.array(cols[n]) if not isinstance(cols[n], pa.Array)
+                 else cols[n] for n in kernel_names],
+                names=kernel_names)
+            clipped = list(_overzoom_clip_batches(iter([flat]), clip_schema))
+            if not clipped:
+                # every feature clipped away: no output row, exactly like
+                # the unfused path (the tile never reaches encode there)
+                continue
+            tiles = mvt_vec.encode_tiles_table(
+                pa.Table.from_batches(clipped, schema=clip_schema))
+            if tiles:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([t[0] for t in tiles], pa.int32()),
+                     pa.array([t[1] for t in tiles], pa.int64()),
+                     pa.array([t[2] for t in tiles], pa.int64()),
+                     pa.array([t[3] for t in tiles], pa.binary())],
+                    names=["z", "x", "y", "tile"])
 
-    return j.groupBy("z", "x", "y").applyInArrow(clip_encode, schema=out_schema)
+    return packed.mapInArrow(clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
 
 def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
@@ -524,28 +587,36 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
 
     from ..sources import mvt
 
-    out_schema = T.StructType([
-        T.StructField("z", T.IntegerType()),
-        T.StructField("x", T.LongType()),
-        T.StructField("y", T.LongType()),
-        T.StructField("tile", T.BinaryType()),
-    ])
+    out_schema = _ENCODE_OUT_SCHEMA
 
     if impl == "columnar":
         import pyarrow as pa
 
         from ..sources import mvt_vec
 
-        def encode_arrow(tbl: pa.Table) -> pa.Table:
-            z, x, y, buf = mvt_vec.encode_tile_table(tbl)
-            return pa.table(
-                {"z": pa.array([z], pa.int32()),
-                 "x": pa.array([x], pa.int64()),
-                 "y": pa.array([y], pa.int64()),
-                 "tile": pa.array([buf], pa.binary())})
+        packed = _pack_tiles(composited)
+        tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
+        flat_names = composited.columns
 
-        return composited.groupBy("z", "x", "y").applyInArrow(
-            encode_arrow, schema=out_schema)
+        def encode_packed(it):
+            for batch in it:
+                if batch.num_rows == 0:
+                    continue
+                cols, total = _unpack_batch(batch, tile_cols)
+                if total == 0:
+                    continue
+                flat = pa.Table.from_arrays(
+                    [cols[n] for n in flat_names], names=flat_names)
+                tiles = mvt_vec.encode_tiles_table(flat)
+                if tiles:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([t[0] for t in tiles], pa.int32()),
+                         pa.array([t[1] for t in tiles], pa.int64()),
+                         pa.array([t[2] for t in tiles], pa.int64()),
+                         pa.array([t[3] for t in tiles], pa.binary())],
+                        names=["z", "x", "y", "tile"])
+
+        return packed.mapInArrow(encode_packed, schema=out_schema)
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["tile_idx", "feature_idx"], kind="stable")

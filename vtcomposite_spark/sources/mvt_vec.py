@@ -312,23 +312,125 @@ def _np_col(tbl, name):
     return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
 
 
+def _dict_encode(arr):
+    """(codes int64, dictionary as object ndarray) via Arrow's hash-based
+    dictionary_encode — C++-speed factorization of large string columns
+    (np.unique on object arrays pays a python compare per element)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if len(arr) == 0:
+        return np.empty(0, _I64), np.empty(0, object)
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(_I64)
+    return codes, np.asarray(d.dictionary.to_pylist(), dtype=object)
+
+
+def _bytes_blob(chunks: list[bytes]):
+    """Concatenate small byte chunks into (uint8 blob, offsets int64[N+1])
+    for vectorized gathers."""
+    if not chunks:
+        return np.empty(0, _U8), np.zeros(1, _I64)
+    blob = np.frombuffer(b"".join(chunks), dtype=_U8)
+    off = np.concatenate([[0], np.cumsum([len(c) for c in chunks])]).astype(_I64)
+    return blob, off
+
+
+def _local_first_seen(unit_of_item: np.ndarray, code: np.ndarray, ncodes: int):
+    """Per-unit first-seen factorization of (unit, code) pairs.
+
+    ``unit_of_item`` must be NON-DECREASING (items grouped by unit in
+    order). Returns (local_idx per item, per-unit table starts int64[U+1],
+    code per table slot in per-unit first-seen order).
+    """
+    pair = unit_of_item * _I64(ncodes) + code
+    uniq, first_idx, inv = np.unique(pair, return_index=True,
+                                     return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")  # grouped by unit, in
+    rank = np.empty(len(uniq), _I64)              # first-seen order
+    rank[order] = np.arange(len(uniq), dtype=_I64)
+    pair_unit = (uniq // ncodes)[order]
+    nunits = int(unit_of_item[-1]) + 1 if len(unit_of_item) else 0
+    per_unit = np.bincount(pair_unit, minlength=nunits).astype(_I64)
+    starts = np.concatenate([[0], np.cumsum(per_unit)]).astype(_I64)
+    local_of_pair = np.empty(len(uniq), _I64)
+    local_of_pair[order] = np.arange(len(uniq), dtype=_I64) - starts[pair_unit]
+    return local_of_pair[inv], starts, (uniq % ncodes)[order]
+
+
 def encode_tile_table(tbl) -> tuple[int, int, int, bytes]:
     """One grouped tile (pa.Table with the composite output columns) →
     (z, x, y, tile bytes). Feature order: tile_idx, feature_idx (stable);
     layers in first-seen order (O3, reference src/vtcomposite.cpp:239,742).
+
+    Thin wrapper over the multi-tile ``encode_tiles_table`` (the input must
+    hold exactly one distinct (z, x, y))."""
+    out = encode_tiles_table(tbl)
+    if len(out) != 1:
+        raise ValueError(f"expected one tile group, got {len(out)}")
+    return out[0]
+
+
+def encode_tiles_table(tbl) -> list[tuple[int, int, int, bytes]]:
+    """MANY tiles in one call — the per-tile fixed cost amortizer.
+
+    ``tbl``: composite-output rows for any number of (z, x, y) tiles.
+    Returns [(z, x, y, tile bytes), ...], byte-identical per tile to
+    encoding each group alone (the parity matrix in
+    tests/test_encode_columnar.py gates this).
+
+    Why it exists: per-tile encoding pays ~6 ms of fixed cost per call
+    (~80 small numpy dispatches, object-string np.unique, one
+    _encode_value_fast per distinct value). Across a batch those
+    amortize: ONE geometry pass, ONE varint pass, ONE framing scatter for
+    every feature of every tile; keys/values factorize once globally
+    (Arrow dictionary_encode) and each distinct value's bytes are encoded
+    once, however many tiles repeat it. Per-tile work left is slicing the
+    frame blob and joining pre-encoded key/value table entries.
     """
-    import pyarrow.compute as pc
+    import pyarrow as pa
 
     tbl = tbl.combine_chunks()
-    order = pc.sort_indices(tbl, sort_keys=[("tile_idx", "ascending"),
-                                            ("feature_idx", "ascending")])
-    tbl = tbl.take(order).combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return []
 
-    z = tbl.column("z")[0].as_py()
-    x = tbl.column("x")[0].as_py()
-    y = tbl.column("y")[0].as_py()
-    compress = bool(tbl.column("compress")[0].as_py()) \
-        if "compress" in tbl.column_names else False
+    z_all = _np_col(tbl, "z").to_numpy(zero_copy_only=False).astype(_I64)
+    x_all = _np_col(tbl, "x").to_numpy(zero_copy_only=False).astype(_I64)
+    y_all = _np_col(tbl, "y").to_numpy(zero_copy_only=False).astype(_I64)
+    ti_all = _np_col(tbl, "tile_idx").to_numpy(zero_copy_only=False).astype(_I64)
+    fi_all = _np_col(tbl, "feature_idx").to_numpy(zero_copy_only=False).astype(_I64)
+
+    # --- row order: tiles contiguous, (tile_idx, feature_idx) within tile
+    order1 = np.lexsort((fi_all, ti_all, y_all, x_all, z_all))
+    zs, xs_, ys_ = z_all[order1], x_all[order1], y_all[order1]
+    new_tile = np.ones(n, bool)
+    new_tile[1:] = (zs[1:] != zs[:-1]) | (xs_[1:] != xs_[:-1]) | (ys_[1:] != ys_[:-1])
+    tile_of_row = np.cumsum(new_tile) - 1
+    ntiles = int(tile_of_row[-1]) + 1
+
+    # --- units: (tile, layer) in per-tile first-seen order, rows within a
+    # unit in sorted order. One more stable gather makes units contiguous.
+    lcode_raw, layer_dict = _dict_encode(_np_col(tbl, "layer").take(
+        pa.array(order1, pa.int64())))
+    pair = tile_of_row * _I64(len(layer_dict)) + lcode_raw
+    uniq_u, first_u, inv_u = np.unique(pair, return_index=True,
+                                       return_inverse=True)
+    order_u = np.argsort(first_u, kind="stable")
+    rank_u = np.empty(len(uniq_u), _I64)
+    rank_u[order_u] = np.arange(len(uniq_u), dtype=_I64)
+    unit_of_row_raw = rank_u[inv_u]
+    order2 = np.argsort(unit_of_row_raw, kind="stable")
+    total_order = order1[order2]
+    unit_of_row = unit_of_row_raw[order2]
+    nunits = len(uniq_u)
+    unit_first_row = np.searchsorted(unit_of_row, np.arange(nunits, dtype=_I64))
+    unit_row_start = np.concatenate([unit_first_row, [n]]).astype(_I64)
+    unit_tile = tile_of_row[order2][unit_first_row]
+    unit_lcode = lcode_raw[order2][unit_first_row]
+
+    tbl = tbl.take(pa.array(total_order, pa.int64())).combine_chunks()
 
     def list_parts(colname, dtype):
         arr = _np_col(tbl, colname)
@@ -340,53 +442,204 @@ def encode_tile_table(tbl) -> tuple[int, int, int, bytes]:
     _, ys_vals = list_parts("ys", _I64)
     po_off, po_vals = list_parts("part_offsets", _I64)
     gt_all = _np_col(tbl, "geom_type").to_numpy(zero_copy_only=False).astype(_I64)
-    layer_all = _np_col(tbl, "layer").to_numpy(zero_copy_only=False)
     lv_arr = _np_col(tbl, "layer_version").fill_null(2) \
         .to_numpy(zero_copy_only=False).astype(_I64)
     ext_arr = _np_col(tbl, "extent").to_numpy(zero_copy_only=False).astype(_I64)
     fid_arr = _np_col(tbl, "feature_id")
-    fid_valid_all = ~fid_arr.is_null().to_numpy(zero_copy_only=False)
-    fid_all = fid_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(_I64)
+    fid_valid = ~fid_arr.is_null().to_numpy(zero_copy_only=False)
+    fid_vals = fid_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(_I64)
+    if "compress" in tbl.column_names:
+        compress_rows = _np_col(tbl, "compress").fill_null(False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+    else:
+        compress_rows = np.zeros(n, bool)
 
     has_types = "prop_types" in tbl.column_names
     parr = _np_col(tbl, "properties")
     p_off = parr.offsets.to_numpy(zero_copy_only=False).astype(_I64)
-    p_keys = parr.keys.to_numpy(zero_copy_only=False)
-    p_vals = parr.items.to_numpy(zero_copy_only=False)
+    # entry arrays are used POSITIONALLY (entry j of the flat children is
+    # row ef[j]'s) — normalize a sliced map child to zero-based dense
+    if p_off[0] != 0 or p_off[-1] != len(parr.keys):
+        base = int(p_off[0])
+        p_keys = parr.keys.slice(base, int(p_off[-1]) - base)
+        p_vals = parr.items.slice(base, int(p_off[-1]) - base)
+        p_off = p_off - base
+    else:
+        p_keys = parr.keys
+        p_vals = parr.items
     if has_types:
         tarr = _np_col(tbl, "prop_types")
         t_off = tarr.offsets.to_numpy(zero_copy_only=False).astype(_I64)
-        t_keys = tarr.keys.to_numpy(zero_copy_only=False)
-        if tarr.items.null_count == 0:
-            t_vals = tarr.items.to_numpy(zero_copy_only=False).astype(_I64)
+        tk_arr = tarr.keys
+        tv_arr = tarr.items
+        if t_off[0] != 0 or t_off[-1] != len(tk_arr):
+            tbase = int(t_off[0])
+            tk_arr = tk_arr.slice(tbase, int(t_off[-1]) - tbase)
+            tv_arr = tv_arr.slice(tbase, int(t_off[-1]) - tbase)
+            t_off = t_off - tbase
+        t_keys = tk_arr.to_numpy(zero_copy_only=False)
+        if tv_arr.null_count == 0:
+            t_vals = tv_arr.to_numpy(zero_copy_only=False).astype(_I64)
         else:
             t_vals = np.array(
                 [mvt.TAG_STRING if v is None else int(v)
-                 for v in tarr.items.to_pylist()], dtype=_I64)
+                 for v in tv_arr.to_pylist()], dtype=_I64)
         # fast path: both maps share entry order (ingestion + localize keep
         # them aligned); else per-row dict matching
-        if (len(t_keys) == len(p_keys) and np.array_equal(t_off, p_off)
-                and bool(np.all(t_keys == p_keys))):
+        pk_np = p_keys.to_numpy(zero_copy_only=False)
+        if (len(t_keys) == len(pk_np) and np.array_equal(t_off, p_off)
+                and bool(np.all(t_keys == pk_np))):
             p_tags = t_vals
         else:
-            p_tags = np.empty(len(p_keys), _I64)
+            p_tags = np.empty(len(pk_np), _I64)
             for r in range(len(p_off) - 1):
                 d = {t_keys[i]: t_vals[i] for i in range(t_off[r], t_off[r + 1])}
                 for i in range(p_off[r], p_off[r + 1]):
-                    p_tags[i] = d.get(p_keys[i]) or mvt.TAG_STRING
+                    p_tags[i] = d.get(pk_np[i]) or mvt.TAG_STRING
     else:
         p_tags = np.full(len(p_keys), mvt.TAG_STRING, _I64)
 
-    # layers in first-seen order; rows within a layer keep global order
-    l_codes, l_uniq = _factorize_first_seen(layer_all)
-    parts = []
-    for li, nm in enumerate(l_uniq):
-        ridx = np.nonzero(l_codes == li)[0].astype(_I64)
-        parts.append(encode_layer_columnar(
-            nm, lv_arr[ridx[0]], ext_arr[ridx[0]],
-            gt_all[ridx], fid_all[ridx], fid_valid_all[ridx],
-            xs_off[ridx], xs_off[ridx + 1], xs_vals, ys_vals,
-            po_off[ridx], po_off[ridx + 1], po_vals,
-            p_keys, p_vals, p_tags, p_off[ridx], p_off[ridx + 1]))
-    buf = b"".join(parts)
-    return z, x, y, mvt.gzip_sink(buf, compress)
+    # --- ONE geometry pass over every feature of every tile
+    geoblob, geo_starts = _geometry_blob(
+        gt_all, xs_off[:-1], xs_off[1:], xs_vals, ys_vals,
+        po_off[:-1], po_off[1:], po_vals)
+
+    # --- property tag words, per-unit local key/value indices
+    nent = np.diff(p_off)
+    total_ent = int(nent.sum())
+    tag_starts = np.zeros(n + 1, _I64)
+    key_starts = np.zeros(nunits + 1, _I64)
+    val_starts = np.zeros(nunits + 1, _I64)
+    unit_key_codes = np.empty(0, _I64)
+    unit_val_codes = np.empty(0, _I64)
+    key_entry_bytes: list[bytes] = []
+    val_entry_bytes: list[bytes] = []
+    tagblob = np.empty(0, _U8)
+    if total_ent:
+        ef = np.repeat(np.arange(n, dtype=_I64), nent)
+        unit_of_ent = unit_of_row[ef]
+        kcode, key_dict = _dict_encode(p_keys)
+        scode, sdict = _dict_encode(p_vals)
+        tg = p_tags
+        # global typed value dedupe: each distinct (tag, canonical string)
+        # parses once; (tag, typed value) collisions (e.g. every NaN) merge
+        M = _I64(len(sdict) + 1)
+        combo = tg * M + scode
+        uc, uinv = np.unique(combo, return_inverse=True)
+        gcanon_of_combo = np.empty(len(uc), _I64)
+        seen: dict = {}
+        canon_bytes: list[bytes] = []
+        sdict_l = list(sdict)
+        for u, c in enumerate(uc.tolist()):
+            tag, sc = divmod(c, int(M))
+            tv = mvt.from_canonical(tag, sdict_l[sc])
+            kk = (tag, tv)
+            g = seen.get(kk)
+            if g is None:
+                g = seen[kk] = len(canon_bytes)
+                vb = _encode_value_fast(tag, tv)
+                canon_bytes.append(b"\x22" + _uv(len(vb)) + vb)
+            gcanon_of_combo[u] = g
+        gcanon = gcanon_of_combo[uinv]
+        val_entry_bytes = canon_bytes
+        key_entry_bytes = [
+            b"\x1a" + _uv(len(kb)) + kb
+            for kb in (k.encode("utf-8") for k in key_dict)]
+
+        k_local, key_starts, unit_key_codes = _local_first_seen(
+            unit_of_ent, kcode, len(key_dict))
+        v_local, val_starts, unit_val_codes = _local_first_seen(
+            unit_of_ent, gcanon, len(canon_bytes))
+
+        twords = np.empty(2 * total_ent, _U64)
+        twords[0::2] = k_local.astype(_U64)
+        twords[1::2] = v_local.astype(_U64)
+        tagblob, tnb = varint_encode(twords)
+        tb = np.bincount(np.repeat(ef, 2), weights=tnb, minlength=n).astype(_I64)
+        tag_starts = np.concatenate([[0], np.cumsum(tb)]).astype(_I64)
+
+    # --- ONE framing scatter for every feature
+    taglen = np.diff(tag_starts)
+    geolen = np.diff(geo_starts)
+    has_tags = taglen > 0
+    fid_uv, fid_nb_p = varint_encode(fid_vals[fid_valid])
+    fid_nb = np.zeros(n, _I64)
+    fid_nb[fid_valid] = fid_nb_p
+    fid_len = np.where(fid_valid, 1 + fid_nb, 0)
+    taglen_uv, tagl_nb_p = varint_encode(taglen[has_tags])
+    tag_hdr = np.zeros(n, _I64)
+    tag_hdr[has_tags] = 1 + tagl_nb_p
+    geolen_uv, geol_nb = varint_encode(geolen)
+    fb_len = fid_len + tag_hdr + taglen + 2 + 1 + geol_nb + geolen
+    fb_uv, fb_nb = varint_encode(fb_len)
+    frame_sizes = 1 + fb_nb + fb_len
+    out = np.zeros(int(frame_sizes.sum()), _U8)
+    frame_bounds = np.concatenate([[0], np.cumsum(frame_sizes)]).astype(_I64)
+    fstart = frame_bounds[:-1]
+
+    out[fstart] = 0x12
+    p = fstart + 1
+    out[_multi_arange(p, p + fb_nb)] = fb_uv
+    p = p + fb_nb
+    pv = p[fid_valid]
+    out[pv] = 0x08
+    out[_multi_arange(pv + 1, pv + 1 + fid_nb[fid_valid])] = fid_uv
+    p = p + fid_len
+    pt = p[has_tags]
+    out[pt] = 0x12
+    out[_multi_arange(pt + 1, pt + tag_hdr[has_tags])] = taglen_uv
+    out[_multi_arange(p + tag_hdr, p + tag_hdr + taglen)] = tagblob
+    p = p + tag_hdr + taglen
+    out[p] = 0x18
+    out[p + 1] = gt_all.astype(_U8)
+    out[p + 2] = 0x22
+    out[_multi_arange(p + 3, p + 3 + geol_nb)] = geolen_uv
+    out[_multi_arange(p + 3 + geol_nb, p + 3 + geol_nb + geolen)] = geoblob
+    frames = out.tobytes()
+
+    # --- per-unit key/value table bytes: ONE vectorized gather of the
+    # pre-encoded per-code chunks, sliced per unit
+    kblob, kb_off = _bytes_blob(key_entry_bytes)
+    vblob, vb_off = _bytes_blob(val_entry_bytes)
+    ktab = kblob[_multi_arange(kb_off[unit_key_codes],
+                               kb_off[unit_key_codes + 1])].tobytes()
+    vtab = vblob[_multi_arange(vb_off[unit_val_codes],
+                               vb_off[unit_val_codes + 1])].tobytes()
+    klen = kb_off[unit_key_codes + 1] - kb_off[unit_key_codes]
+    vlen = vb_off[unit_val_codes + 1] - vb_off[unit_val_codes]
+    unit_ktab = np.zeros(nunits + 1, _I64)
+    unit_vtab = np.zeros(nunits + 1, _I64)
+    if len(klen):
+        slot_unit = np.repeat(np.arange(nunits, dtype=_I64), np.diff(key_starts))
+        unit_ktab[1:] = np.cumsum(
+            np.bincount(slot_unit, weights=klen, minlength=nunits)).astype(_I64)
+        slot_unit_v = np.repeat(np.arange(nunits, dtype=_I64), np.diff(val_starts))
+        unit_vtab[1:] = np.cumsum(
+            np.bincount(slot_unit_v, weights=vlen, minlength=nunits)).astype(_I64)
+
+    # --- per-unit layer messages, per-tile concatenation
+    ext_vals = np.unique(ext_arr[unit_first_row]).tolist()
+    ext_map = {int(e): b"\x28" + _uv(int(e)) for e in ext_vals}
+    name_heads = [b"\x0a" + _uv(len(nb)) + nb
+                  for nb in (str(s).encode("utf-8") for s in layer_dict)]
+    results: list[tuple[int, int, int, bytes]] = []
+    tile_unit_start = np.searchsorted(unit_tile, np.arange(ntiles, dtype=_I64))
+    tile_unit_bounds = np.concatenate([tile_unit_start, [nunits]]).astype(_I64)
+    for t in range(ntiles):
+        msgs = []
+        for u in range(int(tile_unit_bounds[t]), int(tile_unit_bounds[t + 1])):
+            r0 = int(unit_first_row[u])
+            body = b"".join((
+                b"\x78", _uv(int(lv_arr[r0])),
+                name_heads[int(unit_lcode[u])],
+                frames[int(frame_bounds[r0]):
+                       int(frame_bounds[unit_row_start[u + 1]])],
+                ktab[int(unit_ktab[u]):int(unit_ktab[u + 1])],
+                vtab[int(unit_vtab[u]):int(unit_vtab[u + 1])],
+                ext_map[int(ext_arr[r0])]))
+            msgs.append(b"\x1a" + _uv(len(body)) + body)
+        r0 = int(unit_first_row[int(tile_unit_bounds[t])])
+        orig = int(total_order[r0])
+        results.append((int(z_all[orig]), int(x_all[orig]), int(y_all[orig]),
+                        mvt.gzip_sink(b"".join(msgs), bool(compress_rows[r0]))))
+    return results

@@ -50,6 +50,7 @@ def build_workload(spark, sf_dir):
     pages_src = spark.read.parquet(pages_path)
 
     counters: dict[str, int] = {}
+    cpus_hint = spark.sparkContext.defaultParallelism
 
     def pages_geocode():
         geo = extract_geotags(pages_src, keep=["url", "lang"]).filter(F.col("lat").isNotNull())
@@ -95,16 +96,18 @@ def build_workload(spark, sf_dir):
     FIXTURES = "/root/reference/test/fixtures"
     n_events = events.count()
 
-    def _fixture_grid_paths(fixture_name, n_src, src_z=8):
+    def _fixture_grid_paths(fixture_name, n_src, src_z=8, dz=1, compress=False):
         """Replicate a decoded fixture across n_src distinct source tiles
-        (all 4 children of each requested — one-level overzoom) and
-        MATERIALIZE features+targets to parquet once, so the timed stages
-        measure scan→composite (the analog of the reference's per-run
+        (all 4^dz descendants of each requested) and MATERIALIZE
+        features+targets to parquet once, so the timed stages measure
+        scan→composite (the analog of the reference's per-run
         decode→composite), not synthetic input construction."""
         from vtcomposite_spark.sources.ingest import features_from_tiles
         tag = fixture_name.split("-")[0]
         fpath = f"/tmp/vtc_bench_{tag}_feats_{n_src}"
-        tpath = f"/tmp/vtc_bench_{tag}_targets_{n_src}"
+        suffix = (f"_dz{dz}" if dz != 1 else "") + ("_gz" if compress else "")
+        tpath = f"/tmp/vtc_bench_{tag}_targets_{n_src}{suffix}"
+        k = 1 << dz
         if not (os.path.isdir(fpath) and os.path.isdir(tpath)):
             buf = open(f"{FIXTURES}/{fixture_name}", "rb").read()
             template = features_from_tiles(spark, [(buf, 0, 0, 0)]) \
@@ -112,17 +115,18 @@ def build_workload(spark, sf_dir):
             grid = spark.range(n_src, numPartitions=32).select(
                 (F.col("id") % 256).cast("long").alias("src_x"),
                 (F.col("id") / 256).cast("long").alias("src_y"))
-            feats = template.crossJoin(grid).withColumn("src_z", F.lit(src_z))
-            quad = spark.range(4).select(
-                (F.col("id") % 2).alias("dx"), (F.col("id") / 2).cast("long").alias("dy"))
+            if not os.path.isdir(fpath):
+                feats = template.crossJoin(grid).withColumn("src_z", F.lit(src_z))
+                feats.write.mode("overwrite").parquet(fpath)
+            quad = spark.range(k * k).select(
+                (F.col("id") % k).alias("dx"), (F.col("id") / k).cast("long").alias("dy"))
             targets = grid.crossJoin(quad).select(
-                F.lit(src_z + 1).alias("z"),
-                (F.col("src_x") * 2 + F.col("dx")).cast("long").alias("x"),
-                (F.col("src_y") * 2 + F.col("dy")).cast("long").alias("y"),
+                F.lit(src_z + dz).alias("z"),
+                (F.col("src_x") * k + F.col("dx")).cast("long").alias("x"),
+                (F.col("src_y") * k + F.col("dy")).cast("long").alias("y"),
                 F.lit(128).alias("buffer_size"),
                 F.lit(None).cast("array<string>").alias("keep_layers"),
-                F.lit(False).alias("compress"))
-            feats.write.mode("overwrite").parquet(fpath)
+                F.lit(compress).alias("compress"))
             targets.coalesce(1).write.mode("overwrite").parquet(tpath)
         return spark.read.parquet(fpath), spark.read.parquet(tpath)
 
@@ -188,6 +192,63 @@ def build_workload(spark, sf_dir):
         counters["fused_steady_sec"] = round(best, 3)
         counters["fused_tiles"] = row.tiles
         counters["fused_mb"] = round((row.bytes or 0) / 1e6, 1)
+
+    def _run_sink(fixture_name, n_src, steady_key, mb_key,
+                  dz=1, compress=False, partitions=None):
+        """Specialized source-grouped fused sink (overzoom_encode_tiles) —
+        the closest true analog of a reference bench run: the request names
+        its source tile, the output IS an encoded (optionally gzipped)
+        tile. Warm + best-of-2 on freshly built plans."""
+        from vtcomposite_spark.operators.composite import overzoom_encode_tiles
+        feats, targets = _fixture_grid_paths(fixture_name, n_src, dz=dz,
+                                             compress=compress)
+
+        def run():
+            return overzoom_encode_tiles(
+                feats, targets, src_zoom=8, partitions=partitions).agg(
+                F.count("*").alias("tiles"),
+                F.sum(F.length("tile")).alias("bytes")).collect()[0]
+        run()
+        best = None
+        for _ in range(3):  # best-of-3: ambient host noise is ±2× here
+            t0 = time.perf_counter()
+            row = run()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        counters[steady_key] = round(best, 3)
+        counters[mb_key] = round((row.bytes or 0) / 1e6, 1)
+        return row.tiles  # may be < requested if a target clips fully empty
+
+    def line_overzoom_sink():
+        counters["line_sink_tiles"] = _run_sink(
+            "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC,
+            "line_sink_steady_sec", "line_sink_mb")
+
+    def poly_overzoom_sink():
+        # polygon overlay groups are compute-heavy (~40 ms each): ~3 tasks
+        # per core balances stragglers; line groups are cheap enough that
+        # the finer exchange costs more than it saves (measured)
+        counters["poly_sink_tiles"] = _run_sink(
+            "polygons-properties-16-10498-22872.mvt", N_POLY_SRC,
+            "poly_sink_steady_sec", "poly_sink_mb",
+            partitions=3 * cpus_hint)
+
+    def line_overzoom_dz2_sink():
+        """Two-zoom-apart overzoom (reference rule 15, bench/rules.js:117-134:
+        2,174 runs/s vs 1,163 at dz=1 — MORE THAN FASTER per tile because
+        most features clip away at dz=2; the envelope prune should show the
+        same shape here)."""
+        counters["dz2_sink_tiles"] = _run_sink(
+            "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC,
+            "dz2_sink_steady_sec", "dz2_sink_mb", dz=2)
+
+    def line_overzoom_gzip_sink():
+        """Compressed-output variant (the reference's --compress bench rules,
+        CONTRIBUTING.md:56-61): same clip+encode plus one zlib pass per
+        output tile."""
+        counters["gzip_sink_tiles"] = _run_sink(
+            "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC,
+            "gzip_sink_steady_sec", "gzip_sink_mb",
+            compress=True)
 
     def encode_sink():
         """S3 sink throughput. The composite input is persisted+materialized
@@ -271,6 +332,10 @@ def build_workload(spark, sf_dir):
         "line_composite_overzoom": line_composite_overzoom,
         "polygon_composite_overzoom": polygon_composite_overzoom,
         "line_composite_encode_fused": line_composite_encode_fused,
+        "line_overzoom_sink": line_overzoom_sink,
+        "poly_overzoom_sink": poly_overzoom_sink,
+        "line_overzoom_dz2_sink": line_overzoom_dz2_sink,
+        "line_overzoom_gzip_sink": line_overzoom_gzip_sink,
         "encode_sink": encode_sink,
         "localize_props": localize_props,
         "knn_grid": knn_grid,
@@ -282,7 +347,9 @@ def build_workload(spark, sf_dir):
     }
     if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those
         for k in ("line_composite_overzoom", "polygon_composite_overzoom",
-                  "line_composite_encode_fused", "encode_sink"):
+                  "line_composite_encode_fused", "line_overzoom_sink",
+                  "poly_overzoom_sink", "line_overzoom_dz2_sink",
+                  "line_overzoom_gzip_sink", "encode_sink"):
             stages.pop(k)
     return stages, counters
 
@@ -307,7 +374,9 @@ def run(sf_dir=None, cpus=None, quiet=False):
     # light stages run twice and report the min — this sandbox host shows
     # ±50% noise blips between runs (one stage measured 1.5s and 61.8s)
     internal_steady = {"line_composite_overzoom", "polygon_composite_overzoom",
-                       "line_composite_encode_fused", "encode_sink"}
+                       "line_composite_encode_fused", "line_overzoom_sink",
+                       "poly_overzoom_sink", "line_overzoom_dz2_sink",
+                       "line_overzoom_gzip_sink", "encode_sink"}
     times: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in stages.items():
@@ -345,6 +414,17 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                       / max(counters.get("encode_sec", 1e-9), 1e-9), 1),
         "fused_tiles_per_sec": round(counters.get("fused_tiles", 0)
                                      / max(counters.get("fused_steady_sec", 1e-9), 1e-9), 1),
+        # specialized source-grouped sink (overzoom_encode_tiles) — the
+        # true analog of a reference run; compare line/poly to BASELINE.md
+        # rows 10/11, dz2 to row 15, gzip to the --compress rules
+        "line_sink_tiles_per_sec": round(counters.get("line_sink_tiles", 0)
+                                         / max(counters.get("line_sink_steady_sec", 1e-9), 1e-9), 1),
+        "poly_sink_tiles_per_sec": round(counters.get("poly_sink_tiles", 0)
+                                         / max(counters.get("poly_sink_steady_sec", 1e-9), 1e-9), 1),
+        "dz2_sink_tiles_per_sec": round(counters.get("dz2_sink_tiles", 0)
+                                        / max(counters.get("dz2_sink_steady_sec", 1e-9), 1e-9), 1),
+        "gzip_sink_tiles_per_sec": round(counters.get("gzip_sink_tiles", 0)
+                                         / max(counters.get("gzip_sink_steady_sec", 1e-9), 1e-9), 1),
     }
     spark.stop()
     if not quiet:

@@ -569,6 +569,193 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     return packed.mapInArrow(clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
 
+def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
+                          src_zoom: int,
+                          partitions: int | None = None) -> DataFrame:
+    """Single-source-zoom composite→encode, grouped by SOURCE tile.
+
+    The generic ``composite_encode_tiles`` joins features to targets first,
+    so the shuffle (and every later stage) carries each feature once PER
+    DESCENDANT TARGET — 4× at dz=1, 16× at dz=2. When every feature sits
+    at ONE source zoom (the tileset-materialization shape: overzoom a z_s
+    layer pyramid-down), each target draws from exactly one source tile,
+    so the fan-out can happen INSIDE the kernel as numpy gathers instead:
+
+    * targets group by their z_src ancestor address (tiny, broadcast);
+    * features group by (src_x, src_y) — ONE shuffle of unduplicated rows,
+      shuffle bytes ∝ input, not input × 4^dz (the 100-TB difference);
+    * the kernel fans (feature × target) pairs vectorized — per-group
+      first-wins (winners per layer are identical for every target of a
+      group, because the join would hand every target the same feature
+      set), per-target keep-list + envelope prune, then the shared clip
+      kernel and multi-tile encoder.
+
+    Byte-identical to ``composite_encode_tiles(features, targets)`` for
+    single-zoom inputs (parity-tested). Targets above the source zoom
+    (z < src_zoom) yield nothing, like the generic path's inner join.
+    Reference analog: one bench run of rules 5/10/11/15 (bench/rules.js:
+    35-152) — the request names its source tile explicitly.
+    """
+    import pyarrow as pa
+
+    from ..sources import mvt_vec
+
+    feats = features.filter(F.col("src_z") == src_zoom)
+    t = (targets.filter(F.col("z") >= src_zoom)
+         .withColumn("src_x", F.call_function(
+             "shiftright", F.col("x"), F.col("z") - F.lit(src_zoom)).cast("long"))
+         .withColumn("src_y", F.call_function(
+             "shiftright", F.col("y"), F.col("z") - F.lit(src_zoom)).cast("long")))
+    tgt_fields = ["z", "x", "y", "buffer_size", "compress"]
+    if "keep_layers" in t.columns:
+        tgt_fields.append("keep_layers")
+    tgrp = (t.groupBy("src_x", "src_y")
+            .agg(F.collect_list(F.struct(*tgt_fields)).alias("tgts")))
+
+    data_cols = [c for c in feats.columns if c not in ("src_z", "src_x", "src_y")]
+    if partitions:
+        # one packed row = one source tile's whole kernel+encode workload
+        # (tens of ms) — with few groups per core the default shuffle
+        # partitioning leaves stragglers; a finer hash partitioning on the
+        # group key is inherited by the agg (no extra exchange)
+        feats = feats.repartition(partitions, "src_x", "src_y")
+    fgrp = (feats.groupBy("src_x", "src_y")
+            .agg(F.collect_list(F.struct(*data_cols)).alias("feats")))
+    packed = fgrp.join(F.broadcast(tgrp), on=["src_x", "src_y"], how="inner")
+
+    feat_names = data_cols
+    kernel_names = feat_names + ["z", "x", "y", "buffer_size", "compress",
+                                 "dz", "disp_x", "disp_y"]
+    clip_fields = [f for f in features.select(*data_cols).schema.fields] + [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("buffer_size", T.IntegerType()),
+        T.StructField("compress", T.BooleanType()),
+    ]
+    clip_schema = pa.schema([
+        pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields
+        if f.name not in _KERNEL_HELPER_COLS])
+
+    def fan_clip_encode(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            fl = batch.column("feats")
+            foff = fl.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+            fvals = fl.values
+            if int(foff[0]) != 0 or int(foff[-1]) != len(fvals):
+                fvals = fvals.slice(int(foff[0]), int(foff[-1]) - int(foff[0]))
+                foff = foff - foff[0]
+            tl = batch.column("tgts")
+            toff = tl.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+            tvals = tl.values
+            if int(toff[0]) != 0 or int(toff[-1]) != len(tvals):
+                tvals = tvals.slice(int(toff[0]), int(toff[-1]) - int(toff[0]))
+                toff = toff - toff[0]
+            nfeat_total = int(foff[-1])
+            if nfeat_total == 0:
+                continue
+
+            fcol = {f.name: fvals.field(i) for i, f in enumerate(fvals.type)}
+            xs_arr = fcol["xs"]
+            xo = xs_arr.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+            xv = xs_arr.values.to_numpy(zero_copy_only=False).astype(_I64)
+            ys_arr = fcol["ys"]
+            yo = ys_arr.offsets.to_numpy(zero_copy_only=False).astype(_I64)
+            yv = ys_arr.values.to_numpy(zero_copy_only=False).astype(_I64)
+            # per-feature bbox (xs always has >=1 vertex)
+            bminx = np.minimum.reduceat(xv, xo[:-1])
+            bmaxx = np.maximum.reduceat(xv, xo[:-1])
+            bminy = np.minimum.reduceat(yv, yo[:-1])
+            bmaxy = np.maximum.reduceat(yv, yo[:-1])
+            ext = fcol["extent"].to_numpy(zero_copy_only=False).astype(_I64)
+            ti = fcol["tile_idx"].to_numpy(zero_copy_only=False).astype(_I64)
+            layer_codes, layer_dict = mvt_vec._dict_encode(fcol["layer"])
+
+            tz = tvals.field(0).to_numpy(zero_copy_only=False).astype(_I64)
+            tx = tvals.field(1).to_numpy(zero_copy_only=False).astype(_I64)
+            ty = tvals.field(2).to_numpy(zero_copy_only=False).astype(_I64)
+            tbuf = tvals.field(3).to_numpy(zero_copy_only=False).astype(_I64)
+            tcmp = tvals.field(4).fill_null(False).to_numpy(zero_copy_only=False)
+            has_keep = len(tgt_fields) == 6
+            keep_lists = tvals.field(5).to_pylist() if has_keep else None
+
+            pair_feat: list[np.ndarray] = []
+            pair_tgt: list[np.ndarray] = []
+            for g in range(batch.num_rows):
+                f0, f1 = int(foff[g]), int(foff[g + 1])
+                if f0 == f1:
+                    continue
+                lc = layer_codes[f0:f1]
+                # first-wins per layer over the WHOLE source group — the
+                # generic path's groupBy(target, layer).min(tile_idx)
+                # winners are identical for every target of the group
+                nl = len(layer_dict)
+                win = np.full(nl, np.iinfo(np.int64).max, _I64)
+                np.minimum.at(win, lc, ti[f0:f1])
+                alive0 = ti[f0:f1] == win[lc]
+                for k in range(int(toff[g]), int(toff[g + 1])):
+                    dz = int(tz[k]) - src_zoom
+                    zf = np.int64(1) << np.int64(dz)
+                    alive = alive0
+                    if has_keep and keep_lists[k] is not None \
+                            and len(keep_lists[k]):
+                        keep = {s for s in keep_lists[k]}
+                        lmask = np.array(
+                            [layer_dict[c] in keep for c in range(nl)], bool)
+                        alive = alive & lmask[lc]
+                    if dz > 0:
+                        e = ext[f0:f1]
+                        dx = (tx[k] & (int(zf) - 1)) * e
+                        dy = (ty[k] & (int(zf) - 1)) * e
+                        lo = -tbuf[k]
+                        hi = e + tbuf[k]
+                        alive = alive \
+                            & (bmaxx[f0:f1] * zf - dx >= lo) \
+                            & (bminx[f0:f1] * zf - dx <= hi) \
+                            & (bmaxy[f0:f1] * zf - dy >= lo) \
+                            & (bminy[f0:f1] * zf - dy <= hi)
+                    sel = np.nonzero(alive)[0].astype(_I64) + f0
+                    if len(sel):
+                        pair_feat.append(sel)
+                        pair_tgt.append(np.full(len(sel), k, _I64))
+            if not pair_feat:
+                continue
+            pf = np.concatenate(pair_feat)
+            pt = np.concatenate(pair_tgt)
+            take = pa.array(pf, pa.int64())
+            dz_arr = tz[pt] - src_zoom
+            zf_arr = np.int64(1) << dz_arr
+            ext_p = ext[pf]
+            cols = {n: fvals.field(i).take(take)
+                    for i, n in enumerate(fn.name for fn in fvals.type)}
+            cols["z"] = pa.array(tz[pt].astype(np.int32), pa.int32())
+            cols["x"] = pa.array(tx[pt], pa.int64())
+            cols["y"] = pa.array(ty[pt], pa.int64())
+            cols["buffer_size"] = pa.array(tbuf[pt].astype(np.int32), pa.int32())
+            cols["compress"] = pa.array(tcmp[pt], pa.bool_())
+            cols["dz"] = pa.array(dz_arr.astype(np.int32), pa.int32())
+            cols["disp_x"] = pa.array((tx[pt] & (zf_arr - 1)) * ext_p, pa.int64())
+            cols["disp_y"] = pa.array((ty[pt] & (zf_arr - 1)) * ext_p, pa.int64())
+            flat = pa.RecordBatch.from_arrays(
+                [cols[n] for n in kernel_names], names=kernel_names)
+            clipped = list(_overzoom_clip_batches(iter([flat]), clip_schema))
+            if not clipped:
+                continue
+            tiles = mvt_vec.encode_tiles_table(
+                pa.Table.from_batches(clipped, schema=clip_schema))
+            if tiles:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([r[0] for r in tiles], pa.int32()),
+                     pa.array([r[1] for r in tiles], pa.int64()),
+                     pa.array([r[2] for r in tiles], pa.int64()),
+                     pa.array([r[3] for r in tiles], pa.binary())],
+                    names=["z", "x", "y", "tile"])
+
+    return packed.mapInArrow(fan_clip_encode, schema=_ENCODE_OUT_SCHEMA)
+
+
 def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
     """S3/S4 terminal sink: (z, x, y, tile:binary).
 

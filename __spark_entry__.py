@@ -399,8 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def embedding_near_dup_pairs(spark, sf):
+        """Banded random-hyperplane LSH (2 tables × 4 bits, OR-amplified)
+        → exact-cosine refine; md5-seeded literal hyperplanes keep the
+        bucketing bit-identical to the DuckDB oracle."""
         emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") % 5 == 0)
-        return D.embedding_near_dups(emb, threshold=0.3, sign_bits=4)
+        return D.embedding_near_dups(emb, threshold=0.3, tables=2, bits=4)
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
     return q
@@ -600,15 +603,22 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rank <= 5"
     )
 
-    sign_key = ("(" + " || ".join(
-        f"(CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(4)) + ")")
+    # banded random-hyperplane LSH: same md5-seeded literal signs, same
+    # integer milli-unit projection as operators.dedupe.embedding_near_dups
+    band_keys = ", ".join(
+        H.hyperplane_band_key_sql("embedding", t, bits=4, dim=64)
+        for t in range(2))
     cos_ab = H.cosine_sql("a.e", "b.e")
     o["embedding_near_dup_pairs"] = (
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, "
-        f"{sign_key} AS bucket FROM embeddings WHERE vec_id % 5 = 0) "
-        f"SELECT a, b, cos FROM (SELECT a.vec_id AS a, b.vec_id AS b, "
-        f"round({cos_ab}, 4) AS cos FROM v a JOIN v b ON a.bucket = b.bucket "
-        "AND a.vec_id < b.vec_id) WHERE cos >= 0.3"
+        f"unnest([{band_keys}]) AS band_key "
+        "FROM embeddings WHERE vec_id % 5 = 0), "
+        "pairs AS (SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb "
+        "FROM v a JOIN v b ON a.band_key = b.band_key AND a.vec_id < b.vec_id), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) "
+        f"SELECT pa AS a, pb AS b, cos FROM (SELECT pa, pb, round({cos_ab}, 4) AS cos "
+        "FROM pairs JOIN e a ON a.vec_id = pa JOIN e b ON b.vec_id = pb) "
+        "WHERE cos >= 0.3"
     )
 
     return o

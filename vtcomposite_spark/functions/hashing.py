@@ -160,3 +160,90 @@ def cosine_sql(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_transform({a}, v -> v * v)))"
     nb = f"sqrt(list_sum(list_transform({b}, v -> v * v)))"
     return f"({dot} / ({na} * {nb}))"
+
+
+# --- random-hyperplane LSH (embedding near-dup bucketing) ---
+
+def hyperplane_signs(table: int, bit: int, dim: int) -> list[int]:
+    """Deterministic Rademacher (+1/-1) hyperplane for (table, bit): one
+    sign per embedding dimension, derived from md5 so BOTH engines embed
+    the SAME literals (no in-engine float hashing to keep in sync).
+    SimHash-style random projections — Charikar, STOC'02."""
+    import hashlib
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp:{table}:{bit}:{i}".encode()).hexdigest()
+        out.append(1 if int(h[:8], 16) % 2 == 1 else -1)
+    return out
+
+
+def hyperplane_bit_col(vec: Column, table: int, bit: int, dim: int) -> Column:
+    """'1'/'0' sign bit of the hyperplane projection. The projection is a
+    sum of SIGNED INTEGER milli-units (round(x*1000) as long), so it is
+    order-independent and bit-identical across engines — a float dot
+    product could flip sign under a different summation order (the
+    round-2 float-avg drift lesson)."""
+    signs = hyperplane_signs(table, bit, dim)
+    term = None
+    for i, s in enumerate(signs):
+        t = F.round(F.try_element_at(vec, F.lit(i + 1)).cast("double")
+                    * 1000).cast("long")
+        t = t if s > 0 else -t
+        term = t if term is None else term + t
+    return F.when(term >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def hyperplane_bit_sql(c: str, table: int, bit: int, dim: int) -> str:
+    """DuckDB twin of hyperplane_bit_col — same literal signs, same
+    integer milli-unit projection."""
+    signs = hyperplane_signs(table, bit, dim)
+    terms = [
+        f"({'' if s > 0 else '-'}CAST(round(CAST({c}[{i + 1}] AS DOUBLE)"
+        f" * 1000) AS BIGINT))"
+        for i, s in enumerate(signs)]
+    return f"(CASE WHEN ({' + '.join(terms)}) >= 0 THEN '1' ELSE '0' END)"
+
+
+def hyperplane_band_key_col(vec: Column, table: int, bits: int,
+                            dim: int) -> Column:
+    return F.concat(F.lit(f"{table}:"), *[
+        hyperplane_bit_col(vec, table, b, dim) for b in range(bits)])
+
+
+def hyperplane_band_key_sql(c: str, table: int, bits: int, dim: int) -> str:
+    parts = " || ".join(hyperplane_bit_sql(c, table, b, dim)
+                        for b in range(bits))
+    return f"('{table}:' || {parts})"
+
+
+def hyperplane_band_keys_batch(mat, tables: int, bits: int,
+                               dim: int | None = None) -> list[list[str]]:
+    """Vectorized twin of hyperplane_band_key_col for a 2-D float batch:
+    ONE int64 matmul against the stacked sign matrix instead of
+    tables×bits×dim expression nodes (the expression form exceeds the JVM
+    codegen method limit past ~1k terms and falls back to interpreted —
+    this is the hot path at scale; the expression/SQL forms remain the
+    oracle-parity reference). Rounding matches Spark/DuckDB round():
+    HALF_UP away from zero, NOT numpy's banker's rounding."""
+    import numpy as np
+    mat = np.asarray(mat, dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] == 0:  # empty Arrow batch
+        return []
+    if dim is not None:
+        mat = mat[:, :dim]  # match the expression/SQL form's 1..dim slice
+    n, dim = mat.shape
+    if bits == 0:  # degenerate single-bucket-per-table (exact all-pairs)
+        keys = [f"{t}:" for t in range(tables)]
+        return [list(keys) for _ in range(n)]
+    x = mat * 1000.0
+    vq = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    S = np.array([hyperplane_signs(t, b, dim)
+                  for t in range(tables) for b in range(bits)],
+                 dtype=np.int64)          # (tables*bits, dim)
+    bit_chars = np.where(vq @ S.T >= 0, b"1"[0], b"0"[0]).astype(np.uint8)
+    out: list[list[str]] = []
+    for r in range(n):
+        row = bit_chars[r].tobytes()
+        out.append([f"{t}:" + row[t * bits:(t + 1) * bits].decode()
+                    for t in range(tables)])
+    return out

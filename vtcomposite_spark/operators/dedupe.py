@@ -11,6 +11,8 @@ needed beyond AQE. The pair-refine stages join only within buckets.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,26 +148,69 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", tables: int = 4,
+                           bits: int = 8, dim: int = 64) -> DataFrame:
+    """(id, band_key) rows: ``tables`` independent random-hyperplane LSH
+    tables of ``bits`` sign bits each (Charikar SimHash projections,
+    deterministic md5-seeded Rademacher hyperplanes — functions.hashing).
+
+    OR-amplified like MinHash bands: two vectors are candidates if they
+    collide in ANY table, so recall comes from table count and precision
+    from bit count — the single-table sign-pattern scheme this replaces
+    could never recover a near-dup across one sign flip. Collision
+    probability per table is (1 − θ/π)^bits for angle θ.
+
+    Projection runs as ONE Arrow-batched int64 matmul (pandas_udf): the
+    equivalent column-expression form (functions.hashing.
+    hyperplane_band_key_col, value-identical, kept as the DuckDB-oracle
+    reference) is tables×bits×dim codegen nodes and trips the JVM method
+    limit into interpreted mode past ~1k terms.
+    """
+    @F.pandas_udf("array<string>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())
+        return pd.Series(H.hyperplane_band_keys_batch(mat, tables, bits, dim))
+
+    return (df.select(F.col(id_col),
+                      band_keys(F.col(vec_col).cast("array<double>")).alias("bks"))
+            .select(F.col(id_col), F.explode("bks").alias("band_key")))
+
+
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
-                        sign_bits: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup: bucket by the sign pattern of the first
-    ``sign_bits`` dimensions (a deterministic random-hyperplane LSH stand-in),
-    refine with exact cosine inside buckets. Approximate: pairs straddling a
-    sign flip in the leading dims are missed — raise sign_bits=0 for the
-    exact (single-bucket) variant on small data."""
-    key = F.concat_ws("", *[
-        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(sign_bits)
-    ]) if sign_bits else F.lit("all")
-    v = df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
-    a = v.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = v.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+                        tables: int = 4, bits: int = 8, dim: int = 64,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup: banded random-hyperplane LSH candidates,
+    refined with exact cosine inside buckets.
+
+    100-TB shape: candidate generation is an equi-join on band keys whose
+    population halves per bit — bucket sizes are controlled by ``bits``
+    (add bits as the corpus grows), and an in-bucket all-pairs explosion
+    on a pathological hot bucket is capped by ``max_bucket``: buckets
+    with more members are DROPPED from candidate generation (their pairs
+    are sacrificed — the standard LSH guardrail; count them first with
+    ``hyperplane_lsh_buckets(...).groupBy('band_key').count()``).
+    """
+    bk = hyperplane_lsh_buckets(df, vec_col, id_col, tables, bits, dim)
+    if max_bucket is not None:
+        ok = (bk.groupBy("band_key").count()
+              .filter(F.col("count") <= max_bucket).select("band_key"))
+        bk = bk.join(F.broadcast(ok), "band_key", "left_semi")
+    l = bk.select("band_key", F.col(id_col).alias("a"))
+    r = bk.select("band_key", F.col(id_col).alias("b"))
+    pairs = (l.join(r, "band_key")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(H.cosine_col(
-            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4))
+        pairs
+        .join(v.select(F.col(id_col).alias("a"), F.col("_v").alias("va")), "a")
+        .join(v.select(F.col(id_col).alias("b"), F.col("_v").alias("vb")), "b")
+        .withColumn("cos", F.round(H.cosine_col(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )

@@ -193,3 +193,57 @@ def test_pip_interior_cell_shortcut(spark):
     skipped = pc.join(cls.filter("interior"), "cell").count()
     total = pc.join(cls, "cell").count()
     assert skipped > 0.1 * total, (skipped, total)  # 85/525 measured
+
+
+def test_knn_grid_exactness_fallback(spark):
+    """VERDICT r2 done-criterion: a point whose true k-th neighbor lies TWO
+    cells outside its 3x3 neighborhood still returns the true answer — the
+    per-point guarantee check (k-th distance vs distance to the box edge)
+    routes it through the brute fallback. At zoom=6 a cell is 5.625° of
+    longitude; the far sites sit ~12-17° away."""
+    pts = [("near", 0.5, 0.5), ("lonely", 0.5, 40.0)]
+    sites = [
+        (1, 0.6, 0.6), (2, 0.4, 0.4),          # close to "near"
+        (3, 0.5, 12.5), (4, 0.5, 17.0),        # 2-3 cells from both points
+        (5, -40.0, -170.0),
+    ]
+    pdf = spark.createDataFrame(pts, POINT_SCHEMA).withColumnRenamed("url", "url")
+    sdf = spark.createDataFrame(sites, SITE_SCHEMA)
+    brute = {(r.url, r.knn_rank): r.site_id
+             for r in knn_join(pdf, sdf, 3, method="brute").collect()}
+    grid = {(r.url, r.knn_rank): r.site_id
+            for r in knn_join(pdf, sdf, 3, method="grid", zoom=6).collect()}
+    assert grid == brute
+    # "near" finds sites 1,2 in-box but its k-th (site 3, ~12° away) is
+    # outside the box; "lonely" has an EMPTY 3x3 box — both must fall back
+    assert grid[("near", 3)] == 3
+    assert grid[("lonely", 1)] == 4
+    # the unguarded contract mode reproduces the old truncated answer
+    loose = knn_join(pdf, sdf, 3, method="grid", zoom=6, exact=False)
+    by_pt = {}
+    for r in loose.collect():
+        by_pt.setdefault(r.url, []).append(r.site_id)
+    assert len(by_pt.get("near", [])) < 3  # k-th neighbor missed
+    assert "lonely" not in by_pt
+
+
+def test_knn_exact_skips_fallback_when_guaranteed(spark):
+    """When every point's k-th neighbor is provably in-box, exact=True must
+    return the grid answer (same rows as exact=False) — the fallback set
+    is empty, not a hidden brute re-run of everything."""
+    rng = np.random.default_rng(11)
+    pts = [(f"u{i}", float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(37.2, 37.8, 30), rng.uniform(-122.8, -122.2, 30)))]
+    sites = [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(37.0, 38.0, 40), rng.uniform(-123.0, -122.0, 40)))]
+    pdf = spark.createDataFrame(pts, POINT_SCHEMA)
+    sdf = spark.createDataFrame(sites, SITE_SCHEMA)
+    a = {(r.url, r.knn_rank): r.site_id
+         for r in knn_join(pdf, sdf, 2, method="grid", zoom=5).collect()}
+    b = {(r.url, r.knn_rank): r.site_id
+         for r in knn_join(pdf, sdf, 2, method="grid", zoom=5,
+                           exact=False).collect()}
+    brute = {(r.url, r.knn_rank): r.site_id
+             for r in knn_join(pdf, sdf, 2, method="brute").collect()}
+    assert a == brute
+    assert b == brute  # zoom=5 cell (11.25°) >> knn radius: grid already exact

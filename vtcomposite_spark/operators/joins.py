@@ -358,16 +358,35 @@ def _sq_dist(lat_a, lon_a, lat_b, lon_b):
     return dlat * dlat + dlon * dlon
 
 
+_MERC_LAT_LIMIT = 85.051128779806604  # degrees(atan(sinh(pi)))
+
+
+def _tile_row_lat_col(y, zoom: int):
+    """Latitude (degrees) of tile-row boundary ``y`` at ``zoom`` — column
+    twin of the numpy _tiley_to_lat, sinh spelled out (no F.sinh)."""
+    import math
+    r = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * y / F.lit(float(1 << zoom)))
+    return F.degrees(F.atan((F.exp(r) - F.exp(-r)) / F.lit(2.0)))
+
+
 def knn_join(points: DataFrame, sites: DataFrame, k: int,
              point_id_col: str = "url", site_id_col: str = "site_id",
-             method: str = "grid", zoom: int = 6) -> DataFrame:
+             method: str = "grid", zoom: int = 6,
+             exact: bool = True) -> DataFrame:
     """J3: for each point, its k nearest sites.
 
     ``brute``: broadcast cross join — exact; right when sites is small
     (POI dictionaries). ``grid``: candidates from the site's 3×3
-    neighbor-cell neighborhood at ``zoom`` — the scale path; exact whenever
-    the true k-th neighbor lies within one cell width (pick ``zoom`` so a
-    cell ≳ the max kNN radius).
+    neighbor-cell neighborhood at ``zoom`` — the scale path. The grid is
+    only sufficient when the true k-th neighbor lies inside the point's
+    3×3 box, so with ``exact=True`` (default) every point gets a
+    per-point GUARANTEE CHECK: it is provably exact iff it found k
+    candidates AND its k-th distance is smaller than the distance to the
+    nearest edge of its 3×3 box (no site beyond the box can beat the
+    k-th). Points that fail re-run through the brute path — at a sane
+    zoom that is a sliver of the data, so the fallback join is tiny.
+    ``exact=False`` skips the check (the documented contract is then the
+    caller's problem — pick ``zoom`` so a cell ≳ the max kNN radius).
     """
     s = sites.select(
         F.col(site_id_col).alias("site_id"),
@@ -397,8 +416,57 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
                             F.col("site_lat"), F.col("site_lon")))
     w = Window.partitionBy(point_id_col).orderBy(F.col("dist_sq").asc(),
                                                  F.col("site_id").asc())
-    return (
+    ranked = (
         cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .drop("cell", "tile_x", "tile_y", "site_lat", "site_lon")
     )
+    if method == "brute" or not exact:
+        return ranked.drop("cell", "tile_x", "tile_y", "site_lat", "site_lon")
+
+    # --- per-point exactness guarantee over the 3×3 box ---
+    n_cells = 1 << zoom
+    big = F.lit(float("inf"))
+    lat_n = F.when(F.col("tile_y") - 1 >= 0,
+                   _tile_row_lat_col(F.col("tile_y") - 1, zoom)) \
+        .otherwise(F.lit(_MERC_LAT_LIMIT))
+    lat_s = F.when(F.col("tile_y") + 2 <= n_cells,
+                   _tile_row_lat_col(F.col("tile_y") + 2, zoom)) \
+        .otherwise(F.lit(-_MERC_LAT_LIMIT))
+    term_n = F.when(F.col("tile_y") - 1 >= 0,
+                    (lat_n - F.col("lat")) * (lat_n - F.col("lat"))).otherwise(big)
+    term_s = F.when(F.col("tile_y") + 2 <= n_cells,
+                    (F.col("lat") - lat_s) * (F.col("lat") - lat_s)).otherwise(big)
+    if n_cells > 3:
+        # a site east/west of the box at a latitude INSIDE the box's range
+        # has metric lon-distance ≥ edge_gap × min(cos) over that range; a
+        # site outside the range is already covered by the lat-edge terms
+        cmin = F.least(F.cos(F.radians(lat_n)), F.cos(F.radians(lat_s)))
+        lon_e = (F.col("tile_x") + 2) / F.lit(float(n_cells)) * 360.0 - 180.0
+        lon_w = (F.col("tile_x") - 1) / F.lit(float(n_cells)) * 360.0 - 180.0
+        term_e = ((lon_e - F.col("lon")) * cmin) ** 2
+        term_w = ((F.col("lon") - lon_w) * cmin) ** 2
+    else:
+        term_e = term_w = big  # 3 columns wrap the whole world
+    safe_sq = F.least(term_n, term_s, term_e, term_w)
+
+    # window aggregates over the SAME partition key as the ranking window —
+    # the flags reuse the existing shuffle; a stats-join would broadcast
+    # one row per point (a driver bomb at planet scale)
+    w2 = Window.partitionBy(point_id_col)
+    flagged = (ranked
+               .withColumn("_nc", F.count("*").over(w2))
+               .withColumn("_kth", F.max("dist_sq").over(w2))
+               .withColumn("_exact", (F.col("_nc") == k)
+                           & (F.col("_kth") < safe_sq)))
+    sure = flagged.filter(F.col("_exact")).drop(
+        "_nc", "_kth", "_exact",
+        "cell", "tile_x", "tile_y", "site_lat", "site_lon")
+    exact_ids = flagged.filter(F.col("_exact")).select(point_id_col).distinct()
+    # fallback set = points whose guarantee failed PLUS points with no
+    # grid candidates at all (absent from ranked); AQE sizes the anti-join
+    fallback_pts = (points
+                    .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+                    .join(exact_ids, point_id_col, "left_anti"))
+    fb = knn_join(fallback_pts, sites, k, point_id_col, site_id_col,
+                  method="brute")
+    return sure.unionByName(fb.select(*sure.columns))

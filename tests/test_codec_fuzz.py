@@ -1,0 +1,161 @@
+"""Codec fuzz hardening (hypothesis): random typed tiles must round-trip
+encode→decode→encode to a byte fixpoint through BOTH encoders, and
+malformed/truncated buffers must fail cleanly (raise or decode to a
+re-encodable tile — never hang, never silently corrupt).
+
+Complements the golden fixture tests: those pin known shapes, these pin
+the wire format's algebra on arbitrary input (typed values incl. NUL
+strings and int64 edges, multi-part geometry, v1/v2, fids).
+"""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vtcomposite_spark.sources import ingest, mvt, mvt_vec
+
+coord = st.integers(min_value=-500, max_value=5000)
+vertex = st.tuples(coord, coord)
+
+_string_val = st.tuples(st.just(mvt.TAG_STRING), st.text(max_size=12))
+_double_val = st.tuples(st.just(mvt.TAG_DOUBLE),
+                        st.floats(allow_nan=False, allow_infinity=False))
+_float_val = st.tuples(st.just(mvt.TAG_FLOAT),
+                       st.floats(allow_nan=False, allow_infinity=False,
+                                 width=32))
+_int_val = st.tuples(st.just(mvt.TAG_INT),
+                     st.integers(-2 ** 63, 2 ** 63 - 1))
+_uint_val = st.tuples(st.just(mvt.TAG_UINT), st.integers(0, 2 ** 64 - 1))
+_sint_val = st.tuples(st.just(mvt.TAG_SINT),
+                      st.integers(-2 ** 63, 2 ** 63 - 1))
+_bool_val = st.tuples(st.just(mvt.TAG_BOOL), st.booleans())
+typed_value = st.one_of(_string_val, _double_val, _float_val, _int_val,
+                        _uint_val, _sint_val, _bool_val)
+props = st.dictionaries(st.text(max_size=8), typed_value, max_size=5)
+
+
+@st.composite
+def feature(draw):
+    gt = draw(st.integers(1, 3))
+    if gt == 1:
+        parts = [[v] for v in draw(st.lists(vertex, min_size=1, max_size=4))]
+        rts = [0] * len(parts)
+    elif gt == 2:
+        parts = draw(st.lists(st.lists(vertex, min_size=2, max_size=6),
+                              min_size=1, max_size=3))
+        rts = [0] * len(parts)
+    else:
+        parts, rts = [], []
+        for _ in range(draw(st.integers(1, 2))):
+            x = draw(st.integers(-100, 4000))
+            y = draw(st.integers(-100, 4000))
+            w = draw(st.integers(1, 500))
+            h = draw(st.integers(1, 500))
+            if draw(st.booleans()):  # CW (positive area2 in tile coords)
+                ring = [(x, y), (x, y + h), (x + w, y + h), (x + w, y), (x, y)]
+            else:
+                ring = [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]
+            parts.append(ring)
+            rts.append(1 if mvt.ring_area2(ring) > 0 else 2)
+    tp = draw(props)
+    fid = draw(st.one_of(st.none(), st.integers(0, 2 ** 40)))
+    return mvt.Feature(
+        geom_type=gt, parts=parts, ring_types=rts,
+        properties={k: v for k, (t, v) in tp.items()},
+        prop_types={k: t for k, (t, v) in tp.items()}, fid=fid)
+
+
+tile = st.lists(
+    st.builds(mvt.Layer,
+              name=st.text(min_size=1, max_size=6),
+              features=st.lists(feature(), min_size=1, max_size=4),
+              extent=st.just(4096), version=st.just(2)),
+    min_size=1, max_size=3, unique_by=lambda l: l.name)
+
+
+def _norm_geom(f: mvt.Feature):
+    """Geometry modulo the encoder's canonical form: points flatten to the
+    vertex list (multipoint parts merge on the wire)."""
+    if f.geom_type == 1:
+        return [v for p in f.parts for v in p]
+    return f.parts
+
+
+@settings(max_examples=60, deadline=None)
+@given(tile)
+def test_roundtrip_fixpoint_and_typed_values(layers):
+    buf1 = mvt.encode_tile(layers)
+    dec = mvt.decode_tile(buf1)
+    buf2 = mvt.encode_tile(dec)
+    assert buf1 == buf2  # decode→encode is the identity on the wire form
+    assert [l.name for l in dec] == [l.name for l in layers]
+    for li, l in enumerate(layers):
+        for fi, f in enumerate(l.features):
+            g = dec[li].features[fi]
+            assert g.geom_type == f.geom_type
+            assert g.fid == f.fid
+            assert g.properties == f.properties
+            assert (g.prop_types or {}) == (f.prop_types or {})
+            assert _norm_geom(g) == _norm_geom(f)
+
+
+@settings(max_examples=25, deadline=None)
+@given(tile)
+def test_columnar_encoder_fuzz_parity(layers):
+    """The vectorized encoder must reproduce the row encoder's bytes on
+    arbitrary typed tiles, not just the fixture shapes — same value-table
+    dedupe, same framing, fed through the real ingest row form."""
+    from vtcomposite_spark.operators.composite import _to_arrow
+    from vtcomposite_spark.schema import FEATURES_SCHEMA
+
+    buf1 = mvt.encode_tile(layers)
+    rows = ingest.feature_rows([(buf1, 0, 0, 0)])
+    assert rows  # generated tiles are v2-valid
+    for r in rows:
+        r.update({"z": 0, "x": 0, "y": 0, "compress": False})
+    fields = ([pa.field(f.name, _to_arrow(f.dataType))
+               for f in FEATURES_SCHEMA.fields]
+              + [pa.field("z", pa.int32()), pa.field("x", pa.int64()),
+                 pa.field("y", pa.int64()), pa.field("compress", pa.bool_())])
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(fields))
+    out = mvt_vec.encode_tiles_table(tbl)
+    assert len(out) == 1
+    assert out[0][3] == buf1
+
+
+@pytest.fixture(scope="module")
+def fixture_buf():
+    with open("/root/reference/test/fixtures/four-points-quadrants.mvt",
+              "rb") as fh:
+        return fh.read()
+
+
+def test_truncated_buffers_fail_cleanly(fixture_buf):
+    """Every truncation either raises or decodes to a re-encodable tile —
+    no hangs, no exceptions from deep inside numpy, no silent garbage."""
+    for cut in range(len(fixture_buf)):
+        try:
+            dec = mvt.decode_tile(fixture_buf[:cut])
+        except Exception:
+            continue
+        mvt.encode_tile(dec)  # whatever decoded must be re-encodable
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=64))
+def test_garbage_bytes_fail_cleanly(buf):
+    try:
+        dec = mvt.decode_tile(buf)
+    except Exception:
+        return
+    mvt.encode_tile(dec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=64))
+def test_ingest_tolerates_garbage(buf):
+    """The ingest surface mirrors the reference's decode tolerance: a
+    malformed BUFFER is skipped, not fatal (src/vtcomposite.cpp:159-178)."""
+    rows = ingest.feature_rows([(buf, 0, 0, 0)])
+    assert isinstance(rows, list)

@@ -337,12 +337,19 @@ def _bytes_blob(chunks: list[bytes]):
     return blob, off
 
 
-def _local_first_seen(unit_of_item: np.ndarray, code: np.ndarray, ncodes: int):
+def _local_first_seen(unit_of_item: np.ndarray, code: np.ndarray,
+                      ncodes: int, nunits: int):
     """Per-unit first-seen factorization of (unit, code) pairs.
 
     ``unit_of_item`` must be NON-DECREASING (items grouped by unit in
-    order). Returns (local_idx per item, per-unit table starts int64[U+1],
-    code per table slot in per-unit first-seen order).
+    order). ``nunits`` is the TOTAL unit count — units with no items
+    (features without properties) still need empty table slots, so it
+    cannot be derived from the items. Returns (local_idx per item,
+    per-unit table starts int64[U+1], code per table slot in per-unit
+    first-seen order, FIRST item index per slot — the slot's
+    representative, e.g. so a 0.0/-0.0 value class encodes the variant
+    the unit actually saw first, exactly like the row path's per-layer
+    table).
     """
     pair = unit_of_item * _I64(ncodes) + code
     uniq, first_idx, inv = np.unique(pair, return_index=True,
@@ -351,12 +358,12 @@ def _local_first_seen(unit_of_item: np.ndarray, code: np.ndarray, ncodes: int):
     rank = np.empty(len(uniq), _I64)              # first-seen order
     rank[order] = np.arange(len(uniq), dtype=_I64)
     pair_unit = (uniq // ncodes)[order]
-    nunits = int(unit_of_item[-1]) + 1 if len(unit_of_item) else 0
     per_unit = np.bincount(pair_unit, minlength=nunits).astype(_I64)
     starts = np.concatenate([[0], np.cumsum(per_unit)]).astype(_I64)
     local_of_pair = np.empty(len(uniq), _I64)
     local_of_pair[order] = np.arange(len(uniq), dtype=_I64) - starts[pair_unit]
-    return local_of_pair[inv], starts, (uniq % ncodes)[order]
+    return (local_of_pair[inv], starts, (uniq % ncodes)[order],
+            first_idx[order])
 
 
 def encode_tile_table(tbl) -> tuple[int, int, int, bytes]:
@@ -522,34 +529,41 @@ def encode_tiles_table(tbl) -> list[tuple[int, int, int, bytes]]:
         scode, sdict = _dict_encode(p_vals)
         tg = p_tags
         # global typed value dedupe: each distinct (tag, canonical string)
-        # parses once; (tag, typed value) collisions (e.g. every NaN) merge
+        # COMBO encodes once; combos with equal (tag, typed value) — every
+        # NaN, 0.0 vs -0.0 — share one dedupe CLASS (gcanon) for local
+        # indexing, exactly like the row path's per-layer val_idx dict
         M = _I64(len(sdict) + 1)
         combo = tg * M + scode
         uc, uinv = np.unique(combo, return_inverse=True)
         gcanon_of_combo = np.empty(len(uc), _I64)
         seen: dict = {}
-        canon_bytes: list[bytes] = []
+        nclasses = 0
+        combo_bytes: list[bytes] = []
         sdict_l = list(sdict)
         for u, c in enumerate(uc.tolist()):
             tag, sc = divmod(c, int(M))
             tv = mvt.from_canonical(tag, sdict_l[sc])
+            vb = _encode_value_fast(tag, tv)
+            combo_bytes.append(b"\x22" + _uv(len(vb)) + vb)
             kk = (tag, tv)
             g = seen.get(kk)
             if g is None:
-                g = seen[kk] = len(canon_bytes)
-                vb = _encode_value_fast(tag, tv)
-                canon_bytes.append(b"\x22" + _uv(len(vb)) + vb)
+                g = seen[kk] = nclasses
+                nclasses += 1
             gcanon_of_combo[u] = g
         gcanon = gcanon_of_combo[uinv]
-        val_entry_bytes = canon_bytes
+        val_entry_bytes = combo_bytes
         key_entry_bytes = [
             b"\x1a" + _uv(len(kb)) + kb
             for kb in (k.encode("utf-8") for k in key_dict)]
 
-        k_local, key_starts, unit_key_codes = _local_first_seen(
-            unit_of_ent, kcode, len(key_dict))
-        v_local, val_starts, unit_val_codes = _local_first_seen(
-            unit_of_ent, gcanon, len(canon_bytes))
+        k_local, key_starts, unit_key_codes, _ = _local_first_seen(
+            unit_of_ent, kcode, len(key_dict), nunits)
+        v_local, val_starts, _, v_slot_first = _local_first_seen(
+            unit_of_ent, gcanon, nclasses, nunits)
+        # table slot bytes = the unit's FIRST-SEEN variant of the class
+        # (a later -0.0 reuses the slot of an earlier 0.0, and vice versa)
+        unit_val_codes = uinv[v_slot_first]
 
         twords = np.empty(2 * total_ent, _U64)
         twords[0::2] = k_local.astype(_U64)

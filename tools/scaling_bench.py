@@ -172,26 +172,25 @@ mirrors those rule shapes at table scale (per output tile = the same
 to one reference run) and reports steady-state best-of-2 on freshly built
 plans.
 
-FIXED SNAPSHOT — the table below is a hand-recorded round-2 measurement
-(BENCH_r02.json, local[32], sf0.1), NOT produced by this scaling run;
-re-generating this file on other hardware or after code changes does not
-refresh it. The per-round BENCH_r{{N}}.json files are the live numbers.
+FIXED SNAPSHOT — the table below is a hand-recorded round-3 measurement
+(interleaved best-of-4, calm host, local[32], sf0.1), NOT produced by
+this scaling run; re-generating this file on other hardware or after code
+changes does not refresh it. The per-round BENCH_r{{N}}.json files are the
+live numbers, and BENCH/BASELINE.md's round-3 section carries the full
+seam-floor decomposition.
 
 | rule analog | reference runs/s | this engine tiles/s (32 cores) | ratio |
 |---|---|---|---|
-| points overzoom (+ spatial join + property carry) | 3,846 | ~5,400 | 1.40× |
-| linestrings overzoom, typed props (rule 10) | 1,163 | ~219 (relational out) / ~339 fused scan→clip→encode | 0.19× / 0.29× |
-| polygons overzoom, typed props (rule 11, every polygon crosses the window) | 254 | ~91 | 0.36× |
-| encode sink alone | — | ~360 tiles/s (2000-feat tiles, 30 MB/s MVT) | — |
+| points overzoom (+ spatial join + property carry) | 3,846 | ~7,700–8,500 | ~2.1× |
+| linestrings overzoom, typed props → encoded tile (rule 10) | 1,163 | 886 (overzoom_encode_tiles sink) | 0.76× |
+| polygons overzoom, typed props → encoded tile (rule 11) | 254 | 206 | 0.81× |
+| lines overzoom 2 zooms apart (rules 15/17 shape: dz=2 faster per tile) | 2,174 | 1,686 | 0.78× |
+| linestrings, relational rows out | 1,163 | 187 (payload-independent Arrow-seam floor; see BENCH/BASELINE.md) | 0.16× |
 
-Context for the line/poly rows: a reference "run" is one in-cache C++
-request; our tile streams scan→broadcast-join→Arrow-seam→kernel with full
-typed properties, and the dominant remaining cost is the JVM↔Python Arrow
-seam (~40µs-core/row measured; the numpy kernels themselves run 0.7–11
-µs/feature, at or above reference speed single-thread: lines kernel 1,344
-runs/s vs the reference's 1,163). The engine additionally horizontally
-scales where the reference cannot, and geocodes **~1.3M pages/s** at the
-51.2M-page scale.
+The numpy kernels run at-or-above reference speed single-thread (batched
+clip 0.48 ms/tile, multi-tile encode 1.8 ms/tile on the 2000-feature
+lines fixture); the engine additionally horizontally scales where the
+reference cannot, and geocodes **~1.3M pages/s** at the 51.2M-page scale.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -193,6 +193,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.try_element_at("ys", F.lit(1)).alias("py"))
     q["composite_overzoom_points"] = composite_overzoom_points
 
+    def overzoom_encode_sink(spark, sf):
+        """Materialization fast path under the (rows-only) gate: the same
+        lineitem-derived point features through overzoom_encode_tiles —
+        source-grouped fused scan→first-wins→clip→ENCODE, one row per
+        output tile. Tile BYTES are not SQL-expressible (the encoder is
+        the operator under test), so no oracle entry: the driver records
+        row-count + schema; byte parity across all four encode paths and
+        byte determinism are pytest-gated (tests/test_overzoom_fused.py,
+        tests/test_encode_columnar.py)."""
+        from vtcomposite_spark.operators.composite import overzoom_encode_tiles
+        li = _read(spark, sf, "lineitem")
+        feats = li.select(
+            (F.col("l_linenumber") % 3).cast("int").alias("tile_idx"),
+            F.lit(4).alias("src_z"),
+            (F.col("l_orderkey") % 16).cast("long").alias("src_x"),
+            (F.col("l_suppkey") % 16).cast("long").alias("src_y"),
+            F.lit("pts").alias("layer"), F.lit(2).alias("layer_version"),
+            F.lit(4096).alias("extent"),
+            F.col("l_linenumber").cast("int").alias("feature_idx"),
+            F.col("l_orderkey").alias("feature_id"),
+            F.lit(1).cast("byte").alias("geom_type"),
+            F.array((F.col("l_partkey") % 4096).cast("long")).alias("xs"),
+            F.array(((F.col("l_suppkey") * 7) % 4096).cast("long")).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"),
+            F.array(F.lit(0).cast("byte")).alias("ring_types"),
+            F.create_map(F.lit("k"), F.col("l_returnflag")).alias("properties"))
+        targets = (spark.range(0, 8).select(F.col("id").alias("x"))
+                   .crossJoin(spark.range(0, 8).select(F.col("id").alias("y")))
+                   .select(F.lit(6).alias("z"), F.col("x").cast("long"),
+                           F.col("y").cast("long"),
+                           F.lit(128).alias("buffer_size"),
+                           F.lit(None).cast("array<string>").alias("keep_layers"),
+                           F.lit(False).alias("compress")))
+        out = overzoom_encode_tiles(feats, targets, src_zoom=4)
+        return out.select("z", "x", "y", F.length("tile").alias("tile_len"))
+    q["overzoom_encode_sink"] = overzoom_encode_sink
+
     def first_wins_orders(spark, sf):
         from pyspark.sql import Window
         o = _read(spark, sf, "orders")

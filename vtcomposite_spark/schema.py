@@ -80,6 +80,10 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
         # 16k 5.34s / 64k 4.59s / 128k 4.20s. ~25 MB/batch for feature
         # rows; parquet's 128 MB maxPartitionBytes bounds the worst case.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # the packed encode sinks move ONE fat row per tile (nested feature
+        # structs); a partition holding many hot tiles must not land in a
+        # single Arrow batch — cap batch BYTES independently of row count
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(256 << 20))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # local mode: driver heap IS the executor heap; at 32 concurrent
         # tasks an 8g heap GC-thrashes under Arrow batches + broadcast

@@ -191,6 +191,18 @@ The numpy kernels run at-or-above reference speed single-thread (batched
 clip 0.48 ms/tile, multi-tile encode 1.8 ms/tile on the 2000-feature
 lines fixture); the engine additionally horizontally scales where the
 reference cannot, and geocodes **~1.3M pages/s** at the 51.2M-page scale.
+
+### The relational-output seam floor (round-3 snapshot, sf0.1 lines shape)
+
+Decomposed wall times, same session, 1,013,000 post-prune rows / 1000
+tiles: scan 0.44 s → + join/first-wins/prune (JVM only) 1.71 s → +
+IDENTITY mapInArrow (pure seam, no kernel) 5.36 s → + real clip kernel
+5.47 s. The seam round trip adds ~3.7 s (~115 µs-core/row at 32 threads)
+and is payload-width-INDEPENDENT (full rows 4.47 s ≈ maps dropped 4.10 s
+≈ scalars-only 4.87 s): per-row conversion machinery, not bytes. Only
+fewer rows help — the packed/fused sinks cross one row per TILE and clear
+the 2× bar; relational rows-out cannot on this host even with a zero-cost
+seam (the JVM plan prefix alone is 1.71 s ≈ 585 tiles/s).
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

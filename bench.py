@@ -198,7 +198,9 @@ def build_workload(spark, sf_dir):
         """Specialized source-grouped fused sink (overzoom_encode_tiles) —
         the closest true analog of a reference bench run: the request names
         its source tile, the output IS an encoded (optionally gzipped)
-        tile. Warm + best-of-2 on freshly built plans."""
+        tile. Warm + best-of-3 on freshly built plans (one sample more
+        than the heavier stages: sink runs are short enough that ambient
+        host noise dominates two-sample minima)."""
         from vtcomposite_spark.operators.composite import overzoom_encode_tiles
         feats, targets = _fixture_grid_paths(fixture_name, n_src, dz=dz,
                                              compress=compress)

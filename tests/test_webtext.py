@@ -338,3 +338,29 @@ def test_hyperplane_udf_matches_expression_form(spark):
         for t in range(3)])).alias("band_key"))
     expr_keys = {(r.vec_id, r.band_key) for r in expr.collect()}
     assert udf_keys == expr_keys
+
+
+def test_hyperplane_short_vectors_match_expression_form(spark):
+    """Vectors SHORTER than dim must bucket like the expression/SQL twin:
+    the projection collapses (try_element_at past the end is NULL ⇒ sum
+    NULL) and every bit reads '0' — not the sign of a partial sum."""
+    rows = [(0, [-0.5357, 0.3616]), (1, [0.9, -0.2, 0.4, -0.8]),
+            (2, [0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    udf_keys = {(r.vec_id, r.band_key) for r in D.hyperplane_lsh_buckets(
+        emb, tables=2, bits=3, dim=4).collect()}
+    expr = emb.select("vec_id", F.explode(F.array(*[
+        H.hyperplane_band_key_col(F.col("embedding"), t, 3, 4)
+        for t in range(2)])).alias("band_key"))
+    expr_keys = {(r.vec_id, r.band_key) for r in expr.collect()}
+    assert udf_keys == expr_keys
+    assert (0, "0:000") in udf_keys  # short vector => all-zero bits
+    assert (2, "0:000") in udf_keys
+
+
+def test_hyperplane_band_key_sql_bits_zero():
+    """bits=0 (the exact single-bucket mode) must generate VALID SQL, like
+    the column and batch twins."""
+    import duckdb
+    sql = H.hyperplane_band_key_sql("embedding", 1, 0, 4)
+    assert duckdb.sql(f"SELECT {sql} AS k").fetchone()[0] == "1:"

@@ -211,6 +211,8 @@ def hyperplane_band_key_col(vec: Column, table: int, bits: int,
 
 
 def hyperplane_band_key_sql(c: str, table: int, bits: int, dim: int) -> str:
+    if bits == 0:  # degenerate single-bucket table, same as the twins
+        return f"'{table}:'"
     parts = " || ".join(hyperplane_bit_sql(c, table, b, dim)
                         for b in range(bits))
     return f"('{table}:' || {parts})"
@@ -226,21 +228,36 @@ def hyperplane_band_keys_batch(mat, tables: int, bits: int,
     oracle-parity reference). Rounding matches Spark/DuckDB round():
     HALF_UP away from zero, NOT numpy's banker's rounding."""
     import numpy as np
-    mat = np.asarray(mat, dtype=np.float64)
-    if mat.ndim != 2 or mat.shape[0] == 0:  # empty Arrow batch
+    rows = list(mat)
+    n = len(rows)
+    if n == 0:  # empty Arrow batch
         return []
-    if dim is not None:
-        mat = mat[:, :dim]  # match the expression/SQL form's 1..dim slice
-    n, dim = mat.shape
     if bits == 0:  # degenerate single-bucket-per-table (exact all-pairs)
         keys = [f"{t}:" for t in range(tables)]
         return [list(keys) for _ in range(n)]
-    x = mat * 1000.0
-    vq = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    if dim is None:
+        dim = max(len(r) for r in rows)
+    # ragged / short vectors: NaN-pad so the projection collapses to NaN
+    # and every bit reads '0' — exactly the expression twin's behavior
+    # (try_element_at past the end is NULL ⇒ whole sum NULL ⇒ otherwise-'0')
+    lens = np.array([len(r) for r in rows])
+    if (lens == lens[0]).all() and int(lens[0]) >= dim:
+        m = np.asarray(np.stack(rows), dtype=np.float64)[:, :dim]
+    else:
+        m = np.full((n, dim), np.nan, dtype=np.float64)
+        for i, r in enumerate(rows):
+            k = min(len(r), dim)
+            m[i, :k] = np.asarray(r[:k], dtype=np.float64)
+    x = m * 1000.0
+    # float64 throughout: milli-unit values and their 64-dim sums are
+    # integers well below 2^53, so the matmul is EXACT, and NaN propagates
+    # (int64 would make NaN undefined instead of '0'-bits)
+    vq = np.sign(x) * np.floor(np.abs(x) + 0.5)
     S = np.array([hyperplane_signs(t, b, dim)
                   for t in range(tables) for b in range(bits)],
-                 dtype=np.int64)          # (tables*bits, dim)
-    bit_chars = np.where(vq @ S.T >= 0, b"1"[0], b"0"[0]).astype(np.uint8)
+                 dtype=np.float64)        # (tables*bits, dim)
+    proj = vq @ S.T
+    bit_chars = np.where(proj >= 0, b"1"[0], b"0"[0]).astype(np.uint8)
     out: list[list[str]] = []
     for r in range(n):
         row = bit_chars[r].tobytes()

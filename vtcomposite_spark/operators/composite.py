@@ -461,19 +461,36 @@ def _pack_tiles(df: DataFrame) -> DataFrame:
     return df.groupBy("z", "x", "y").agg(*aggs)
 
 
+def _norm_list(arr):
+    """(zero-based offsets int64, trimmed values) for a possibly-sliced
+    Arrow ListArray — positional use of the children requires both."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values
+    if int(off[0]) != 0 or int(off[-1]) != len(vals):
+        vals = vals.slice(int(off[0]), int(off[-1]) - int(off[0]))
+        off = off - off[0]
+    return off, vals
+
+
+def _tiles_batch(tiles):
+    """[(z, x, y, bytes), ...] → the _ENCODE_OUT_SCHEMA RecordBatch."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array([t[0] for t in tiles], pa.int32()),
+         pa.array([t[1] for t in tiles], pa.int64()),
+         pa.array([t[2] for t in tiles], pa.int64()),
+         pa.array([t[3] for t in tiles], pa.binary())],
+        names=["z", "x", "y", "tile"])
+
+
 def _unpack_batch(batch, tile_cols: list[str]):
     """(flat feature RecordBatch columns dict, per-tile repeated arrays) —
     zero-copy: the packed list's struct children ARE the flat feature
     arrays; only the tile-level scalars are np.repeat'ed per feature."""
     import pyarrow as pa
 
-    fl = batch.column("feats")
-    off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    base = int(off[0])
-    vals = fl.values
-    if base != 0 or int(off[-1]) != len(vals):
-        vals = vals.slice(base, int(off[-1]) - base)
-        off = off - base
+    off, vals = _norm_list(batch.column("feats"))
     nfeat = np.diff(off)
     cols: dict = {}
     for i, fld in enumerate(vals.type):
@@ -559,12 +576,7 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
             tiles = mvt_vec.encode_tiles_table(
                 pa.Table.from_batches(clipped, schema=clip_schema))
             if tiles:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([t[0] for t in tiles], pa.int32()),
-                     pa.array([t[1] for t in tiles], pa.int64()),
-                     pa.array([t[2] for t in tiles], pa.int64()),
-                     pa.array([t[3] for t in tiles], pa.binary())],
-                    names=["z", "x", "y", "tile"])
+                yield _tiles_batch(tiles)
 
     return packed.mapInArrow(clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
@@ -641,18 +653,8 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            fl = batch.column("feats")
-            foff = fl.offsets.to_numpy(zero_copy_only=False).astype(_I64)
-            fvals = fl.values
-            if int(foff[0]) != 0 or int(foff[-1]) != len(fvals):
-                fvals = fvals.slice(int(foff[0]), int(foff[-1]) - int(foff[0]))
-                foff = foff - foff[0]
-            tl = batch.column("tgts")
-            toff = tl.offsets.to_numpy(zero_copy_only=False).astype(_I64)
-            tvals = tl.values
-            if int(toff[0]) != 0 or int(toff[-1]) != len(tvals):
-                tvals = tvals.slice(int(toff[0]), int(toff[-1]) - int(toff[0]))
-                toff = toff - toff[0]
+            foff, fvals = _norm_list(batch.column("feats"))
+            toff, tvals = _norm_list(batch.column("tgts"))
             nfeat_total = int(foff[-1])
             if nfeat_total == 0:
                 continue
@@ -746,12 +748,7 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             tiles = mvt_vec.encode_tiles_table(
                 pa.Table.from_batches(clipped, schema=clip_schema))
             if tiles:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([r[0] for r in tiles], pa.int32()),
-                     pa.array([r[1] for r in tiles], pa.int64()),
-                     pa.array([r[2] for r in tiles], pa.int64()),
-                     pa.array([r[3] for r in tiles], pa.binary())],
-                    names=["z", "x", "y", "tile"])
+                yield _tiles_batch(tiles)
 
     return packed.mapInArrow(fan_clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
@@ -764,11 +761,17 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
     Compression per the `compress` flag with the empty-tile rule
     (src/vtcomposite.cpp:300-311).
 
-    ``impl="columnar"`` (default): groupBy().applyInArrow — the whole tile
-    arrives as flat Arrow arrays and sources.mvt_vec builds the buffer with
-    vectorized zigzag/varint passes (~9× the row path, and no Arrow→pandas
-    map-to-dict conversion per row). ``impl="rows"``: the original
-    applyInPandas + mvt.Feature path, kept as the byte-parity reference.
+    ``impl="columnar"`` (default): tiles PACK to one nested row each
+    (``_pack_tiles``) and cross mapInArrow in multi-tile batches; the
+    MULTI-tile encoder (sources.mvt_vec.encode_tiles_table) amortizes the
+    per-tile fixed numpy cost across the batch (6.0 → 1.8 ms/tile vs the
+    per-group applyInArrow it replaced) and the seam pays its per-row cost
+    once per TILE, not per feature. One packed row = one tile, so a tile
+    must fit in executor memory — the invariant a grouped applyInArrow
+    needed anyway; Arrow batch BYTES are capped by
+    spark.sql.execution.arrow.maxBytesPerBatch (schema.get_spark).
+    ``impl="rows"``: the original applyInPandas + mvt.Feature path, kept
+    as the byte-parity reference.
     """
     import pandas as pd
 
@@ -796,12 +799,7 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
                     [cols[n] for n in flat_names], names=flat_names)
                 tiles = mvt_vec.encode_tiles_table(flat)
                 if tiles:
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array([t[0] for t in tiles], pa.int32()),
-                         pa.array([t[1] for t in tiles], pa.int64()),
-                         pa.array([t[2] for t in tiles], pa.int64()),
-                         pa.array([t[3] for t in tiles], pa.binary())],
-                        names=["z", "x", "y", "tile"])
+                    yield _tiles_batch(tiles)
 
         return packed.mapInArrow(encode_packed, schema=out_schema)
 

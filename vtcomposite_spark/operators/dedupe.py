@@ -169,11 +169,10 @@ def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
     """
     @F.pandas_udf("array<string>")
     def band_keys(vecs: pd.Series) -> pd.Series:
-        import numpy as np
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(vecs.to_numpy())
-        return pd.Series(H.hyperplane_band_keys_batch(mat, tables, bits, dim))
+        return pd.Series(H.hyperplane_band_keys_batch(
+            vecs.tolist(), tables, bits, dim))
 
     return (df.select(F.col(id_col),
                       band_keys(F.col(vec_col).cast("array<double>")).alias("bks"))

@@ -388,9 +388,12 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
     ``exact=False`` skips the check (the documented contract is then the
     caller's problem — pick ``zoom`` so a cell ≳ the max kNN radius).
     """
-    s = sites.select(
-        F.col(site_id_col).alias("site_id"),
-        F.col("lat").alias("site_lat"), F.col("lon").alias("site_lon"))
+    # null-coordinate sites never match the grid's cell equi-join; drop
+    # them from brute too (an unfiltered NULL dist_sq would sort FIRST
+    # under Spark's default ordering and displace true neighbors)
+    s = sites.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull()) \
+        .select(F.col(site_id_col).alias("site_id"),
+                F.col("lat").alias("site_lat"), F.col("lon").alias("site_lon"))
     if method == "brute":
         cand = points.crossJoin(F.broadcast(s))
     else:
@@ -414,8 +417,8 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
     cand = cand.withColumn(
         "dist_sq", _sq_dist(F.col("lat"), F.col("lon"),
                             F.col("site_lat"), F.col("site_lon")))
-    w = Window.partitionBy(point_id_col).orderBy(F.col("dist_sq").asc(),
-                                                 F.col("site_id").asc())
+    w = Window.partitionBy(point_id_col).orderBy(
+        F.col("dist_sq").asc_nulls_last(), F.col("site_id").asc())
     ranked = (
         cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
@@ -461,12 +464,15 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
     sure = flagged.filter(F.col("_exact")).drop(
         "_nc", "_kth", "_exact",
         "cell", "tile_x", "tile_y", "site_lat", "site_lon")
-    exact_ids = flagged.filter(F.col("_exact")).select(point_id_col).distinct()
     # fallback set = points whose guarantee failed PLUS points with no
-    # grid candidates at all (absent from ranked); AQE sizes the anti-join
+    # grid candidates at all (absent from ranked). Anti-join directly
+    # against `sure` (anti needs no distinct), so the grid-join+window
+    # subtree executes twice per action — once per branch — not three
+    # times; AQE sizes the anti-join. Callers doing many actions over the
+    # result should persist it (or the points input) upstream.
     fallback_pts = (points
                     .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-                    .join(exact_ids, point_id_col, "left_anti"))
+                    .join(sure.select(point_id_col), point_id_col, "left_anti"))
     fb = knn_join(fallback_pts, sites, k, point_id_col, site_id_col,
                   method="brute")
     return sure.unionByName(fb.select(*sure.columns))

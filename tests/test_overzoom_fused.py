@@ -101,3 +101,16 @@ def test_targets_above_source_zoom_yield_nothing(spark, fixture_bytes):
                                 "keep_layers array<string>, compress boolean")
     out = C.overzoom_encode_tiles(feats, bad, src_zoom=8)
     assert out.count() == 0
+
+
+def test_generic_fused_src_zooms_routes_to_specialized(spark, fixture_bytes):
+    """composite_encode_tiles(src_zooms=[z]) must byte-match its own
+    generic plan — the single-zoom declaration is a physical strategy
+    switch (source-grouped), never a semantic one."""
+    feats, grid = _grid_feats(
+        spark, fixture_bytes, "linestrings-properties-16-10498-22872.mvt")
+    targets = _targets(spark, grid, 9, 8)
+    want = _tiles(C.composite_encode_tiles(feats, targets,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[8]))
+    assert got == want and want

@@ -505,7 +505,9 @@ def _unpack_batch(batch, tile_cols: list[str]):
 
 def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                            join_strategy: str = "auto",
-                           winners_join: str = "broadcast") -> DataFrame:
+                           winners_join: str = "broadcast",
+                           src_zooms: list[int] | None = None,
+                           partitions: int | None = None) -> DataFrame:
     """Fused composite→encode: (z, x, y, tile:binary) with ONE python seam.
 
     ``composite(...)`` then ``encode_tiles(...)`` crosses the seam twice
@@ -519,6 +521,14 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     (``mvt_vec.encode_tiles_table``) amortizing the per-tile fixed numpy
     cost across the batch. One wide shuffle + one seam of tile-count rows.
 
+    ``src_zooms``: declared feature zoom levels (like ``ancestor_join``'s
+    param — sources at other zooms are ignored either way). Declaring ONE
+    zoom routes through ``overzoom_encode_tiles``, the source-grouped
+    physical strategy whose shuffle carries each feature once instead of
+    once per descendant target (4^dz×); ``partitions`` passes through to
+    it. Results are byte-identical (parity-tested) — this is a physical
+    plan choice, not a semantic switch.
+
     Byte-identical to composite()+encode_tiles() (kernel and encoder are
     the same code), parity-tested in tests/test_encode_columnar.py.
     """
@@ -526,7 +536,13 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
 
     from ..sources import mvt_vec
 
-    j = ancestor_join(features, targets, strategy=join_strategy)
+    if src_zooms is not None and len(set(src_zooms)) == 1:
+        return overzoom_encode_tiles(features, targets,
+                                     src_zoom=int(list(src_zooms)[0]),
+                                     partitions=partitions)
+
+    j = ancestor_join(features, targets, strategy=join_strategy,
+                      src_zooms=src_zooms)
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join).drop("keep_layers")
     # same prep + envelope prune as overzoom_clip, JVM-side

@@ -114,3 +114,69 @@ def test_generic_fused_src_zooms_routes_to_specialized(spark, fixture_bytes):
                                            join_strategy="broadcast"))
     got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[8]))
     assert got == want and want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_randomized_parity_specialized_vs_generic(spark, seed):
+    """Randomized tiles (typed props, all geometry types) × randomized
+    target sets (dz 0-2, varying buffers, keep-lists, gzip, several input
+    tiles sharing source addresses) — the source-grouped plan must match
+    the generic plan byte-for-byte on shapes no hand-written case pins."""
+    import numpy as np
+
+    from vtcomposite_spark.sources import mvt
+
+    rng = np.random.default_rng(seed)
+
+    def rand_feature(gt):
+        if gt == 1:
+            parts = [[(int(rng.integers(-200, 4300)),
+                       int(rng.integers(-200, 4300)))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        elif gt == 2:
+            parts = [[(int(x), int(y)) for x, y in
+                      rng.integers(-200, 4300, size=(rng.integers(2, 6), 2))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        else:
+            x, y = int(rng.integers(-100, 3800)), int(rng.integers(-100, 3800))
+            w, h = int(rng.integers(50, 600)), int(rng.integers(50, 600))
+            ring = [(x, y), (x, y + h), (x + w, y + h), (x + w, y), (x, y)]
+            parts, rts = [ring], [1 if mvt.ring_area2(ring) > 0 else 2]
+        props = {f"k{j}": v for j, v in enumerate(
+            [int(rng.integers(-5, 5)), float(round(rng.normal(), 3)),
+             "s" + str(rng.integers(0, 3))][:rng.integers(0, 4)])}
+        return mvt.Feature(geom_type=gt, parts=parts, ring_types=rts,
+                           properties=props, prop_types=None,
+                           fid=int(rng.integers(0, 99)) if rng.random() < .5
+                           else None)
+
+    def rand_tile(nlayers):
+        return mvt.encode_tile([
+            mvt.Layer(name=f"L{li % 2}",
+                      features=[rand_feature(int(rng.integers(1, 4)))
+                                for _ in range(rng.integers(1, 6))])
+            for li in range(nlayers)])
+
+    SRC_Z = 5
+    srcs = [(SRC_Z, int(rng.integers(0, 4)), int(rng.integers(0, 4)))
+            for _ in range(4)]  # duplicates likely → shared source addresses
+    tiles = [(rand_tile(int(rng.integers(1, 3))), *s) for s in srcs]
+    feats = ingest.features_from_tiles(spark, tiles)
+
+    trows = []
+    for (sz, sx, sy) in srcs:
+        for _ in range(int(rng.integers(1, 3))):
+            dz = int(rng.integers(0, 3))
+            trows.append((
+                SRC_Z + dz,
+                (sx << dz) + int(rng.integers(0, 1 << dz)),
+                (sy << dz) + int(rng.integers(0, 1 << dz)),
+                int(rng.choice([0, 128, 4080])),
+                ["L0"] if rng.random() < 0.3 else None,
+                bool(rng.random() < 0.3)))
+    targets = spark.createDataFrame(
+        trows, "z int, x long, y long, buffer_size int, "
+               "keep_layers array<string>, compress boolean").distinct()
+    _check(feats, targets, SRC_Z)

@@ -235,10 +235,12 @@ def build_workload(spark, sf_dir):
             partitions=3 * cpus_hint)
 
     def line_overzoom_dz2_sink():
-        """Two-zoom-apart overzoom (reference rule 15, bench/rules.js:117-134:
-        2,174 runs/s vs 1,163 at dz=1 — MORE THAN FASTER per tile because
-        most features clip away at dz=2; the envelope prune should show the
-        same shape here)."""
+        """Two-zoom-apart overzoom. The reference gets FASTER per run when
+        zooms are >1 apart because most features clip away: rules 3→4 on
+        identical inputs go 633 → 1,429 runs/s (2.26×, bench/rules.js:
+        25-42), SF polygons go 254 → 2,174 (rules 11→17). The envelope
+        prune should reproduce that shape here — if dz=2 is NOT faster per
+        tile than dz=1, the prune has a gap."""
         counters["dz2_sink_tiles"] = _run_sink(
             "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC,
             "dz2_sink_steady_sec", "dz2_sink_mb", dz=2)

@@ -184,7 +184,7 @@ seam-floor decomposition.
 | points overzoom (+ spatial join + property carry) | 3,846 | ~7,700–8,500 | ~2.1× |
 | linestrings overzoom, typed props → encoded tile (rule 10) | 1,163 | 886 (overzoom_encode_tiles sink) | 0.76× |
 | polygons overzoom, typed props → encoded tile (rule 11) | 254 | 206 | 0.81× |
-| lines overzoom 2 zooms apart (rules 15/17 shape: dz=2 faster per tile) | 2,174 | 1,686 | 0.78× |
+| lines overzoom 2 zooms apart (dz=2-faster shape check; reference rules 3→4 show 2.26× on identical inputs) | — | 1,686 (1.9× own dz=1) | — |
 | linestrings, relational rows out | 1,163 | 187 (payload-independent Arrow-seam floor; see BENCH/BASELINE.md) | 0.16× |
 
 The numpy kernels run at-or-above reference speed single-thread (batched

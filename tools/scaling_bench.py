@@ -203,6 +203,24 @@ and is payload-width-INDEPENDENT (full rows 4.47 s ≈ maps dropped 4.10 s
 fewer rows help — the packed/fused sinks cross one row per TILE and clear
 the 2× bar; relational rows-out cannot on this host even with a zero-cost
 seam (the JVM plan prefix alone is 1.71 s ≈ 585 tiles/s).
+
+## Repeatability under host noise (round-2 history, fixed snapshot)
+
+The sandbox VM is a shared host; three full runs of this bench on
+2026-08-16 tracked the host's OWN hardware calibration, not the engine:
+
+| attempt | raw efficiency 2→8 | host ALU calib 2→8 (ideal 4×) | efficiency vs host ceiling |
+|---|---|---|---|
+| 1 (host degraded: membound 8→32 = 0.50×) | 0.643 | 3.55× | 0.725 |
+| 2 | 0.761 | 3.26× | 0.933 |
+| 3 (host quiet) | **0.832** | 3.95× | 0.843 |
+
+An interleaved A/B on the same host minute confirmed the round-2 engine
+is FASTER than the round-1 configuration it replaced (local[8], 51.2M
+pages: 85.2s new vs 101.2s with the old 10k-row Arrow batches) — the
+attempt-1 shortfall was neighbor load, not an engine regression.
+Interpret any single regenerated run of this file against its own
+calibration row the same way.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -33,3 +33,42 @@ def test_streaming_tile_counts_match_batch(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_encode_tiles_matches_batch(spark, fixture_bytes):
+    """Stream-materialized tiles must byte-match the batch fused sink when
+    each source tile's features arrive within one micro-batch (the
+    documented contract): two source tiles land as two files, the stream
+    drains with availableNow, and the union of per-epoch outputs equals
+    the all-at-once batch output."""
+    import tempfile
+
+    from vtcomposite_spark.operators.composite import composite_encode_tiles
+    from vtcomposite_spark.sources import ingest
+    from vtcomposite_spark.streaming.pipeline import streaming_encode_tiles
+
+    src = tempfile.mkdtemp(prefix="vtc_sink_src_")
+    snk = tempfile.mkdtemp(prefix="vtc_sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="vtc_sink_ckpt_")
+    try:
+        buf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+        feats = ingest.features_from_tiles(spark, [(buf, 8, 0, 0), (buf, 8, 1, 1)])
+        # one file per source tile = the atomic-arrival contract
+        for sx in (0, 1):
+            feats.filter(F.col("src_x") == sx).coalesce(1) \
+                .write.mode("append").parquet(src)
+        targets = spark.createDataFrame(
+            [(9, 2 * sx + dx, 2 * sx + dy, 128, None, False)
+             for sx in (0, 1) for dx in (0, 1) for dy in (0, 1)],
+            "z int, x long, y long, buffer_size int, "
+            "keep_layers array<string>, compress boolean")
+
+        streaming_encode_tiles(spark, src, targets, snk, ckpt, src_zoom=8)
+        got = {(r.z, r.x, r.y): bytes(r.tile)
+               for r in spark.read.parquet(snk).collect()}
+        want = {(r.z, r.x, r.y): bytes(r.tile)
+                for r in composite_encode_tiles(feats, targets).collect()}
+        assert got == want and want
+    finally:
+        for d in (src, snk, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -60,3 +60,40 @@ def run_file_stream(spark, source_dir: str, checkpoint_dir: str, zoom: int = 10,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
+                           sink_dir: str, checkpoint_dir: str,
+                           src_zoom: int | None = None) -> None:
+    """Continuous tile MATERIALIZATION: a stream of feature rows
+    (FEATURES_SCHEMA parquet landing in ``features_dir``) → per
+    micro-batch fused composite→encode → append-only parquet of
+    (z, x, y, tile) in ``sink_dir``. Checkpointed: a restart resumes at
+    the first unprocessed file.
+
+    The kernels are the batch ones via ``foreachBatch`` (kernel reuse, as
+    everywhere in this module). CONTRACT: tiles are encoded per
+    micro-batch, so a SOURCE tile's features must arrive within one
+    micro-batch — true for tileset ingestion, where each source tile's
+    rows land as one atomic file; features for the same TARGET from
+    different source tiles across batches produce one output row per
+    batch (downstream readers take the latest epoch per (z,x,y), or
+    re-run compaction — the same contract as any append-only tile log).
+    """
+    from ..operators.composite import composite_encode_tiles
+    from ..schema import FEATURES_SCHEMA
+
+    stream = spark.readStream.schema(FEATURES_SCHEMA).parquet(features_dir)
+    src_zooms = [src_zoom] if src_zoom is not None else None
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = composite_encode_tiles(batch_df, targets, src_zooms=src_zooms)
+        (out.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append").parquet(sink_dir))
+
+    q = (stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

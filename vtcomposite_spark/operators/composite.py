@@ -353,7 +353,8 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
 
 def composite(features: DataFrame, targets: DataFrame,
               join_strategy: str = "auto",
-              winners_join: str = "broadcast") -> DataFrame:
+              winners_join: str = "broadcast",
+              src_zooms: list[int] | None = None) -> DataFrame:
     """Full composite pipeline, relational in/out.
 
     Output: one row per surviving feature keyed by target (z, x, y), with
@@ -370,7 +371,8 @@ def composite(features: DataFrame, targets: DataFrame,
     converting). At planet-scale winner-set cardinalities pass
     winners_join='auto' to avoid the driver collecting the broadcast side.
     """
-    j = ancestor_join(features, targets, strategy=join_strategy)
+    j = ancestor_join(features, targets, strategy=join_strategy,
+                      src_zooms=src_zooms)
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join)
     out = overzoom_clip(j)

@@ -8,12 +8,17 @@ the wire format's algebra on arbitrary input (typed values incl. NUL
 strings and int64 edges, multi-part geometry, v1/v2, fids).
 """
 
+import os
+
 import pyarrow as pa
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from vtcomposite_spark.sources import ingest, mvt, mvt_vec
+
+# FUZZ_SCALE=10 multiplies every example budget — one-off deep runs
+_SCALE = int(os.environ.get("FUZZ_SCALE", "1"))
 
 coord = st.integers(min_value=-500, max_value=5000)
 vertex = st.tuples(coord, coord)
@@ -82,7 +87,7 @@ def _norm_geom(f: mvt.Feature):
     return f.parts
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _SCALE, deadline=None)
 @given(tile)
 def test_roundtrip_fixpoint_and_typed_values(layers):
     buf1 = mvt.encode_tile(layers)
@@ -100,7 +105,7 @@ def test_roundtrip_fixpoint_and_typed_values(layers):
             assert _norm_geom(g) == _norm_geom(f)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _SCALE, deadline=None)
 @given(tile)
 def test_columnar_encoder_fuzz_parity(layers):
     """The vectorized encoder must reproduce the row encoder's bytes on
@@ -142,7 +147,7 @@ def test_truncated_buffers_fail_cleanly(fixture_buf):
         mvt.encode_tile(dec)  # whatever decoded must be re-encodable
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _SCALE, deadline=None)
 @given(st.binary(max_size=64))
 def test_garbage_bytes_fail_cleanly(buf):
     try:
@@ -152,7 +157,7 @@ def test_garbage_bytes_fail_cleanly(buf):
     mvt.encode_tile(dec)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _SCALE, deadline=None)
 @given(st.binary(min_size=1, max_size=64))
 def test_ingest_tolerates_garbage(buf):
     """The ingest surface mirrors the reference's decode tolerance: a

@@ -164,3 +164,33 @@ def test_ingest_tolerates_garbage(buf):
     malformed BUFFER is skipped, not fatal (src/vtcomposite.cpp:159-178)."""
     rows = ingest.feature_rows([(buf, 0, 0, 0)])
     assert isinstance(rows, list)
+
+
+@settings(max_examples=30 * _SCALE, deadline=None)
+@given(tile, st.data())
+def test_v1_tolerance_skips_only_malformed(layers, data):
+    """v1 layers with injected DEGENERATE features (empty geometry,
+    1-point lines, 3-point rings) must ingest with exactly the malformed
+    features skipped and every valid one kept — the reference's v1
+    tolerance (src/vtcomposite.cpp:159-178). In v2 the same tile raises."""
+    for l in layers:
+        l.version = 1
+        bad_kind = data.draw(st.integers(0, 2))
+        if bad_kind == 0:
+            bad = mvt.Feature(geom_type=2, parts=[[(0, 0)]], ring_types=[0],
+                              properties={}, prop_types={})
+        elif bad_kind == 1:
+            bad = mvt.Feature(geom_type=3, parts=[[(0, 0), (1, 0), (0, 0)]],
+                              ring_types=[1], properties={}, prop_types={})
+        else:
+            bad = None
+        if bad is not None:
+            l.features.insert(data.draw(st.integers(0, len(l.features))), bad)
+    buf = mvt.encode_tile(layers)
+    rows = ingest.feature_rows([(buf, 0, 0, 0)])
+    n_valid = sum(
+        1 for l in layers for f in l.features
+        if not ((f.geom_type == 2 and any(len(p) < 2 for p in f.parts))
+                or (f.geom_type == 3 and any(len(p) < 4 for p in f.parts))
+                or not f.parts))
+    assert len(rows) == n_valid

@@ -364,3 +364,78 @@ def test_hyperplane_band_key_sql_bits_zero():
     import duckdb
     sql = H.hyperplane_band_key_sql("embedding", 1, 0, 4)
     assert duckdb.sql(f"SELECT {sql} AS k").fetchone()[0] == "1:"
+
+
+def test_netpbm_roundtrip_and_auto_decode(spark):
+    """REAL uncompressed image codecs: PGM/PPM round-trip (incl. the
+    spec's comment-header grammar) and decode_image(auto) over a mixed
+    IMG1 + P5 + P6 table."""
+    import numpy as np
+    img = (np.arange(12, dtype=np.uint8).reshape(3, 4) * 7) % 256
+    pgm = MM.encode_pgm(img)
+    w, h, c, px = MM.decode_pnm(pgm)
+    assert (w, h, c) == (4, 3, 1) and (px.reshape(3, 4) == img).all()
+    # comment in the header is legal netpbm
+    commented = pgm.replace(b"P5\n", b"P5\n# a comment\n", 1)
+    assert MM.decode_pnm(commented)[:3] == (4, 3, 1)
+    rgb = np.stack([img, img // 2, img * 2], axis=-1).astype(np.uint8)
+    w, h, c, px = MM.decode_pnm(MM.encode_ppm(rgb))
+    assert (w, h, c) == (4, 3, 3) and (px.reshape(3, 4, 3) == rgb).all()
+
+    fake = MM.synthesize_media(spark, 2, partitions=1)
+    import pandas as pd
+    real = spark.createDataFrame(
+        pd.DataFrame({"media_id": [100, 101], "kind": ["image", "image"],
+                      "payload": [pgm, MM.encode_ppm(rgb)],
+                      "meta": [None, None]}), MM.MEDIA_SCHEMA)
+    out = {r.media_id: (r.width, r.height)
+           for r in MM.decode_image(fake.unionByName(real)).collect()}
+    assert out[100] == (4, 3) and out[101] == (4, 3)
+    assert len(out) == 4
+    # resize preserves format
+    rs = {r.media_id: bytes(r.payload)
+          for r in MM.resize_image(real, 2, 2).collect()}
+    assert rs[100][:2] == b"P5" and MM.decode_pnm(rs[100])[:2] == (2, 2)
+    assert rs[101][:2] == b"P6"
+
+
+def test_wav_decode_real_dsp_features(spark):
+    """PCM16 WAV: a pure sine's dominant rFFT bin, RMS and zero-crossing
+    rate must match theory within bin resolution."""
+    import math
+    aud = MM.synthesize_audio(spark, 3, rate=8000, seconds=0.25, partitions=1)
+    rows = {r.media_id: r for r in MM.decode_audio(aud).collect()}
+    for i, r in rows.items():
+        f = 200.0 + 10.0 * i
+        assert r.sample_rate == 8000 and r.n_samples == 2000
+        assert abs(r.duration_s - 0.25) < 1e-9
+        assert abs(r.dominant_freq_hz - f) <= 8000 / 2000  # one bin
+        assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(r.zero_crossing_rate - 2 * f / 8000) < 0.01
+
+
+def test_y4m_frame_sampling(spark):
+    """YUV4MPEG2 parsing: every-n-th frame sampled, luma re-emitted as
+    decodable PGM."""
+    vid = MM.synthesize_video(spark, 4, partitions=1)  # 3..7 frames each
+    out = MM.frame_sample(vid, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_no)
+        w, h, c, px = MM.decode_pnm(bytes(r.payload))
+        assert (w, h, c) == (16, 16, 1)
+    assert by_id[0] == [0, 2]          # 3 frames -> 0, 2
+    assert by_id[3] == [0, 2, 4]       # 6 frames -> 0, 2, 4
+    # frame content round-trips exactly
+    import numpy as np
+    first = next(bytes(r.payload) for r in out
+                 if r.media_id == 1 and r.frame_no == 2)
+    want = ((np.arange(256) + 1 + 17 * 2) % 256).astype(np.uint8)
+    assert (MM.decode_pnm(first)[3] == want).all()
+
+
+def test_compressed_codec_seam_still_declared(spark):
+    med = MM.synthesize_media(spark, 1, partitions=1)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(med, codec="real")

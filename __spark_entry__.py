@@ -230,6 +230,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("z", "x", "y", F.length("tile").alias("tile_len"))
     q["overzoom_encode_sink"] = overzoom_encode_sink
 
+    def media_image_features(spark, sf):
+        """Multimodal decode under the (rows-only) gate: deterministic
+        synthesized media (seeded per id, no external data) through the
+        Arrow-batched image decode — width/height/mean/histogram features.
+        Binary codecs are not SQL-expressible, so no oracle entry; codec
+        correctness is pytest-gated (netpbm roundtrip, WAV DSP theory
+        checks, y4m sampling in tests/test_webtext.py)."""
+        from vtcomposite_spark.operators import multimodal as MM
+        media = MM.synthesize_media(spark, 200, partitions=4)
+        return MM.decode_image(media).select(
+            "media_id", "width", "height", F.round("mean_px", 4).alias("mean_px"))
+    q["media_image_features"] = media_image_features
+
     def first_wins_orders(spark, sf):
         from pyspark.sql import Window
         o = _read(spark, sf, "orders")

@@ -300,6 +300,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return roll.select(F.col("zoom"), x.alias("cx"), y.alias("cy"), "n")
     q["cell_rollup"] = cell_rollup
 
+    def salted_tile_counts_q(spark, sf):
+        """The skew plumbing under the FULL oracle gate: the two-phase
+        salted aggregate (plans.skew — hot tiles split across nsalt
+        reducers, then re-aggregate) must produce exactly the plain
+        group-by counts the SQL oracle computes. The salt is engine-side
+        physical detail (xxhash64), invisible in the result."""
+        from vtcomposite_spark.plans.skew import salted_tile_counts
+        pts = _events_points(spark, sf)
+        cells = encode_cells(pts, 8)
+        out = salted_tile_counts(cells.filter(F.col("cell").isNotNull()),
+                                 ["tile_x", "tile_y"], ["event_id"], nsalt=8)
+        return out.select(F.col("tile_x").alias("tx"),
+                          F.col("tile_y").alias("ty"), "n")
+    q["salted_tile_counts"] = salted_tile_counts_q
+
+    def ann_ivf_topk(spark, sf):
+        """IVF ANN (the bucketed nprobe scale path) under the rows-only
+        gate: deterministic Lloyd's centroids → inverted lists → probe.
+        Approximate by design, so no SQL oracle (the exact brute path next
+        to it, ann_cosine_topk, is the fully-oracled twin); recall ≥0.9 vs
+        brute is pytest-gated on clustered corpora."""
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 20)
+        return SIM.ann_topk_ivf(qv, emb, k=5, n_centroids=8, nprobe=2,
+                                centroids="kmeans") \
+            .select("query_id", "corpus_id", "rank")
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     # --- worldview / localize property algebra (L1-L7, O1, U2, F8) ---
 
     def worldview_semijoin(spark, sf):
@@ -532,6 +560,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, site_id, row_number() OVER ("
         "PARTITION BY event_id ORDER BY d ASC, site_id ASC) AS knn_rank FROM cand) "
         "WHERE knn_rank <= 3"
+    )
+
+    tx8s, ty8s = _tile_sql("lon", "lat", 8)
+    o["salted_tile_counts"] = (
+        f"SELECT {tx8s} AS tx, {ty8s} AS ty, count(*) AS n "
+        f"FROM ({_EVENTS_POINTS_SQL}) GROUP BY 1, 2"
     )
 
     tx10e, ty10e = _tile_sql("lon", "lat", 10)

@@ -328,6 +328,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "corpus_id", "rank")
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def raster_points_roundtrip(spark, sf):
+        """Raster↔vector under the FULL oracle gate: synthetic integer
+        point features burn onto 64×64 per-tile count grids
+        (operators.raster.rasterize_tiles) and explode back through the
+        inverse (raster_to_points); the SQL twin computes the pixel counts
+        directly with integer arithmetic — the round trip must be exact
+        (counts clip at the PGM's 255)."""
+        from vtcomposite_spark.operators import raster as RZ
+        li = _read(spark, sf, "lineitem")
+        feats = li.select(
+            F.lit(4).alias("z"),
+            (F.col("l_orderkey") % 16).cast("long").alias("x"),
+            (F.col("l_suppkey") % 16).cast("long").alias("y"),
+            F.lit(4096).alias("extent"),
+            F.lit(1).cast("byte").alias("geom_type"),
+            F.array((F.col("l_partkey") % 4096).cast("long")).alias("xs"),
+            F.array(((F.col("l_suppkey") * 7) % 4096).cast("long")).alias("ys"),
+            F.array(F.lit(0)).alias("part_offsets"))
+        ras = RZ.rasterize_tiles(feats, resolution=64)
+        return RZ.raster_to_points(ras)
+    q["raster_points_roundtrip"] = raster_points_roundtrip
+
     # --- worldview / localize property algebra (L1-L7, O1, U2, F8) ---
 
     def worldview_semijoin(spark, sf):
@@ -560,6 +582,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_id, site_id, row_number() OVER ("
         "PARTITION BY event_id ORDER BY d ASC, site_id ASC) AS knn_rank FROM cand) "
         "WHERE knn_rank <= 3"
+    )
+
+    o["raster_points_roundtrip"] = (
+        "SELECT CAST(4 AS INTEGER) AS z, l_orderkey % 16 AS x, "
+        "l_suppkey % 16 AS y, "
+        "CAST((l_partkey % 4096) * 64 // 4096 AS INTEGER) AS px, "
+        "CAST(((l_suppkey * 7) % 4096) * 64 // 4096 AS INTEGER) AS py, "
+        "CAST(least(count(*), 255) AS INTEGER) AS value "
+        "FROM lineitem GROUP BY 1, 2, 3, 4, 5"
     )
 
     tx8s, ty8s = _tile_sql("lon", "lat", 8)

@@ -1,0 +1,47 @@
+"""Table IO: parquet twin is fully real; the Iceberg branch fails with a
+clear actionable error in this runtime-less sandbox (the declared seam)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vtcomposite_spark.sources import tables
+from vtcomposite_spark.sources.pages import synthesize_pages
+
+
+def test_parquet_roundtrip_and_z_partition_pruning(spark):
+    src = tempfile.mkdtemp(prefix="vtc_tbl_pages_")
+    out = tempfile.mkdtemp(prefix="vtc_tbl_tiles_")
+    try:
+        synthesize_pages(spark, 100, partitions=2).write \
+            .mode("overwrite").parquet(src)
+        pages = tables.read_pages(spark, src)
+        assert pages.count() == 100
+        assert set(pages.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+
+        tiles = spark.createDataFrame(
+            [(z, x, x, bytes([z, x])) for z in (3, 4) for x in range(4)],
+            "z int, x long, y long, tile binary")
+        shutil.rmtree(out)
+        tables.write_tiles(tiles, out, mode="overwrite")
+        back = spark.read.parquet(out)
+        assert back.count() == 8
+        # partitioned by z: a z-filter prunes to the z=4 directory
+        plan = back.filter(F.col("z") == 4)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PartitionFilters" in plan and back.filter(
+            F.col("z") == 4).count() == 4
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_iceberg_seam_reports_missing_runtime(spark):
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        tables.read_pages(spark, "catalog.db.pages")  # table name => iceberg
+    tiles = spark.createDataFrame([(1, 0, 0, b"x")],
+                                  "z int, x long, y long, tile binary")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        tables.write_tiles(tiles, "catalog.db.tiles")

@@ -1,0 +1,64 @@
+"""Table IO — the north rule's "Iceberg tables of Common-Crawl-style web
+pages", with a parquet twin for environments without the Iceberg runtime.
+
+Reading and writing are format-symmetric: every operator consumes plain
+DataFrames, so the storage layer is exactly two functions. ``format=
+"auto"`` uses Iceberg when the session has an Iceberg catalog configured
+(spark.sql.catalog.* + iceberg-spark-runtime on the classpath) and falls
+back to parquet otherwise — THIS sandbox ships no iceberg-spark-runtime
+jar, so here the Iceberg branch is exercised only up to its clearly
+reported error (tested), exactly like the compressed-codec seam in
+operators.multimodal.
+
+Scale layout: tile outputs partition by zoom (and bucket by x at the
+caller's option) so planet-pyramid writes prune on z at read time;
+Iceberg additionally gives snapshot isolation + hidden partitioning for
+the resume-from-checkpoint story in plans.lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        # Class.forName raises; bare py4j package access resolves lazily
+        # and would "succeed" for any missing class
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(spark: SparkSession, source: str,
+               fmt: str = "auto") -> DataFrame:
+    """pages table (url, warc_ts, html, text, lang) from an Iceberg table
+    name or a parquet path."""
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in source):
+        if not _has_iceberg(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on this session's classpath; "
+                "add the runtime jar + a spark.sql.catalog.* config, or "
+                "pass a parquet path (fmt='parquet')")
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def write_tiles(df: DataFrame, target: str, fmt: str = "auto",
+                mode: str = "append") -> None:
+    """(z, x, y, tile) sink. Parquet partitions by z (directory pruning);
+    Iceberg appends via writeTo with the same partition spec managed by
+    the table."""
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in target):
+        if not _has_iceberg(df.sparkSession):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on this session's classpath; "
+                "add the runtime jar + a spark.sql.catalog.* config, or "
+                "pass a parquet path (fmt='parquet')")
+        w = df.writeTo(target)
+        (w.append() if mode == "append" else w.createOrReplace())
+        return
+    df.write.mode(mode if mode != "append" else "append") \
+        .partitionBy("z").parquet(target)

@@ -45,3 +45,14 @@ def test_iceberg_seam_reports_missing_runtime(spark):
                                   "z int, x long, y long, tile binary")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         tables.write_tiles(tiles, "catalog.db.tiles")
+
+
+def test_scaling_bench_template_matches_curated_baseline_md():
+    """tools/scaling_bench.py REGENERATES BENCH/BASELINE.md; the curated
+    comparison/seam-floor/noise sections must exist verbatim in the
+    template or a regeneration silently reverts them."""
+    md = open("BENCH/BASELINE.md").read()
+    sb = open("tools/scaling_bench.py").read()
+    marker = "## Comparison to the reference's published throughput"
+    tail = md[md.index(marker):].rstrip()
+    assert tail in sb

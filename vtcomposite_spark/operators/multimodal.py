@@ -119,7 +119,6 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     Arrow batches."""
 
     def one(payload: bytes) -> bytes:
-        yi = None
         if payload[:4] == b"IMG1":
             w, h, px = _decode_fake(payload)
             img = px.reshape(h, w)

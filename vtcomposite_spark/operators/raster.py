@@ -16,8 +16,13 @@ marching squares on a level threshold and emits stitched polyline
 features in TILE coordinates, ready to flow back into the composite →
 encode sinks (raster → vector → MVT end-to-end).
 
-All kernels are numpy over packed-per-tile Arrow batches (the encode
-sinks' `_pack_tiles` pattern) — no per-row Python.
+Kernels run over packed-per-tile Arrow batches (the encode sinks'
+`_pack_tiles` pattern). The all-points case — the planet shape, since
+geotagged pages ARE points — vectorizes to ONE flat bincount across the
+whole batch with zero per-feature python; line burns and polygon scanline
+fills iterate features in python (per-segment / per-scanline logic), so
+dense line/polygon layers rasterize at interpreter speed — extend with a
+vectorized edge-table fill if that ever becomes a hot path.
 """
 
 from __future__ import annotations
@@ -115,7 +120,11 @@ def rasterize_tiles(composited: DataFrame, resolution: int = 256) -> DataFrame:
     import pyarrow as pa
 
     R = int(resolution)
-    packed = _pack_tiles(composited)
+    # manual projection BEFORE the seam (column pruning doesn't cross
+    # mapInArrow): the kernel reads geometry + 2 scalars, never the
+    # property/tag maps a composite-output row carries
+    need = ["z", "x", "y", "extent", "geom_type", "xs", "ys", "part_offsets"]
+    packed = _pack_tiles(composited.select(*need))
     tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
 
     def kernel(it):
@@ -144,6 +153,52 @@ def rasterize_tiles(composited: DataFrame, resolution: int = 256) -> DataFrame:
             foff = foff - foff[0]
             out = {"z": [], "x": [], "y": [], "resolution": [],
                    "raster": [], "n_nonzero": [], "total_weight": []}
+
+            if bool((gt == 1).all()) \
+                    and batch.num_rows * R * R <= (1 << 24):
+                # all-points fast path (the planet shape — geotagged pages
+                # ARE points): ONE flat bincount over (tile, py, px) for
+                # the whole batch, zero per-feature python
+                nb = batch.num_rows
+                base = int(xo[0])
+                xs_flat = xv[base:int(xo[-1])]
+                ys_flat = yv[base:int(xo[-1])]
+                vcount = np.diff(xo)
+                feat_tile = np.repeat(np.arange(nb, dtype=np.int64),
+                                      np.diff(foff))
+                vt = np.repeat(feat_tile, vcount)
+                ve = np.repeat(ext, vcount)
+                ppx = (xs_flat * R) // ve
+                ppy = (ys_flat * R) // ve
+                ok = (ppx >= 0) & (ppx < R) & (ppy >= 0) & (ppy < R)
+                lin = (vt[ok] * R + ppy[ok]) * R + ppx[ok]
+                counts = np.bincount(lin, minlength=nb * R * R) \
+                    .reshape(nb, R, R)
+                for t in range(nb):
+                    if foff[t] == foff[t + 1]:
+                        continue
+                    acc = counts[t]
+                    f0 = int(foff[t])
+                    out["z"].append(int(zc[f0]))
+                    out["x"].append(int(xc[f0]))
+                    out["y"].append(int(yc[f0]))
+                    out["resolution"].append(R)
+                    out["raster"].append(
+                        encode_pgm(np.minimum(acc, 255).astype(np.uint8)))
+                    out["n_nonzero"].append(int((acc > 0).sum()))
+                    out["total_weight"].append(int(acc.sum()))
+                if out["z"]:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out["z"], pa.int32()),
+                         pa.array(out["x"], pa.int64()),
+                         pa.array(out["y"], pa.int64()),
+                         pa.array(out["resolution"], pa.int32()),
+                         pa.array(out["raster"], pa.binary()),
+                         pa.array(out["n_nonzero"], pa.int64()),
+                         pa.array(out["total_weight"], pa.int64())],
+                        names=[f.name for f in RASTER_SCHEMA.fields])
+                continue
+
             for t in range(batch.num_rows):
                 f0, f1 = int(foff[t]), int(foff[t + 1])
                 if f0 == f1:
@@ -303,7 +358,10 @@ def raster_contours(rasters: DataFrame, level: int = 1,
             for row in pdf.itertuples(index=False):
                 w, h, c, px = decode_pnm(bytes(row.raster))
                 img = px.reshape(h, w)
-                s = (scale_to_extent / w) if scale_to_extent else 1.0
+                # per-axis scale: a non-square raster maps each axis to the
+                # full extent independently
+                sx = (scale_to_extent / w) if scale_to_extent else 1.0
+                sy = (scale_to_extent / h) if scale_to_extent else 1.0
                 for i, (cxs, cys, closed) in enumerate(
                         _contour_tile(img, level)):
                     out["z"].append(row.z)
@@ -311,8 +369,8 @@ def raster_contours(rasters: DataFrame, level: int = 1,
                     out["y"].append(row.y)
                     out["contour_idx"].append(i)
                     out["closed"].append(closed)
-                    out["xs"].append([v * s for v in cxs])
-                    out["ys"].append([v * s for v in cys])
+                    out["xs"].append([v * sx for v in cxs])
+                    out["ys"].append([v * sy for v in cys])
             yield pd.DataFrame(out)
 
     return rasters.select("z", "x", "y", "raster").mapInPandas(

@@ -22,14 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
+    name = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        # Class.forName raises; bare py4j package access resolves lazily
-        # and would "succeed" for any missing class
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog")
+        # Spark's own loader sees --jars / spark.jars.packages additions;
+        # plain java.lang.Class.forName consults only the system classpath
+        # and false-negatives on a correctly configured session, while
+        # bare py4j package access resolves lazily and false-positives
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            name, True, False)
         return True
     except Exception:
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName(name)
+            return True
+        except Exception:
+            return False
 
 
 def read_pages(spark: SparkSession, source: str,
@@ -49,8 +56,10 @@ def read_pages(spark: SparkSession, source: str,
 def write_tiles(df: DataFrame, target: str, fmt: str = "auto",
                 mode: str = "append") -> None:
     """(z, x, y, tile) sink. Parquet partitions by z (directory pruning);
-    Iceberg appends via writeTo with the same partition spec managed by
-    the table."""
+    Iceberg writes via writeTo with the table's own partition spec.
+    ``mode``: append | overwrite (Iceberg: createOrReplace) | error
+    (Iceberg: create — fails if the table exists, like parquet's
+    ErrorIfExists)."""
     if fmt == "iceberg" or (fmt == "auto" and "/" not in target):
         if not _has_iceberg(df.sparkSession):
             raise RuntimeError(
@@ -58,7 +67,13 @@ def write_tiles(df: DataFrame, target: str, fmt: str = "auto",
                 "add the runtime jar + a spark.sql.catalog.* config, or "
                 "pass a parquet path (fmt='parquet')")
         w = df.writeTo(target)
-        (w.append() if mode == "append" else w.createOrReplace())
+        if mode == "append":
+            w.append()
+        elif mode == "overwrite":
+            w.createOrReplace()
+        elif mode in ("error", "errorifexists"):
+            w.create()
+        else:
+            raise ValueError(f"unsupported Iceberg write mode {mode!r}")
         return
-    df.write.mode(mode if mode != "append" else "append") \
-        .partitionBy("z").parquet(target)
+    df.write.mode(mode).partitionBy("z").parquet(target)

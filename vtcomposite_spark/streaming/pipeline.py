@@ -79,6 +79,11 @@ def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
     different source tiles across batches produce one output row per
     batch (downstream readers take the latest epoch per (z,x,y), or
     re-run compaction — the same contract as any append-only tile log).
+
+    IDEMPOTENT under micro-batch replay: each epoch OVERWRITES its own
+    ``epoch=N`` partition directory, so a retry after a crash between the
+    parquet write and the streaming commit rewrites identical data
+    instead of appending duplicate (z, x, y) rows at the same epoch.
     """
     from ..operators.composite import composite_encode_tiles
     from ..schema import FEATURES_SCHEMA
@@ -88,8 +93,7 @@ def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         out = composite_encode_tiles(batch_df, targets, src_zooms=src_zooms)
-        (out.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append").parquet(sink_dir))
+        out.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch_id}")
 
     q = (stream.writeStream
          .foreachBatch(process)

@@ -212,8 +212,8 @@ def build_workload(spark, sf_dir):
                 F.sum(F.length("tile")).alias("bytes")).collect()[0]
         run()
         best = None
-        for _ in range(3):  # best-of-3: ambient host noise is ±2× here
-            t0 = time.perf_counter()
+        for _ in range(4):  # best-of-4: ambient host noise is ±2× here and
+            t0 = time.perf_counter()  # sink runs are only ~1-4s each
             row = run()
             best = min(best or 1e9, time.perf_counter() - t0)
         counters[steady_key] = round(best, 3)

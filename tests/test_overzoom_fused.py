@@ -103,6 +103,23 @@ def test_targets_above_source_zoom_yield_nothing(spark, fixture_bytes):
     assert out.count() == 0
 
 
+def test_null_buffer_size_parity(spark, fixture_bytes):
+    """A NULL buffer_size target (dz>0) drops all its features in the
+    generic path (the JVM envelope predicate evaluates NULL); the fused
+    kernel must match — not read NaN→undefined int64 prune bounds."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(spark, [(lbuf, 4, 2, 3)])
+    targets = spark.createDataFrame(
+        [(5, 4, 6, None, None, False),   # dz=1, NULL buffer → no tile
+         (5, 5, 7, 128, None, False)],   # normal sibling
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C.composite_encode_tiles(feats, targets,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.overzoom_encode_tiles(feats, targets, src_zoom=4))
+    assert got == want and set(want) == {(5, 5, 7)}
+
+
 def test_generic_fused_src_zooms_routes_to_specialized(spark, fixture_bytes):
     """composite_encode_tiles(src_zooms=[z]) must byte-match its own
     generic plan — the single-zoom declaration is a physical strategy

@@ -47,6 +47,34 @@ def test_iceberg_seam_reports_missing_runtime(spark):
         tables.write_tiles(tiles, "catalog.db.tiles")
 
 
+def test_auto_routes_plain_paths_to_parquet(spark, tmp_path):
+    """fmt='auto' must NOT send slash-free parquet paths to Iceberg: a bare
+    relative directory, a dotted filename, and an existing dotted path all
+    route to parquet; only non-existent dotted catalog identifiers do not."""
+    assert not tables._looks_like_iceberg("tiles_out")       # no dot
+    assert not tables._looks_like_iceberg("data.parquet")    # file extension
+    assert not tables._looks_like_iceberg("out/tiles")       # path separator
+    assert not tables._looks_like_iceberg("s3://bucket/t")   # URI
+    assert tables._looks_like_iceberg("catalog.db.tiles")
+    assert tables._looks_like_iceberg("db.tiles")
+    # an existing directory wins over the dotted-name heuristic
+    d = tmp_path / "cat.alog"
+    d.mkdir()
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert not tables._looks_like_iceberg("cat.alog")
+    finally:
+        os.chdir(cwd)
+    # end-to-end: bare relative dir writes parquet instead of raising
+    tiles = spark.createDataFrame([(1, 0, 0, b"x")],
+                                  "z int, x long, y long, tile binary")
+    out = str(tmp_path / "rel_tiles_out")
+    tables.write_tiles(tiles, out, mode="overwrite")
+    assert tables.read_pages(spark, out).count() == 1
+
+
 def test_scaling_bench_template_matches_curated_baseline_md():
     """tools/scaling_bench.py REGENERATES BENCH/BASELINE.md; the curated
     comparison/seam-floor/noise sections must exist verbatim in the

@@ -345,7 +345,7 @@ def test_hyperplane_short_vectors_match_expression_form(spark):
     the projection collapses (try_element_at past the end is NULL ⇒ sum
     NULL) and every bit reads '0' — not the sign of a partial sum."""
     rows = [(0, [-0.5357, 0.3616]), (1, [0.9, -0.2, 0.4, -0.8]),
-            (2, [0.1])]
+            (2, [0.1]), (3, None)]  # NULL embedding == empty (all-'0' bits)
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     udf_keys = {(r.vec_id, r.band_key) for r in D.hyperplane_lsh_buckets(
         emb, tables=2, bits=3, dim=4).collect()}
@@ -356,6 +356,7 @@ def test_hyperplane_short_vectors_match_expression_form(spark):
     assert udf_keys == expr_keys
     assert (0, "0:000") in udf_keys  # short vector => all-zero bits
     assert (2, "0:000") in udf_keys
+    assert (3, "0:000") in udf_keys and (3, "1:000") in udf_keys
 
 
 def test_hyperplane_band_key_sql_bits_zero():

@@ -228,7 +228,11 @@ def hyperplane_band_keys_batch(mat, tables: int, bits: int,
     oracle-parity reference). Rounding matches Spark/DuckDB round():
     HALF_UP away from zero, NOT numpy's banker's rounding."""
     import numpy as np
-    rows = list(mat)
+    # a NULL embedding behaves like an empty one: the expression twin's
+    # try_element_at(NULL_vec, i) is NULL ⇒ projection NULL ⇒ every bit '0'
+    # — the NaN-pad path below produces exactly that, so substituting []
+    # keeps the declared engine/oracle bit-identity instead of crashing
+    rows = [r if r is not None else [] for r in mat]
     n = len(rows)
     if n == 0:  # empty Arrow batch
         return []

@@ -696,7 +696,14 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             tz = tvals.field(0).to_numpy(zero_copy_only=False).astype(_I64)
             tx = tvals.field(1).to_numpy(zero_copy_only=False).astype(_I64)
             ty = tvals.field(2).to_numpy(zero_copy_only=False).astype(_I64)
-            tbuf = tvals.field(3).to_numpy(zero_copy_only=False).astype(_I64)
+            # a NULL buffer_size would read as NaN→undefined int64 and
+            # produce arbitrary prune bounds; fill for the conversion and
+            # keep the null mask — generic-path parity (its JVM envelope
+            # predicate evaluates NULL for dz>0 rows and DROPS them)
+            tbuf_arr = tvals.field(3)
+            tbuf_null = tbuf_arr.is_null().to_numpy(zero_copy_only=False)
+            tbuf = tbuf_arr.fill_null(0).to_numpy(
+                zero_copy_only=False).astype(_I64)
             tcmp = tvals.field(4).fill_null(False).to_numpy(zero_copy_only=False)
             has_keep = len(tgt_fields) == 6
             keep_lists = tvals.field(5).to_pylist() if has_keep else None
@@ -717,6 +724,9 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                 alive0 = ti[f0:f1] == win[lc]
                 for k in range(int(toff[g]), int(toff[g + 1])):
                     dz = int(tz[k]) - src_zoom
+                    if dz > 0 and tbuf_null[k]:
+                        continue  # generic-path parity: NULL buffer_size
+                        # fails the envelope predicate — no features
                     zf = np.int64(1) << np.int64(dz)
                     alive = alive0
                     if has_keep and keep_lists[k] is not None \

@@ -18,7 +18,27 @@ the resume-from-checkpoint story in plans.lineage.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# ``fmt="auto"`` routing: a DOTTED catalog identifier (catalog.db.table)
+# that is not an existing filesystem path and carries no data-file
+# extension reads as an Iceberg table name; everything else — including a
+# bare relative parquet directory like "tiles_out" — is a parquet path.
+_ICEBERG_IDENT = re.compile(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+\Z")
+_DATA_FILE_EXTS = (".parquet", ".pq", ".orc", ".json", ".csv")
+
+
+def _looks_like_iceberg(s: str) -> bool:
+    if "/" in s or "\\" in s or "://" in s:
+        return False
+    if any(s.lower().endswith(e) for e in _DATA_FILE_EXTS):
+        return False
+    if os.path.exists(s):
+        return False
+    return _ICEBERG_IDENT.match(s) is not None
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
@@ -42,8 +62,10 @@ def _has_iceberg(spark: SparkSession) -> bool:
 def read_pages(spark: SparkSession, source: str,
                fmt: str = "auto") -> DataFrame:
     """pages table (url, warc_ts, html, text, lang) from an Iceberg table
-    name or a parquet path."""
-    if fmt == "iceberg" or (fmt == "auto" and "/" not in source):
+    name or a parquet path. ``auto`` treats only dotted catalog.table
+    identifiers as Iceberg (see _looks_like_iceberg) — a bare relative
+    parquet directory routes to parquet."""
+    if fmt == "iceberg" or (fmt == "auto" and _looks_like_iceberg(source)):
         if not _has_iceberg(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime is not on this session's classpath; "
@@ -60,7 +82,7 @@ def write_tiles(df: DataFrame, target: str, fmt: str = "auto",
     ``mode``: append | overwrite (Iceberg: createOrReplace) | error
     (Iceberg: create — fails if the table exists, like parquet's
     ErrorIfExists)."""
-    if fmt == "iceberg" or (fmt == "auto" and "/" not in target):
+    if fmt == "iceberg" or (fmt == "auto" and _looks_like_iceberg(target)):
         if not _has_iceberg(df.sparkSession):
             raise RuntimeError(
                 "iceberg-spark-runtime is not on this session's classpath; "

@@ -88,6 +88,69 @@ def test_composite_auto_join_no_broadcast_regime(spark):
         assert "BroadcastExchange" in _final_plan(hinted)
 
 
+def test_ann_ivf_probe_join_regimes(spark):
+    """VERDICT r3 item 2: the IVF probe join must not FORCE a broadcast —
+    under the no-auto-broadcast (planet-query-set) regime, probe_join=
+    'auto' runs the bucket equi-join as a shuffle join with identical
+    results; 'broadcast' still forces the hint (one more BroadcastExchange
+    than auto, beyond the always-forced tiny centroid joins)."""
+    import numpy as np
+
+    from vtcomposite_spark.operators import similarity as S
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    q = emb.limit(10)
+    kw = dict(n_centroids=4, nprobe=2, centroids="seed")
+    want = sorted((r.query_id, r.corpus_id, r.cos, r.rank) for r in
+                  S.ann_topk_ivf(q, emb, 3, probe_join="broadcast",
+                                 **kw).collect())
+    assert want
+    with _no_broadcast(spark):
+        auto = S.ann_topk_ivf(q, emb, 3, probe_join="auto", **kw)
+        got = sorted((r.query_id, r.corpus_id, r.cos, r.rank)
+                     for r in auto.collect())
+        auto_plan = _final_plan(auto)
+        forced = S.ann_topk_ivf(q, emb, 3, probe_join="broadcast", **kw)
+        forced.collect()
+        forced_plan = _final_plan(forced)
+    assert got == want
+    assert "SortMergeJoin" in auto_plan or "ShuffledHashJoin" in auto_plan
+    assert forced_plan.count("BroadcastExchange") \
+        > auto_plan.count("BroadcastExchange")
+
+
+def test_knn_grid_site_join_regimes(spark):
+    """VERDICT r3 item 7: knn_join(grid) site-side strategy — 'auto' under
+    the no-auto-broadcast regime runs a shuffle join (zero
+    BroadcastExchange with exact=False) with results identical to the
+    forced-broadcast default."""
+    from vtcomposite_spark.operators.joins import knn_join
+    pts = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("url"),
+        ((F.col("id") * 37 % 160) / F.lit(1.0) - 80).alias("lat"),
+        ((F.col("id") * 53 % 360) / F.lit(1.0) - 180).alias("lon"))
+    sites = spark.range(0, 40).select(
+        F.col("id").alias("site_id"),
+        ((F.col("id") * 41 % 160) / F.lit(1.0) - 80).alias("lat"),
+        ((F.col("id") * 59 % 360) / F.lit(1.0) - 180).alias("lon"))
+    key = lambda df: sorted(  # noqa: E731
+        (r.url, r.site_id, r.knn_rank) for r in df.collect())
+    want = key(knn_join(pts, sites, 3, zoom=2, exact=False,
+                        site_join="broadcast"))
+    assert want
+    with _no_broadcast(spark):
+        auto = knn_join(pts, sites, 3, zoom=2, exact=False, site_join="auto")
+        got = key(auto)
+        assert "BroadcastExchange" not in _final_plan(auto)
+        forced = knn_join(pts, sites, 3, zoom=2, exact=False,
+                          site_join="broadcast")
+        forced.collect()
+        assert "BroadcastExchange" in _final_plan(forced)
+    assert got == want
+
+
 def test_ancestor_join_src_zooms_restriction(spark):
     """Exploding targets only over the zooms present in the features table
     must not change results (and shrinks the exploded side)."""

@@ -372,7 +372,7 @@ def _tile_row_lat_col(y, zoom: int):
 def knn_join(points: DataFrame, sites: DataFrame, k: int,
              point_id_col: str = "url", site_id_col: str = "site_id",
              method: str = "grid", zoom: int = 6,
-             exact: bool = True) -> DataFrame:
+             exact: bool = True, site_join: str = "broadcast") -> DataFrame:
     """J3: for each point, its k nearest sites.
 
     ``brute``: broadcast cross join — exact; right when sites is small
@@ -387,6 +387,16 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
     zoom that is a sliver of the data, so the fallback join is tiny.
     ``exact=False`` skips the check (the documented contract is then the
     caller's problem — pick ``zoom`` so a cell ≳ the max kNN radius).
+
+    ``site_join`` sizes the grid candidate equi-join. ``"broadcast"``
+    (default) forces the hint — right for the documented POI-dictionary
+    shape (the 9×-exploded site table stays executor-memory-sized), and
+    forcing it keeps the huge points side shuffle-free (AQE's runtime
+    conversion still pays the probe side's full shuffle WRITE first —
+    the measured first_wins lesson). ``"auto"``: no hint — the scale
+    escape hatch when sites is itself planet-sized (millions of rows ×9
+    would OOM the driver under a forced broadcast); Catalyst/AQE then
+    picks a shuffle join.
     """
     # null-coordinate sites never match the grid's cell equi-join; drop
     # them from brute too (an unfiltered NULL dist_sq would sort FIRST
@@ -412,7 +422,9 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
                     F.col("lon").alias("site_lon"),
                     tm.pack_cell_col(F.lit(zoom), F.col("_nx"), F.col("_ny")).alias("cell"))
         )
-        cand = pts.join(F.broadcast(sc), on="cell", how="inner")
+        if site_join == "broadcast":
+            sc = F.broadcast(sc)
+        cand = pts.join(sc, on="cell", how="inner")
 
     cand = cand.withColumn(
         "dist_sq", _sq_dist(F.col("lat"), F.col("lon"),

@@ -205,6 +205,28 @@ def test_localized_output_key_order(spark):
                                   "name_local", "worldview"]
 
 
+def test_languages_all_output_key_order(spark):
+    """languages=['all'] key order (VERDICT r3 item 3): the raw ``name``
+    key stays INLINE at its input position — the reference emplaces it
+    mid-scan (src/vtcomposite.cpp:862-868) and never re-emits it after
+    class — followed by class, name_local, the re-keyed family, worldview
+    last. Tag map order must track the properties map exactly."""
+    buf = _one_feature_tile(
+        {"zeta": "z", "_mbx_worldview": "US", "name": "pond",
+         "class": "park", "alpha": "a", "_mbx_name_de": "teich",
+         "name_en": "pond-en"},
+        {"zeta": 1, "_mbx_worldview": 1, "name": 1, "class": 1, "alpha": 1,
+         "_mbx_name_de": 1, "name_en": 1})
+    layers = _localize_decode(spark, buf, languages=["all"], worldviews=["US"])
+    f = layers[0].features[0]
+    assert list(f.properties) == ["zeta", "name", "alpha", "class",
+                                  "name_local", "name_de", "name_en",
+                                  "worldview"]
+    assert list(f.prop_types) == list(f.properties)
+    assert f.properties["name"] == "pond"
+    assert f.properties["name_local"] == "pond"
+
+
 def test_localize_languages_all_keeps_language_value_types(spark):
     """languages=all: re-keyed name_xx values keep their tags (the reference
     stores property.value() typed in the temp hashmap, :870-877)."""

@@ -33,17 +33,16 @@ values pass through with their original tags; keys this operator generates
 reference's output too. When the input has no ``prop_types`` column the
 all-string model applies unchanged.
 
-Output property ORDER matches the reference byte-for-byte in non-localized
-mode and in localized mode with an explicit language list: pass-through
+Output property ORDER matches the reference in every mode: pass-through
 keys in input order, then class, then name(+name_local), then worldview
 LAST (build_new_feature appends it, src/vtcomposite.cpp:617-643;
-non-localized re-emits class/name/worldview at the end, :944-998).
-Exception — languages=['all']: the reference emplaces the raw ``name`` key
-INLINE at its input position while iterating the property map (and the
-name_xx family order follows unordered_map iteration, which is not a
-stable contract); here ``name`` lands after class with the family keys
-after it, so encoded key/tag order can differ in that one mode even
-though the key→value content is identical (oracle-gated).
+non-localized re-emits class/name/worldview at the end, :944-998). In
+languages=['all'] the raw ``name`` key sits INLINE at its input position
+(the reference emplaces it during the property scan, :862-868, and the
+post-loop language emission never fires in that mode) with name_local
+after class and the re-keyed family after that. The family keys' RELATIVE
+order is input order here; the reference iterates an unordered_map there
+(:986-998), which is not a stable contract on its side.
 
 Mode selection (src/vtcomposite.cpp:681-720, :1188, :1234, :1307-1314):
 ``return_localized_tile`` is true iff a ``languages`` or ``worldviews``
@@ -249,20 +248,25 @@ def localize(
         )
 
     # base: every key not consumed by the worldview/class/language branches,
-    # hidden-prefixed keys dropped (L7)
+    # hidden-prefixed keys dropped (L7). languages=['all'] keeps the raw
+    # ``name`` key INLINE at its input position — the reference emplaces it
+    # during the property scan (src/vtcomposite.cpp:862-868) and its
+    # post-loop language emission never fires in that mode (the family
+    # branch `continue`s before the precedence walk, :879-880), so `name`
+    # lands mid-scan, not after class.
     def base_key(k: Column, v: Column) -> Column:
+        not_lang = ((k == F.lit(lp)) | ~F.startswith(k, F.lit(lp))) \
+            if all_languages else (~F.startswith(k, F.lit(lp)))
         return ((~F.startswith(k, F.lit(hp)))
                 & (k != F.lit(wp)) & (k != F.lit(cp))
-                & (~F.startswith(k, F.lit(lp)))
+                & not_lang
                 & v.isNotNull())
     base = F.map_filter(props, base_key)
 
-    pieces = [
-        base,
-        _entry(cp, class_val),
-        _entry(lp, name_val),
-        _entry(f"{lp}_local", original),
-    ]
+    pieces = [base, _entry(cp, class_val)]
+    if not all_languages:
+        pieces.append(_entry(lp, name_val))
+    pieces.append(_entry(f"{lp}_local", original))
     if lang_map is not None:
         pieces.append(lang_map)
     pieces.append(_entry(wp, wv_winner))
@@ -274,12 +278,10 @@ def localize(
     if has_types:
         base_t = F.map_filter(
             types, lambda k, t: base_key(k, F.element_at(props, k)))
-        t_pieces = [
-            base_t,
-            _tag_entry(cp, class_val, class_tag),
-            _tag_entry(lp, name_val, name_tag),
-            _tag_entry(f"{lp}_local", original, orig_tag),
-        ]
+        t_pieces = [base_t, _tag_entry(cp, class_val, class_tag)]
+        if not all_languages:
+            t_pieces.append(_tag_entry(lp, name_val, name_tag))
+        t_pieces.append(_tag_entry(f"{lp}_local", original, orig_tag))
         if lang_types is not None:
             t_pieces.append(lang_types)
         t_pieces.append(_tag_entry(wp, wv_winner, F.lit(TAG_STRING)))

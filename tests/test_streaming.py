@@ -72,3 +72,57 @@ def test_streaming_encode_tiles_matches_batch(spark, fixture_bytes):
     finally:
         for d in (src, snk, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tile_log_latest_epoch_and_compaction(spark, fixture_bytes):
+    """Two micro-batches materialize the SAME target tile (different
+    feature sets): the raw log holds both epochs, latest_tiles resolves to
+    the second batch's bytes — byte-equal to a batch run over the second
+    batch's features alone — and compact_tile_log rewrites the log in
+    place to exactly those winner rows (latest_tiles over the compacted
+    log unchanged)."""
+    import tempfile
+
+    from vtcomposite_spark.operators.composite import composite_encode_tiles
+    from vtcomposite_spark.sources import ingest
+    from vtcomposite_spark.streaming.pipeline import (
+        compact_tile_log, latest_tiles, streaming_encode_tiles)
+
+    src = tempfile.mkdtemp(prefix="vtc_log_src_")
+    snk = tempfile.mkdtemp(prefix="vtc_log_out_")
+    ckpt = tempfile.mkdtemp(prefix="vtc_log_ckpt_")
+    try:
+        lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+        pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
+        f1 = ingest.features_from_tiles(spark, [(lbuf, 8, 0, 0)])
+        f2 = ingest.features_from_tiles(spark, [(pbuf, 8, 0, 0)])
+        targets = spark.createDataFrame(
+            [(9, dx, dy, 128, None, False) for dx in (0, 1) for dy in (0, 1)],
+            "z int, x long, y long, buffer_size int, "
+            "keep_layers array<string>, compress boolean")
+
+        # batch 1, then batch 2 against the SAME source tile address —
+        # separate stream runs (shared checkpoint) = separate epochs
+        f1.coalesce(1).write.mode("append").parquet(src)
+        streaming_encode_tiles(spark, src, targets, snk, ckpt, src_zoom=8)
+        f2.coalesce(1).write.mode("append").parquet(src)
+        streaming_encode_tiles(spark, src, targets, snk, ckpt, src_zoom=8)
+
+        log = spark.read.parquet(snk)
+        assert log.select("epoch").distinct().count() == 2
+        assert log.count() > log.select("z", "x", "y").distinct().count()
+
+        want = {(r.z, r.x, r.y): bytes(r.tile)
+                for r in composite_encode_tiles(f2, targets).collect()}
+        got = {(r.z, r.x, r.y): bytes(r.tile)
+               for r in latest_tiles(spark, snk).collect()}
+        assert got == want and want
+
+        compact_tile_log(spark, snk)
+        compacted = spark.read.parquet(snk)
+        assert compacted.count() == len(want)  # one row per tile
+        assert {(r.z, r.x, r.y): bytes(r.tile)
+                for r in latest_tiles(spark, snk).collect()} == want
+    finally:
+        for d in (src, snk, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -77,8 +77,9 @@ def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
     micro-batch — true for tileset ingestion, where each source tile's
     rows land as one atomic file; features for the same TARGET from
     different source tiles across batches produce one output row per
-    batch (downstream readers take the latest epoch per (z,x,y), or
-    re-run compaction — the same contract as any append-only tile log).
+    batch. The reader contract is CODE: ``latest_tiles`` (latest epoch
+    per (z, x, y) wins) and ``compact_tile_log`` (rewrite to one row per
+    tile).
 
     IDEMPOTENT under micro-batch replay: each epoch OVERWRITES its own
     ``epoch=N`` partition directory, so a retry after a crash between the
@@ -101,3 +102,56 @@ def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def latest_tiles(spark, sink_dir: str,
+                 winners_join: str = "auto") -> DataFrame:
+    """The tile log's reader contract AS CODE: one row per (z, x, y) — the
+    LATEST epoch wins (a later micro-batch that re-materialized a target
+    supersedes the earlier bytes).
+
+    Winner selection is a keys-only max-epoch aggregate (map-side combine,
+    the ``first_wins`` shape) followed by a semi-join, so the tile BLOBS
+    never shuffle — only the 4 key columns do. ``winners_join="broadcast"``
+    forces the semi-join's build side broadcast (right when the winner set
+    is executor-memory-sized and plan-time certainty beats AQE stats);
+    ``"auto"`` (default) is the planet-pyramid-safe path.
+    """
+    log = spark.read.parquet(sink_dir)
+    winners = log.groupBy("z", "x", "y").agg(F.max("epoch").alias("epoch"))
+    if winners_join == "broadcast":
+        winners = F.broadcast(winners)
+    return log.join(winners, on=["z", "x", "y", "epoch"], how="left_semi")
+
+
+def compact_tile_log(spark, sink_dir: str, out_dir: str | None = None,
+                     winners_join: str = "auto") -> None:
+    """Rewrite the append-only tile log to ONE row per (z, x, y): the
+    ``latest_tiles`` winners, written as a single ``epoch=<max>`` partition
+    so the log keeps its shape — ``streaming_encode_tiles`` resumed against
+    the same checkpoint continues appending strictly-higher epochs, and
+    ``latest_tiles`` over the compacted log is unchanged.
+
+    ``out_dir=None`` compacts IN PLACE via a temp sibling + swap (driver
+    filesystem ops — right for posix paths; pass ``out_dir`` explicitly on
+    object stores, where a rename is not atomic).
+    """
+    import os
+    import shutil
+
+    latest = latest_tiles(spark, sink_dir, winners_join=winners_join)
+    max_epoch = latest.agg(F.max("epoch")).first()[0]
+    if max_epoch is None:
+        return  # empty log — nothing to compact
+    if out_dir is not None:
+        latest.drop("epoch").write.mode("overwrite") \
+            .parquet(f"{out_dir}/epoch={max_epoch}")
+        return
+    tmp = sink_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # materialize fully BEFORE touching the original (the write is the
+    # action; after it returns the plan no longer reads sink_dir)
+    latest.drop("epoch").write.mode("overwrite") \
+        .parquet(f"{tmp}/epoch={max_epoch}")
+    shutil.rmtree(sink_dir)
+    os.rename(tmp, sink_dir)

@@ -133,6 +133,57 @@ def test_generic_fused_src_zooms_routes_to_specialized(spark, fixture_bytes):
     assert got == want and want
 
 
+def test_multizoom_layer_interleave_parity(spark, fixture_bytes):
+    """Mixed-zoom sources feeding ONE target with interleaved layer
+    ownership (z4 tile wins layer A, z5 tile wins layer B, input-tile
+    order A-tile < B-tile < another A-contributor): the multi-zoom
+    source-grouped path must splice per-zoom layer messages back into
+    the generic path's exact byte order."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
+    # tile 0 at z4, tile 1 at z5 (child of tile 0), tile 2 at z4 again —
+    # all ancestors of the z6 targets below
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (pbuf, 5, 4, 6), (lbuf, 5, 5, 7)])
+    # rename tile 1's layers so both zooms own layers in the output
+    feats = feats.withColumn(
+        "layer", F.when(F.col("tile_idx") == 1,
+                        F.concat(F.col("layer"), F.lit("_poly")))
+        .otherwise(F.col("layer")))
+    targets = spark.createDataFrame(
+        [(6, 8, 13, 128, None, False), (6, 9, 12, 64, None, True),
+         (5, 4, 6, 0, None, False), (4, 2, 3, 0, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C.composite_encode_tiles(feats, targets,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[4, 5]))
+    assert set(got) == set(want) and want
+    for k in want:
+        assert got[k] == want[k], k
+
+
+def test_multizoom_keep_layers_and_first_wins_parity(spark, fixture_bytes):
+    """Cross-zoom first-wins (same layer name at both zooms: the lower
+    tile_idx wins regardless of zoom) + per-target keep-lists through the
+    multi-zoom winner plan."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 5, 4, 6), (lbuf, 4, 2, 3)])
+    name = feats.select("layer").distinct().collect()[0].layer
+    targets = spark.createDataFrame(
+        [(6, 8, 12, 128, None, False), (6, 8, 13, 128, [name], True),
+         (6, 9, 13, 128, ["nope"], False),
+         # z5 ancestor empty, z4 ancestor populated → the z4 source wins
+         (6, 10, 13, 128, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C.composite_encode_tiles(feats, targets,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[4, 5]))
+    assert got == want and want
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_randomized_parity_specialized_vs_generic(spark, seed):
     """Randomized tiles (typed props, all geometry types) × randomized
@@ -197,3 +248,88 @@ def test_randomized_parity_specialized_vs_generic(spark, seed):
         trows, "z int, x long, y long, buffer_size int, "
                "keep_layers array<string>, compress boolean").distinct()
     _check(feats, targets, SRC_Z)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_randomized_parity_multizoom_vs_generic(spark, seed):
+    """Randomized MIXED-ZOOM tilesets (sources at two zooms, shared layer
+    names, targets descending from either or both) — the multi-zoom
+    source-grouped plan (per-zoom fan-out + keys-only cross-zoom
+    first-wins + layer splicing) must match the generic join plan
+    byte-for-byte."""
+    import numpy as np
+
+    from vtcomposite_spark.sources import mvt
+
+    rng = np.random.default_rng(seed)
+
+    def rand_feature(gt):
+        if gt == 1:
+            parts = [[(int(rng.integers(-200, 4300)),
+                       int(rng.integers(-200, 4300)))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        elif gt == 2:
+            parts = [[(int(x), int(y)) for x, y in
+                      rng.integers(-200, 4300, size=(rng.integers(2, 6), 2))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        else:
+            x, y = int(rng.integers(-100, 3800)), int(rng.integers(-100, 3800))
+            w, h = int(rng.integers(50, 600)), int(rng.integers(50, 600))
+            ring = [(x, y), (x, y + h), (x + w, y + h), (x + w, y), (x, y)]
+            parts, rts = [ring], [1 if mvt.ring_area2(ring) > 0 else 2]
+        props = {f"k{j}": v for j, v in enumerate(
+            [int(rng.integers(-5, 5)), float(round(rng.normal(), 3)),
+             "s" + str(rng.integers(0, 3))][:rng.integers(0, 4)])}
+        return mvt.Feature(geom_type=gt, parts=parts, ring_types=rts,
+                           properties=props, prop_types=None,
+                           fid=int(rng.integers(0, 99)) if rng.random() < .5
+                           else None)
+
+    def rand_tile(nlayers):
+        return mvt.encode_tile([
+            mvt.Layer(name=f"L{li % 2}",
+                      features=[rand_feature(int(rng.integers(1, 4)))
+                                for _ in range(rng.integers(1, 5))])
+            for li in range(nlayers)])
+
+    ZLO, ZHI = 4, 5
+    srcs = []
+    for _ in range(5):
+        if rng.random() < 0.5:
+            srcs.append((ZLO, int(rng.integers(0, 2)), int(rng.integers(0, 2))))
+        else:
+            srcs.append((ZHI, int(rng.integers(0, 4)), int(rng.integers(0, 4))))
+    tiles = [(rand_tile(int(rng.integers(1, 3))), *s) for s in srcs]
+    from vtcomposite_spark.sources import ingest as ing
+    feats = ing.features_from_tiles(spark, tiles)
+
+    trows = []
+    for (sz, sx, sy) in srcs:
+        for _ in range(int(rng.integers(1, 3))):
+            dz = int(rng.integers(0, 3))
+            trows.append((
+                sz + dz,
+                (sx << dz) + int(rng.integers(0, 1 << dz)),
+                (sy << dz) + int(rng.integers(0, 1 << dz)),
+                int(rng.choice([0, 128, 4080])),
+                ["L0"] if rng.random() < 0.3 else None,
+                bool(rng.random() < 0.3)))
+    # ONE options row per (z, x, y): duplicate target keys with
+    # conflicting options are out of contract in every path (the packed
+    # seam takes first(options) and the join duplicates features)
+    seen: dict = {}
+    for r in trows:
+        seen.setdefault(r[:3], r)
+    targets = spark.createDataFrame(
+        list(seen.values()), "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C.composite_encode_tiles(feats, targets,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.composite_encode_tiles(feats, targets,
+                                          src_zooms=[ZLO, ZHI]))
+    assert set(got) == set(want)
+    assert want  # non-trivial
+    for k in want:
+        assert got[k] == want[k], k

@@ -441,6 +441,19 @@ _ENCODE_OUT_SCHEMA = T.StructType([
     T.StructField("tile", T.BinaryType()),
 ])
 
+# per-(target, layer) rows of the multi-zoom source-grouped sink:
+# framed layer message + its first-seen order keys (spliced per tile by
+# _merge_layer_rows)
+_LAYER_ROWS_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("ord_ti", T.LongType()),
+    T.StructField("ord_fi", T.LongType()),
+    T.StructField("compress", T.BooleanType()),
+    T.StructField("layer_bytes", T.BinaryType()),
+])
+
 
 def _pack_tiles(df: DataFrame) -> DataFrame:
     """ONE row per (z, x, y): tile-level columns + a ``feats`` list of
@@ -524,24 +537,34 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     cost across the batch. One wide shuffle + one seam of tile-count rows.
 
     ``src_zooms``: declared feature zoom levels (like ``ancestor_join``'s
-    param — sources at other zooms are ignored either way). Declaring ONE
-    zoom routes through ``overzoom_encode_tiles``, the source-grouped
-    physical strategy whose shuffle carries each feature once instead of
-    once per descendant target (4^dz×); ``partitions`` passes through to
-    it. Results are byte-identical (parity-tested) — this is a physical
-    plan choice, not a semantic switch.
+    param — sources at other zooms are ignored either way). Declaring
+    zooms routes through the SOURCE-GROUPED physical strategy whose
+    shuffle carries each feature once instead of once per descendant
+    target (4^dz×): one zoom → ``overzoom_encode_tiles`` directly;
+    several → ``_multizoom_encode_tiles`` (one source-grouped pass per
+    zoom + keys-only cross-zoom first-wins + per-tile layer splicing).
+    ``partitions`` passes through. Results are byte-identical
+    (parity-tested) — this is a physical plan choice, not a semantic
+    switch.
 
     Byte-identical to composite()+encode_tiles() (kernel and encoder are
     the same code), parity-tested in tests/test_encode_columnar.py.
+
+    Targets must be UNIQUE per (z, x, y): duplicate keys with conflicting
+    options are undefined in every path (the packed seam takes
+    first(options) and the join duplicates features).
     """
     import pyarrow as pa
 
     from ..sources import mvt_vec
 
-    if src_zooms is not None and len(set(src_zooms)) == 1:
-        return overzoom_encode_tiles(features, targets,
-                                     src_zoom=int(list(src_zooms)[0]),
-                                     partitions=partitions)
+    if src_zooms is not None:
+        zs = sorted({int(z) for z in src_zooms})
+        if len(zs) == 1:
+            return overzoom_encode_tiles(features, targets, src_zoom=zs[0],
+                                         partitions=partitions)
+        return _multizoom_encode_tiles(features, targets, zs,
+                                       partitions=partitions)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
                       src_zooms=src_zooms)
@@ -601,7 +624,9 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
 
 def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                           src_zoom: int,
-                          partitions: int | None = None) -> DataFrame:
+                          partitions: int | None = None,
+                          _wins: bool = False,
+                          _layer_rows: bool = False) -> DataFrame:
     """Single-source-zoom composite→encode, grouped by SOURCE tile.
 
     The generic ``composite_encode_tiles`` joins features to targets first,
@@ -625,6 +650,16 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
     (z < src_zoom) yield nothing, like the generic path's inner join.
     Reference analog: one bench run of rules 5/10/11/15 (bench/rules.js:
     35-152) — the request names its source tile explicitly.
+
+    Private multi-zoom plumbing (used by ``composite_encode_tiles`` when
+    several source zooms are declared): ``_wins=True`` replaces the
+    group-local first-wins with a per-target winner LIST — targets must
+    carry a ``wins: array<struct<layer,tile_idx>>`` column (globally
+    computed, keep-lists already folded in), and a feature is alive for a
+    target iff its (layer, tile_idx) is that target's winner.
+    ``_layer_rows=True`` emits one row per (target, LAYER) — the framed
+    layer message plus its first-seen order keys, uncompressed — instead
+    of whole tiles, for cross-zoom splicing by ``_merge_layer_rows``.
     """
     import pyarrow as pa
 
@@ -637,7 +672,9 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
          .withColumn("src_y", F.call_function(
              "shiftright", F.col("y"), F.col("z") - F.lit(src_zoom)).cast("long")))
     tgt_fields = ["z", "x", "y", "buffer_size", "compress"]
-    if "keep_layers" in t.columns:
+    if _wins:
+        tgt_fields.append("wins")
+    elif "keep_layers" in t.columns:
         tgt_fields.append("keep_layers")
     tgrp = (t.groupBy("src_x", "src_y")
             .agg(F.collect_list(F.struct(*tgt_fields)).alias("tgts")))
@@ -705,8 +742,9 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             tbuf = tbuf_arr.fill_null(0).to_numpy(
                 zero_copy_only=False).astype(_I64)
             tcmp = tvals.field(4).fill_null(False).to_numpy(zero_copy_only=False)
-            has_keep = len(tgt_fields) == 6
+            has_keep = "keep_layers" in tgt_fields
             keep_lists = tvals.field(5).to_pylist() if has_keep else None
+            win_lists = tvals.field(5).to_pylist() if _wins else None
 
             pair_feat: list[np.ndarray] = []
             pair_tgt: list[np.ndarray] = []
@@ -715,20 +753,33 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                 if f0 == f1:
                     continue
                 lc = layer_codes[f0:f1]
-                # first-wins per layer over the WHOLE source group — the
-                # generic path's groupBy(target, layer).min(tile_idx)
-                # winners are identical for every target of the group
                 nl = len(layer_dict)
-                win = np.full(nl, np.iinfo(np.int64).max, _I64)
-                np.minimum.at(win, lc, ti[f0:f1])
-                alive0 = ti[f0:f1] == win[lc]
+                if _wins:
+                    alive0 = None  # per-target, built in the loop below
+                else:
+                    # first-wins per layer over the WHOLE source group —
+                    # the generic path's groupBy(target, layer).
+                    # min(tile_idx) winners are identical for every
+                    # target of the group
+                    win = np.full(nl, np.iinfo(np.int64).max, _I64)
+                    np.minimum.at(win, lc, ti[f0:f1])
+                    alive0 = ti[f0:f1] == win[lc]
                 for k in range(int(toff[g]), int(toff[g + 1])):
                     dz = int(tz[k]) - src_zoom
                     if dz > 0 and tbuf_null[k]:
                         continue  # generic-path parity: NULL buffer_size
                         # fails the envelope predicate — no features
                     zf = np.int64(1) << np.int64(dz)
-                    alive = alive0
+                    if _wins:
+                        # globally-computed first-wins: a feature is alive
+                        # iff (layer, tile_idx) is this target's winner
+                        wd = {w["layer"]: w["tile_idx"]
+                              for w in (win_lists[k] or [])}
+                        wt = np.array([wd.get(layer_dict[c], -1)
+                                       for c in range(nl)], _I64)
+                        alive = ti[f0:f1] == wt[lc]
+                    else:
+                        alive = alive0
                     if has_keep and keep_lists[k] is not None \
                             and len(keep_lists[k]):
                         keep = {s for s in keep_lists[k]}
@@ -773,12 +824,113 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             clipped = list(_overzoom_clip_batches(iter([flat]), clip_schema))
             if not clipped:
                 continue
+            if _layer_rows:
+                units = mvt_vec.encode_tiles_table(
+                    pa.Table.from_batches(clipped, schema=clip_schema),
+                    per_layer=True)
+                if units:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([u[0] for u in units], pa.int32()),
+                         pa.array([u[1] for u in units], pa.int64()),
+                         pa.array([u[2] for u in units], pa.int64()),
+                         pa.array([u[3] for u in units], pa.int64()),
+                         pa.array([u[4] for u in units], pa.int64()),
+                         pa.array([u[5] for u in units], pa.bool_()),
+                         pa.array([u[6] for u in units], pa.binary())],
+                        names=["z", "x", "y", "ord_ti", "ord_fi",
+                               "compress", "layer_bytes"])
+                continue
             tiles = mvt_vec.encode_tiles_table(
                 pa.Table.from_batches(clipped, schema=clip_schema))
             if tiles:
                 yield _tiles_batch(tiles)
 
-    return packed.mapInArrow(fan_clip_encode, schema=_ENCODE_OUT_SCHEMA)
+    out_schema = _LAYER_ROWS_SCHEMA if _layer_rows else _ENCODE_OUT_SCHEMA
+    return packed.mapInArrow(fan_clip_encode, schema=out_schema)
+
+
+def _merge_layer_rows(layer_rows: DataFrame) -> DataFrame:
+    """Splice per-(target, layer) messages into whole tiles: group by
+    target, sort by the first-seen order keys (tile_idx, feature_idx of
+    each layer's first feature — exactly the single-call encoder's layer
+    order), concatenate, then apply the gzip/empty-tile rule. MVT layers
+    are self-contained messages, so the concatenation is byte-identical
+    to encoding the tile in one call. One shuffle of encoded layer blobs
+    (∝ OUTPUT bytes) + one seam of tile-count rows."""
+    import pyarrow as pa
+
+    from ..sources import mvt
+
+    packed = (layer_rows.groupBy("z", "x", "y")
+              .agg(F.collect_list(
+                       F.struct("ord_ti", "ord_fi", "layer_bytes"))
+                   .alias("parts"),
+                   F.first("compress").alias("compress")))
+
+    def splice(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            zc = batch.column("z").to_numpy(zero_copy_only=False)
+            xc = batch.column("x").to_numpy(zero_copy_only=False)
+            yc = batch.column("y").to_numpy(zero_copy_only=False)
+            cmp_ = batch.column("compress").fill_null(False) \
+                .to_numpy(zero_copy_only=False)
+            parts = batch.column("parts").to_pylist()
+            tiles = []
+            for i in range(batch.num_rows):
+                ps = sorted(parts[i],
+                            key=lambda p: (p["ord_ti"], p["ord_fi"]))
+                buf = b"".join(p["layer_bytes"] for p in ps)
+                tiles.append((int(zc[i]), int(xc[i]), int(yc[i]),
+                              mvt.gzip_sink(buf, bool(cmp_[i]))))
+            yield _tiles_batch(tiles)
+
+    return packed.mapInArrow(splice, schema=_ENCODE_OUT_SCHEMA)
+
+
+def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
+                            zs: list[int],
+                            partitions: int | None = None) -> DataFrame:
+    """Source-grouped materialization for MULTI-zoom tilesets: each
+    declared zoom routes through ``overzoom_encode_tiles`` (shuffle ∝
+    input, fan-out in-kernel) and the per-zoom LAYER messages splice per
+    target tile. Cross-zoom first-wins is reconciled up front with a
+    KEYS-ONLY plan: per-source-address layer minima → ancestor-exploded
+    equi-join to target keys (5 small columns, never geometry) → global
+    min(tile_idx) per (target, layer). Each target then carries its
+    winner list into the kernel, so a layer encodes in exactly one
+    zoom's pass. Byte-parity with the generic join path is gated in
+    tests/test_overzoom_fused.py."""
+    has_keep = "keep_layers" in targets.columns
+    fk = (features.filter(F.col("src_z").isin([int(z) for z in zs]))
+          .groupBy("src_z", "src_x", "src_y", "layer")
+          .agg(F.min("tile_idx").alias("tile_idx")))
+    tcols = ["z", "x", "y"] + (["keep_layers"] if has_keep else [])
+    cand = ancestor_join(fk, targets.select(*tcols), src_zooms=zs)
+    if has_keep:
+        cand = apply_keep_layers(cand)
+    wins = (cand.groupBy("z", "x", "y", "layer")
+            .agg(F.min("tile_idx").alias("tile_idx")))
+    # zoom of each winning source tile (tile_idx ↦ one input tile)
+    tzoom = features.select("tile_idx", "src_z").distinct()
+    wins = wins.join(tzoom, on="tile_idx", how="inner")
+
+    t_base = targets.drop("keep_layers") if has_keep else targets
+    parts = []
+    for z_s in zs:
+        wz = (wins.filter(F.col("src_z") == F.lit(int(z_s)))
+              .groupBy("z", "x", "y")
+              .agg(F.collect_list(F.struct("layer", "tile_idx"))
+                   .alias("wins")))
+        t_z = t_base.join(wz, on=["z", "x", "y"], how="inner")
+        parts.append(overzoom_encode_tiles(
+            features, t_z, src_zoom=int(z_s), partitions=partitions,
+            _wins=True, _layer_rows=True))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _merge_layer_rows(merged)
 
 
 def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:

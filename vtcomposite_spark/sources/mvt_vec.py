@@ -379,13 +379,25 @@ def encode_tile_table(tbl) -> tuple[int, int, int, bytes]:
     return out[0]
 
 
-def encode_tiles_table(tbl) -> list[tuple[int, int, int, bytes]]:
+def encode_tiles_table(tbl, per_layer: bool = False):
     """MANY tiles in one call — the per-tile fixed cost amortizer.
 
     ``tbl``: composite-output rows for any number of (z, x, y) tiles.
     Returns [(z, x, y, tile bytes), ...], byte-identical per tile to
     encoding each group alone (the parity matrix in
     tests/test_encode_columnar.py gates this).
+
+    ``per_layer=True`` returns one row per UNIT (tile × layer) instead:
+    [(z, x, y, ord_tile_idx, ord_feature_idx, compress, layer_msg), ...]
+    where ``layer_msg`` is the complete framed tile-level field-3 message
+    for that layer — MVT layers are self-contained (their key/value
+    tables live inside the layer message), so concatenating a tile's
+    layer messages sorted by (ord_tile_idx, ord_feature_idx) — the
+    first-seen order keys — reproduces the per-tile bytes EXACTLY (no
+    gzip is applied in this mode; the caller compresses after splicing).
+    This is the multi-zoom source-grouped sink's merge contract: each
+    source zoom encodes its winning layers independently and a final
+    tile-count-sized pass splices them.
 
     Why it exists: per-tile encoding pays ~6 ms of fixed cost per call
     (~80 small numpy dispatches, object-string np.unique, one
@@ -636,22 +648,35 @@ def encode_tiles_table(tbl) -> list[tuple[int, int, int, bytes]]:
     ext_map = {int(e): b"\x28" + _uv(int(e)) for e in ext_vals}
     name_heads = [b"\x0a" + _uv(len(nb)) + nb
                   for nb in (str(s).encode("utf-8") for s in layer_dict)]
+    def unit_msg(u: int) -> bytes:
+        r0 = int(unit_first_row[u])
+        body = b"".join((
+            b"\x78", _uv(int(lv_arr[r0])),
+            name_heads[int(unit_lcode[u])],
+            frames[int(frame_bounds[r0]):
+                   int(frame_bounds[unit_row_start[u + 1]])],
+            ktab[int(unit_ktab[u]):int(unit_ktab[u + 1])],
+            vtab[int(unit_vtab[u]):int(unit_vtab[u + 1])],
+            ext_map[int(ext_arr[r0])]))
+        return b"\x1a" + _uv(len(body)) + body
+
+    if per_layer:
+        units: list[tuple[int, int, int, int, int, bool, bytes]] = []
+        for u in range(nunits):
+            r0 = int(unit_first_row[u])
+            orig = int(total_order[r0])
+            units.append((int(z_all[orig]), int(x_all[orig]),
+                          int(y_all[orig]), int(ti_all[orig]),
+                          int(fi_all[orig]), bool(compress_rows[r0]),
+                          unit_msg(u)))
+        return units
+
     results: list[tuple[int, int, int, bytes]] = []
     tile_unit_start = np.searchsorted(unit_tile, np.arange(ntiles, dtype=_I64))
     tile_unit_bounds = np.concatenate([tile_unit_start, [nunits]]).astype(_I64)
     for t in range(ntiles):
-        msgs = []
-        for u in range(int(tile_unit_bounds[t]), int(tile_unit_bounds[t + 1])):
-            r0 = int(unit_first_row[u])
-            body = b"".join((
-                b"\x78", _uv(int(lv_arr[r0])),
-                name_heads[int(unit_lcode[u])],
-                frames[int(frame_bounds[r0]):
-                       int(frame_bounds[unit_row_start[u + 1]])],
-                ktab[int(unit_ktab[u]):int(unit_ktab[u + 1])],
-                vtab[int(unit_vtab[u]):int(unit_vtab[u + 1])],
-                ext_map[int(ext_arr[r0])]))
-            msgs.append(b"\x1a" + _uv(len(body)) + body)
+        msgs = [unit_msg(u) for u in range(int(tile_unit_bounds[t]),
+                                           int(tile_unit_bounds[t + 1]))]
         r0 = int(unit_first_row[int(tile_unit_bounds[t])])
         orig = int(total_order[r0])
         results.append((int(z_all[orig]), int(x_all[orig]), int(y_all[orig]),

@@ -63,6 +63,76 @@ def test_rasterize_line_burn(spark):
     assert row.n_nonzero == 24
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_batch_burn_equals_per_feature_reference(spark, seed):
+    """The batch-global line/polygon/point burns must match the
+    per-feature reference twins (_burn_points/_burn_lines/_fill_polygon)
+    pixel-for-pixel on randomized mixed-geometry multi-tile batches —
+    the polyclip batch==per-polygon equivalence pattern."""
+    rng = np.random.default_rng(seed)
+    RES = 48
+    rows = []          # (z, x, y, extent, gt, xs, ys, po)
+    for tx in range(3):
+        for _ in range(rng.integers(1, 6)):
+            gt = int(rng.integers(1, 4))
+            if gt == 1:
+                n = int(rng.integers(1, 4))
+                xs = rng.integers(-100, 4200, n)
+                ys = rng.integers(-100, 4200, n)
+                po = [0]
+            elif gt == 2:
+                parts, po, off = [], [], 0
+                for _ in range(rng.integers(1, 3)):
+                    n = int(rng.integers(2, 6))
+                    po.append(off)
+                    parts.append(rng.integers(-200, 4300, (n, 2)))
+                    off += n
+                v = np.concatenate(parts)
+                xs, ys = v[:, 0], v[:, 1]
+            else:
+                rings, po, off = [], [], 0
+                for _ in range(rng.integers(1, 3)):
+                    cx, cy = rng.integers(200, 3800, 2)
+                    w, h = rng.integers(60, 1200, 2)
+                    ring = np.array([(cx, cy), (cx, cy + h),
+                                     (cx + w, cy + h), (cx + w, cy),
+                                     (cx, cy)])
+                    po.append(off)
+                    rings.append(ring)
+                    off += len(ring)
+                v = np.concatenate(rings)
+                xs, ys = v[:, 0], v[:, 1]
+            rows.append((8, tx, 2, 4096, gt,
+                         [int(v) for v in xs], [int(v) for v in ys],
+                         [int(p) for p in po]))
+    df = spark.createDataFrame(
+        rows, "z int, x long, y long, extent int, geom_type tinyint, "
+              "xs array<long>, ys array<long>, part_offsets array<int>")
+    got = {(r.x): r for r in R.rasterize_tiles(df, resolution=RES).collect()}
+
+    # per-feature reference accumulation
+    want = {}
+    for (z, x, y, ext, gt, xs, ys, po) in rows:
+        acc = want.setdefault(x, np.zeros((RES, RES), np.int64))
+        vx = np.array(xs, np.int64)
+        vy = np.array(ys, np.int64)
+        starts = np.concatenate([np.array(po, np.int64), [len(vx)]])
+        if gt == 1:
+            R._burn_points(acc, vx, vy, RES, ext)
+        elif gt == 2:
+            R._burn_lines(acc, vx, vy, starts, RES, ext)
+        else:
+            R._fill_polygon(acc, vx, vy, starts, RES, ext)
+    assert set(got) == set(want)
+    from vtcomposite_spark.operators.multimodal import decode_pnm as dec
+    for x, acc in want.items():
+        w, h, c, px = dec(bytes(got[x].raster))
+        assert (px.reshape(RES, RES)
+                == np.minimum(acc, 255).astype(np.uint8)).all(), x
+        assert got[x].total_weight == int(acc.sum())
+        assert got[x].n_nonzero == int((acc > 0).sum())
+
+
 def test_raster_to_points_exact_inverse(spark):
     df = _feat_rows(spark, [(1, [i * 64 + 1] , [i * 128 + 3], [0])
                             for i in range(20)])

@@ -265,6 +265,23 @@ FASTER than the round-1 configuration it replaced (local[8], 51.2M pages:
 85.2s new vs 101.2s with the old 10k-row Arrow batches) — the attempt-1
 shortfall was neighbor load, not an engine regression. The recorded
 results above are attempt 3.
+
+## Raster burn vectorization (round 4, kernel microbench)
+
+VERDICT r3 item 4: the per-feature Python line/polygon burns in
+operators/raster.py were replaced with batch-global edge-table passes
+(one `np.repeat` unit-step interpolation + one bincount scatter for
+lines; scanline-crossing explode + sorted even-odd pairing + one
+difference-array cumsum for polygons). Warm best-of-3 on a dense batch
+(32 tiles x 200 features, R=256, local kernel, no Spark):
+
+| shape | per-feature reference | batch kernel | speedup |
+|---|---|---|---|
+| lines (5-vertex, ~100 px/segment) | 44.0 ms/tile | 8.0 ms/tile | 5.5x |
+| polygons (axis-aligned rects) | 134 ms/tile | 8.8 ms/tile | 15x |
+
+Pixel-identity with the per-feature reference twins is gated by the
+randomized equivalence matrix in tests/test_raster.py.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -17,12 +17,17 @@ features in TILE coordinates, ready to flow back into the composite →
 encode sinks (raster → vector → MVT end-to-end).
 
 Kernels run over packed-per-tile Arrow batches (the encode sinks'
-`_pack_tiles` pattern). The all-points case — the planet shape, since
-geotagged pages ARE points — vectorizes to ONE flat bincount across the
-whole batch with zero per-feature python; line burns and polygon scanline
-fills iterate features in python (per-segment / per-scanline logic), so
-dense line/polygon layers rasterize at interpreter speed — extend with a
-vectorized edge-table fill if that ever becomes a hot path.
+`_pack_tiles` pattern). ALL three geometry types burn batch-globally with
+zero per-feature python (VERDICT r3 item 4): points are ONE flat bincount
+over (tile, py, px); lines flatten every segment of the batch into one
+edge table, `np.repeat`-interpolate unit steps, collapse consecutive
+duplicates per part, and scatter with one bincount; polygons explode
+every non-horizontal edge to its scanline crossings, pair the sorted
+crossings per (feature, row) by even-odd parity, and fill the intervals
+with a difference-array + cumsum (one bincount pair). The per-feature
+``_burn_lines`` / ``_fill_polygon`` remain as the REFERENCE twins — the
+batch kernels must match them pixel-for-pixel (the equivalence matrix in
+tests/test_raster.py, the polyclip batch==per-polygon pattern).
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.mvt_vec import _multi_arange
 from .composite import _TILE_LEVEL_COLS, _pack_tiles, _unpack_batch
 from .multimodal import decode_pnm, encode_pgm
 
@@ -59,7 +65,9 @@ def _burn_points(acc, pxs, pys, R, extent):
 
 def _burn_lines(acc, vx, vy, starts, R, extent):
     """Unit-step sampling along each part's segments; consecutive
-    duplicate pixels collapse so a segment adds ≤1 per pixel crossed."""
+    duplicate pixels collapse so a segment adds ≤1 per pixel crossed.
+    PER-FEATURE REFERENCE twin of ``_burn_lines_batch`` (kept as the
+    burn-semantics spec; the kernel runs the batch version)."""
     for s, e in zip(starts[:-1], starts[1:]):
         if e - s < 2:
             continue
@@ -83,7 +91,8 @@ def _burn_lines(acc, vx, vy, starts, R, extent):
 
 def _fill_polygon(acc, vx, vy, starts, R, extent):
     """Even-odd scanline fill over ALL rings of one feature (holes carve
-    by parity). Pixel centers sample at (c + 0.5) in pixel space."""
+    by parity). Pixel centers sample at (c + 0.5) in pixel space.
+    PER-FEATURE REFERENCE twin of ``_fill_polygons_batch``."""
     sx = vx * R / extent
     sy = vy * R / extent
     xints: dict[int, list] = {}
@@ -108,6 +117,147 @@ def _fill_polygon(acc, vx, vy, starts, R, extent):
             c1 = min(R - 1, int(np.floor(b - 0.5)))
             if c1 >= c0:
                 acc[r, c0:c1 + 1] += 1
+
+
+def _scatter_points_batch(counts, sx_i, sy_i, tile_of_pt, R):
+    """Point burn for the whole batch: ONE flat bincount over the linear
+    (tile, py, px) index. ``sx_i``/``sy_i`` are already integer pixel
+    coords (the (v * R) // extent of ``_burn_points``)."""
+    ok = (sx_i >= 0) & (sx_i < R) & (sy_i >= 0) & (sy_i < R)
+    if not ok.any():
+        return
+    lin = (tile_of_pt[ok] * R + sy_i[ok]) * R + sx_i[ok]
+    counts += np.bincount(lin, minlength=counts.size) \
+        .reshape(counts.shape).astype(np.int64)
+
+
+def _burn_lines_batch(counts, sx, sy, part_starts, part_tile, R):
+    """Line burn for ALL parts of a batch in one edge-table pass.
+
+    ``sx``/``sy``: scaled (pixel-space float) vertex coords of every line
+    part, concatenated; ``part_starts``: (P+1,) vertex offsets;
+    ``part_tile``: (P,) tile ordinal per part. Semantics are
+    ``_burn_lines`` exactly: per segment ``n = floor(max(|dx|,|dy|)) + 1``
+    unit steps sampled at t = k/n (linspace endpoints reproduced
+    bit-for-bit: t = k * (1/n), t_n forced to 1.0), floor to pixels,
+    consecutive duplicates collapsed PER PART (across segment joints)."""
+    nvert = len(sx)
+    if nvert == 0 or len(part_tile) == 0:
+        return
+    # segment = consecutive vertex pair within a part
+    seg_ok = np.ones(nvert, bool)
+    seg_ok[part_starts[1:] - 1] = False  # a part's last vertex starts none
+    s0 = np.nonzero(seg_ok[:-1] if nvert > 1 else np.zeros(0, bool))[0]
+    if len(s0) == 0:
+        return
+    part_of_vertex = np.repeat(np.arange(len(part_tile), dtype=np.int64),
+                               np.diff(part_starts))
+    part_of_seg = part_of_vertex[s0]
+    x0, y0 = sx[s0], sy[s0]
+    dx, dy = sx[s0 + 1] - x0, sy[s0 + 1] - y0
+    n = np.floor(np.maximum(np.abs(dx), np.abs(dy))).astype(np.int64) + 1
+    m = n + 1  # samples per segment
+    seg_of = np.repeat(np.arange(len(n), dtype=np.int64), m)
+    within = np.arange(int(m.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(m) - m, m)
+    inv = 1.0 / n.astype(np.float64)
+    t = within * inv[seg_of]
+    t[within == n[seg_of]] = 1.0  # linspace pins the endpoint exactly
+    px = np.floor(x0[seg_of] + t * dx[seg_of]).astype(np.int64)
+    py = np.floor(y0[seg_of] + t * dy[seg_of]).astype(np.int64)
+    pof = part_of_seg[seg_of]
+    keep = np.ones(len(px), bool)
+    keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1]) \
+        | (pof[1:] != pof[:-1])
+    ok = keep & (px >= 0) & (px < R) & (py >= 0) & (py < R)
+    if not ok.any():
+        return
+    lin = (part_tile[pof[ok]] * R + py[ok]) * R + px[ok]
+    counts += np.bincount(lin, minlength=counts.size) \
+        .reshape(counts.shape).astype(np.int64)
+
+
+def _fill_polygons_batch(counts, sx, sy, ring_starts, ring_feat, feat_tile, R):
+    """Even-odd scanline fill for ALL polygon features of a batch in one
+    edge-table pass.
+
+    ``ring_starts``: (Q+1,) vertex offsets of every ring; ``ring_feat``:
+    (Q,) feature ordinal per ring (parity pools ALL rings of a feature —
+    holes carve); ``feat_tile``: feature ordinal → tile ordinal.
+    Semantics are ``_fill_polygon`` exactly: non-horizontal edges explode
+    to their candidate scanlines, the (y0 > yc) != (y1 > yc) parity test
+    keeps true crossings, crossings sort per (feature, row) and pair up,
+    and each [a, b) pair fills ceil(a-0.5)..floor(b-0.5) via a
+    difference-array scatter + one cumsum."""
+    nvert = len(sx)
+    if nvert == 0 or len(ring_feat) == 0:
+        return
+    e_ok = np.ones(nvert, bool)
+    e_ok[ring_starts[1:] - 1] = False
+    e0 = np.nonzero(e_ok[:-1] if nvert > 1 else np.zeros(0, bool))[0]
+    if len(e0) == 0:
+        return
+    ring_of_vertex = np.repeat(np.arange(len(ring_feat), dtype=np.int64),
+                               np.diff(ring_starts))
+    x0, y0 = sx[e0], sy[e0]
+    x1, y1 = sx[e0 + 1], sy[e0 + 1]
+    feat_e = ring_feat[ring_of_vertex[e0]]
+    nonh = y0 != y1
+    if not nonh.any():
+        return
+    x0, y0, x1, y1, feat_e = (a[nonh] for a in (x0, y0, x1, y1, feat_e))
+    lo = np.minimum(y0, y1)
+    hi = np.maximum(y0, y1)
+    r0 = np.maximum(0, np.ceil(lo - 0.5)).astype(np.int64)
+    r1 = np.minimum(R - 1, np.floor(hi - 0.5 - 1e-12)).astype(np.int64)
+    m = r1 - r0 + 1
+    sel = m > 0
+    if not sel.any():
+        return
+    x0, y0, x1, y1, feat_e, r0, m = (
+        a[sel] for a in (x0, y0, x1, y1, feat_e, r0, m))
+    edge_of = np.repeat(np.arange(len(m), dtype=np.int64), m)
+    within = np.arange(int(m.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(m) - m, m)
+    r = r0[edge_of] + within
+    yc = r + 0.5
+    cross = (y0[edge_of] > yc) != (y1[edge_of] > yc)
+    if not cross.any():
+        return
+    e_c = edge_of[cross]
+    r_c = r[cross]
+    yc_c = yc[cross]
+    xi = x0[e_c] + (yc_c - y0[e_c]) / (y1[e_c] - y0[e_c]) * (x1[e_c] - x0[e_c])
+    f_c = feat_e[e_c]
+    order = np.lexsort((xi, r_c, f_c))
+    xi_s, r_s, f_s = xi[order], r_c[order], f_c[order]
+    new_grp = np.ones(len(xi_s), bool)
+    new_grp[1:] = (r_s[1:] != r_s[:-1]) | (f_s[1:] != f_s[:-1])
+    grp_start = np.nonzero(new_grp)[0]
+    pos = np.arange(len(xi_s), dtype=np.int64) \
+        - np.repeat(grp_start, np.diff(np.concatenate([grp_start,
+                                                       [len(xi_s)]])))
+    bmask = pos % 2 == 1  # each odd-position crossing ends an interval
+    if not bmask.any():
+        return
+    bidx = np.nonzero(bmask)[0]
+    a = xi_s[bidx - 1]
+    b = xi_s[bidx]
+    c0 = np.maximum(0, np.ceil(a - 0.5)).astype(np.int64)
+    c1 = np.minimum(R - 1, np.floor(b - 0.5)).astype(np.int64)
+    okp = c1 >= c0
+    if not okp.any():
+        return
+    tiles = feat_tile[f_s[bidx[okp]]]
+    rr = r_s[bidx[okp]]
+    W = R + 1
+    lin0 = (tiles * R + rr) * W + c0[okp]
+    lin1 = (tiles * R + rr) * W + c1[okp] + 1
+    nflat = counts.shape[0] * R * W
+    d = np.bincount(lin0, minlength=nflat) - np.bincount(lin1,
+                                                         minlength=nflat)
+    counts += d.reshape(counts.shape[0], R, W).cumsum(
+        axis=2)[:, :, :R].astype(np.int64)
 
 
 def rasterize_tiles(composited: DataFrame, resolution: int = 256) -> DataFrame:
@@ -154,74 +304,74 @@ def rasterize_tiles(composited: DataFrame, resolution: int = 256) -> DataFrame:
             out = {"z": [], "x": [], "y": [], "resolution": [],
                    "raster": [], "n_nonzero": [], "total_weight": []}
 
-            if bool((gt == 1).all()) \
-                    and batch.num_rows * R * R <= (1 << 24):
-                # all-points fast path (the planet shape — geotagged pages
-                # ARE points): ONE flat bincount over (tile, py, px) for
-                # the whole batch, zero per-feature python
-                nb = batch.num_rows
-                base = int(xo[0])
-                xs_flat = xv[base:int(xo[-1])]
-                ys_flat = yv[base:int(xo[-1])]
-                vcount = np.diff(xo)
-                feat_tile = np.repeat(np.arange(nb, dtype=np.int64),
-                                      np.diff(foff))
-                vt = np.repeat(feat_tile, vcount)
-                ve = np.repeat(ext, vcount)
-                ppx = (xs_flat * R) // ve
-                ppy = (ys_flat * R) // ve
-                ok = (ppx >= 0) & (ppx < R) & (ppy >= 0) & (ppy < R)
-                lin = (vt[ok] * R + ppy[ok]) * R + ppx[ok]
-                counts = np.bincount(lin, minlength=nb * R * R) \
-                    .reshape(nb, R, R)
-                for t in range(nb):
+            # chunk tiles so the dense (nc, R, R) count grid (and the
+            # polygon difference array, nc*R*(R+1)) stays bounded
+            tiles_per_chunk = max(1, (1 << 24) // (R * R))
+            nb = batch.num_rows
+            for t0 in range(0, nb, tiles_per_chunk):
+                t1 = min(nb, t0 + tiles_per_chunk)
+                f0, f1 = int(foff[t0]), int(foff[t1])
+                if f0 == f1:
+                    continue
+                nc = t1 - t0
+                counts = np.zeros((nc, R, R), np.int64)
+                fsel = np.arange(f0, f1, dtype=np.int64)
+                tile_of_feat = np.repeat(
+                    np.arange(nc, dtype=np.int64), np.diff(foff[t0:t1 + 1]))
+                gts = gt[fsel]
+
+                def gather(sel):
+                    """(scaled float verts, part starts, part→feature) for
+                    the selected absolute feature indices."""
+                    vtake = _multi_arange(xo[sel], xo[sel + 1])
+                    nv = xo[sel + 1] - xo[sel]
+                    new_off = np.concatenate(
+                        [[0], np.cumsum(nv)]).astype(np.int64)
+                    ptake = _multi_arange(poo[sel], poo[sel + 1])
+                    npart = poo[sel + 1] - poo[sel]
+                    part_feat = np.repeat(
+                        np.arange(len(sel), dtype=np.int64), npart)
+                    part_starts = np.concatenate(
+                        [pov[ptake] + new_off[part_feat],
+                         [new_off[-1]]]).astype(np.int64)
+                    ve = np.repeat(ext[sel], nv)
+                    sxv = xv[vtake] * R / ve
+                    syv = yv[vtake] * R / ve
+                    return sxv, syv, part_starts, part_feat
+
+                psel = fsel[gts == 1]
+                if len(psel):
+                    vtake = _multi_arange(xo[psel], xo[psel + 1])
+                    nv = xo[psel + 1] - xo[psel]
+                    ve = np.repeat(ext[psel], nv)
+                    vt = np.repeat(tile_of_feat[psel - f0], nv)
+                    _scatter_points_batch(
+                        counts, (xv[vtake] * R) // ve,
+                        (yv[vtake] * R) // ve, vt, R)
+                lsel = fsel[gts == 2]
+                if len(lsel):
+                    sxv, syv, pst, pfe = gather(lsel)
+                    _burn_lines_batch(counts, sxv, syv, pst,
+                                      tile_of_feat[lsel - f0][pfe], R)
+                gsel = fsel[gts == 3]
+                if len(gsel):
+                    sxv, syv, pst, pfe = gather(gsel)
+                    _fill_polygons_batch(counts, sxv, syv, pst, pfe,
+                                         tile_of_feat[gsel - f0], R)
+
+                for t in range(t0, t1):
                     if foff[t] == foff[t + 1]:
                         continue
-                    acc = counts[t]
-                    f0 = int(foff[t])
-                    out["z"].append(int(zc[f0]))
-                    out["x"].append(int(xc[f0]))
-                    out["y"].append(int(yc[f0]))
+                    acc = counts[t - t0]
+                    fz = int(foff[t])
+                    out["z"].append(int(zc[fz]))
+                    out["x"].append(int(xc[fz]))
+                    out["y"].append(int(yc[fz]))
                     out["resolution"].append(R)
                     out["raster"].append(
                         encode_pgm(np.minimum(acc, 255).astype(np.uint8)))
                     out["n_nonzero"].append(int((acc > 0).sum()))
                     out["total_weight"].append(int(acc.sum()))
-                if out["z"]:
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(out["z"], pa.int32()),
-                         pa.array(out["x"], pa.int64()),
-                         pa.array(out["y"], pa.int64()),
-                         pa.array(out["resolution"], pa.int32()),
-                         pa.array(out["raster"], pa.binary()),
-                         pa.array(out["n_nonzero"], pa.int64()),
-                         pa.array(out["total_weight"], pa.int64())],
-                        names=[f.name for f in RASTER_SCHEMA.fields])
-                continue
-
-            for t in range(batch.num_rows):
-                f0, f1 = int(foff[t]), int(foff[t + 1])
-                if f0 == f1:
-                    continue
-                acc = np.zeros((R, R), np.int64)
-                for fi in range(f0, f1):
-                    v0, v1 = int(xo[fi]), int(xo[fi + 1])
-                    rel = pov[poo[fi]:poo[fi + 1]]
-                    starts = np.concatenate([rel + v0, [v1]])
-                    if gt[fi] == 1:
-                        _burn_points(acc, xv[v0:v1], yv[v0:v1], R, int(ext[fi]))
-                    elif gt[fi] == 2:
-                        _burn_lines(acc, xv, yv, starts, R, int(ext[fi]))
-                    else:
-                        _fill_polygon(acc, xv, yv, starts, R, int(ext[fi]))
-                out["z"].append(int(zc[f0]))
-                out["x"].append(int(xc[f0]))
-                out["y"].append(int(yc[f0]))
-                out["resolution"].append(R)
-                out["raster"].append(
-                    encode_pgm(np.minimum(acc, 255).astype(np.uint8)))
-                out["n_nonzero"].append(int((acc > 0).sum()))
-                out["total_weight"].append(int(acc.sum()))
             if out["z"]:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(out["z"], pa.int32()),

@@ -50,6 +50,7 @@ def build_workload(spark, sf_dir):
     pages_src = spark.read.parquet(pages_path)
 
     counters: dict[str, int] = {}
+    samples: dict[str, list] = {}   # stage → ALL measured wall samples
     cpus_hint = spark.sparkContext.defaultParallelism
 
     def pages_geocode():
@@ -145,21 +146,31 @@ def build_workload(spark, sf_dir):
                 F.countDistinct("z", "x", "y").alias("tiles"),
                 F.count("*").alias("feats")).collect()[0]
         run()
-        best = None
+        obs = samples.setdefault(steady_key, [])
         for _ in range(2):  # best-of-2: the sandbox host is noisy
             t0 = time.perf_counter()
             row = run()
-            best = min(best or 1e9, time.perf_counter() - t0)
-        counters[steady_key] = round(best, 3)
+            obs.append(round(time.perf_counter() - t0, 3))
+        counters[steady_key] = min(obs)
         return row.tiles, row.feats
 
     N_LINE_SRC = max(32, n_events // 400)
     N_POLY_SRC = max(16, n_events // 800)
+    # the sink stages run at 4× the relational grids: a sink run is mostly
+    # per-run FIXED latency at the small grid (measured decomposition,
+    # BENCH/BASELINE.md §sink fixed-cost: scan 0.30 + pack 0.23 + join
+    # 0.20 + seam 0.45 + kernel 0.21 s at 1,000 tiles — the kernel is
+    # ~15% of wall), and the reference's runs/s amortizes its fixed cost
+    # over thousands of repeats; a larger grid is the comparable regime
+    N_LINE_SINK_SRC = 4 * N_LINE_SRC
+    N_POLY_SINK_SRC = 4 * N_POLY_SRC
     if os.path.isdir(FIXTURES):  # materialize inputs at build time, not in
         # the timed stages (mirrors the pages table's pre-synthesis)
         _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
         _fixture_grid_paths("polygons-properties-16-10498-22872.mvt", N_POLY_SRC)
         _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
+        _fixture_grid_paths("linestrings-properties-16-10498-22872.mvt", N_LINE_SINK_SRC)
+        _fixture_grid_paths("polygons-properties-16-10498-22872.mvt", N_POLY_SINK_SRC)
 
     def line_composite_overzoom():
         counters["line_tiles"], counters["line_features_out"] = _run_composite(
@@ -184,12 +195,12 @@ def build_workload(spark, sf_dir):
                 F.count("*").alias("tiles"),
                 F.sum(F.length("tile")).alias("bytes")).collect()[0]
         run()
-        best = None
+        obs = samples.setdefault("fused_steady_sec", [])
         for _ in range(2):
             t0 = time.perf_counter()
             row = run()
-            best = min(best or 1e9, time.perf_counter() - t0)
-        counters["fused_steady_sec"] = round(best, 3)
+            obs.append(round(time.perf_counter() - t0, 3))
+        counters["fused_steady_sec"] = min(obs)
         counters["fused_tiles"] = row.tiles
         counters["fused_mb"] = round((row.bytes or 0) / 1e6, 1)
 
@@ -211,18 +222,18 @@ def build_workload(spark, sf_dir):
                 F.count("*").alias("tiles"),
                 F.sum(F.length("tile")).alias("bytes")).collect()[0]
         run()
-        best = None
+        obs = samples.setdefault(steady_key, [])
         for _ in range(4):  # best-of-4: ambient host noise is ±2× here and
             t0 = time.perf_counter()  # sink runs are only ~1-4s each
             row = run()
-            best = min(best or 1e9, time.perf_counter() - t0)
-        counters[steady_key] = round(best, 3)
+            obs.append(round(time.perf_counter() - t0, 3))
+        counters[steady_key] = min(obs)
         counters[mb_key] = round((row.bytes or 0) / 1e6, 1)
         return row.tiles  # may be < requested if a target clips fully empty
 
     def line_overzoom_sink():
         counters["line_sink_tiles"] = _run_sink(
-            "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC,
+            "linestrings-properties-16-10498-22872.mvt", N_LINE_SINK_SRC,
             "line_sink_steady_sec", "line_sink_mb")
 
     def poly_overzoom_sink():
@@ -230,7 +241,7 @@ def build_workload(spark, sf_dir):
         # per core balances stragglers; line groups are cheap enough that
         # the finer exchange costs more than it saves (measured)
         counters["poly_sink_tiles"] = _run_sink(
-            "polygons-properties-16-10498-22872.mvt", N_POLY_SRC,
+            "polygons-properties-16-10498-22872.mvt", N_POLY_SINK_SRC,
             "poly_sink_steady_sec", "poly_sink_mb",
             partitions=3 * cpus_hint)
 
@@ -263,11 +274,15 @@ def build_workload(spark, sf_dir):
             "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
         df = composite(feats, targets).withColumn("compress", F.lit(False)).persist()
         df.count()
-        t0 = time.perf_counter()
-        agg = encode_tiles(df).agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("tile")).alias("bytes")).collect()[0]
-        counters["encode_sec"] = round(time.perf_counter() - t0, 3)
+        obs = samples.setdefault("encode_sec", [])
+        agg = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            agg = encode_tiles(df).agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("tile")).alias("bytes")).collect()[0]
+            obs.append(round(time.perf_counter() - t0, 3))
+        counters["encode_sec"] = min(obs)
         counters["encoded_tiles"] = agg.n
         counters["encoded_mb"] = round((agg.bytes or 0) / 1e6, 1)
         df.unpersist()
@@ -355,7 +370,55 @@ def build_workload(spark, sf_dir):
                   "poly_overzoom_sink", "line_overzoom_dz2_sink",
                   "line_overzoom_gzip_sink", "encode_sink"):
             stages.pop(k)
-    return stages, counters
+    return stages, counters, samples
+
+
+def _calibration_stamp() -> dict:
+    """Same-process hardware snapshot so a BENCH artifact is interpretable
+    WITHOUT re-running: a degraded host window (the BENCH_r03 lesson — its
+    numbers read as a 2× regression that three same-code re-runs could not
+    reproduce) shows up as an inflated calibration, not as a silent
+    engine slowdown. Two single-core micro-benchmarks (ALU loop and a
+    memory-bandwidth-bound numpy pass, the scaling_bench.py pair) plus an
+    8-way parallel bandwidth probe and the kernel load averages."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def alu_once() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(4_000_000):
+            s += i * i
+        return time.perf_counter() - t0
+
+    a = np.random.default_rng(1).integers(0, 255, 20_000_000, dtype=np.uint8)
+
+    def mem_once() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for _ in range(4):
+            s += int(a.copy()[::4096].sum())
+        return time.perf_counter() - t0
+
+    stamp = {
+        "alu_1core_sec": round(min(alu_once() for _ in range(3)), 3),
+        "mem_1core_sec": round(min(mem_once() for _ in range(3)), 3),
+    }
+    try:
+        from tools.scaling_bench import _membound
+        t0 = time.perf_counter()
+        with mp.Pool(8) as p:
+            p.map(_membound, range(8))
+        stamp["mem_8core_sec"] = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
+    try:
+        stamp["loadavg"] = [float(v) for v in
+                            open("/proc/loadavg").read().split()[:3]]
+    except OSError:
+        pass
+    return stamp
 
 
 def run(sf_dir=None, cpus=None, quiet=False):
@@ -372,7 +435,8 @@ def run(sf_dir=None, cpus=None, quiet=False):
                       extra_conf={"spark.sql.adaptive.coalescePartitions"
                                   ".minPartitionNum": str(cpus)})
     spark.sparkContext.setLogLevel("ERROR")
-    stages, counters = build_workload(spark, sf_dir)
+    calib_before = _calibration_stamp()
+    stages, counters, samples = build_workload(spark, sf_dir)
 
     # geometry stages warm + best-of-2 internally (steady counters); the
     # light stages run twice and report the min — this sandbox host shows
@@ -387,11 +451,15 @@ def run(sf_dir=None, cpus=None, quiet=False):
         t0 = time.perf_counter()
         fn()
         times[name] = round(time.perf_counter() - t0, 3)
+        samples.setdefault(name, []).append(times[name])
         if name not in internal_steady:
             t0 = time.perf_counter()
             fn()
-            times[name] = min(times[name], round(time.perf_counter() - t0, 3))
+            second = round(time.perf_counter() - t0, 3)
+            samples[name].append(second)
+            times[name] = min(times[name], second)
     total = round(time.perf_counter() - t_all, 3)
+    calib_after = _calibration_stamp()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -402,6 +470,13 @@ def run(sf_dir=None, cpus=None, quiet=False):
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "counters": counters,
+        # noise evidence (VERDICT r3 item 1a): every measured wall sample
+        # per stage — a reader can see the spread without re-running — and
+        # a same-process hardware calibration stamp before/after the
+        # stages; compare stamps across BENCH_r*.json to spot a degraded
+        # host window (higher = slower host, engine unchanged)
+        "samples": samples,
+        "calibration": {"before": calib_before, "after": calib_after},
         "tiles_per_sec": round(counters.get("tiles_composited", 0)
                                / max(times.get("tile_composite_overzoom", 1e-9), 1e-9), 1),
         "pages_per_sec": round(counters.get("pages_geocoded", 0)

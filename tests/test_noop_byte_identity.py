@@ -14,6 +14,17 @@ expected-output buffers ship in its repo — only inline assertions);
 protobuf field ORDER within the layer message legitimately differs from
 the third-party producers of these fixtures while decoding identically,
 which the structural assertions below pin.
+
+Re-verified round 4: node + g++ ARE present but the registry/mason
+fetches its native build needs are network-blocked (no node_modules, no
+prebuilt .node, `fetch(registry.npmjs.org)` fails), so the reference
+cannot be built to vendor expected buffers. Measured why producer bytes
+differ while lengths match: these fixtures' producers emit the key/value
+tables LAZILY INTERLEAVED with features (field sequence 15,1,5 then
+3/4/2 in first-reference order — parsed from the raw buffers), whereas
+this encoder (like vtzero's builder, the reference's output path) writes
+each table as one block; same entries, same varints, same total length,
+different field order.
 """
 
 import pytest

@@ -506,6 +506,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.embedding_near_dups(emb, threshold=0.3, tables=2, bits=4)
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
+    def near_dup_clusters(spark, sf):
+        """Dedup clusters: connected components (iterative min-label
+        propagation) over the n-gram-Jaccard near-dup pairs; every doc
+        gets a component id (its own id if un-paired) and a canonical
+        flag. The oracle replays the components with a recursive
+        transitive-closure CTE."""
+        docs = _read(spark, sf, "documents")
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, k=8, bands=4)
+        comp = D.near_dup_components(pairs).withColumnRenamed(
+            "member", "doc_id")
+        cid = F.coalesce(F.col("component"), F.col("doc_id"))
+        return (docs.select("doc_id").join(comp, on="doc_id", how="left")
+                .select("doc_id", cid.alias("component"),
+                        (cid == F.col("doc_id")).alias("is_canonical")))
+    q["near_dup_clusters"] = near_dup_clusters
+
+    def doc_quality_filters(spark, sf):
+        """Gopher-style quality rules (Rae et al. 2021 §A1.1) as pure
+        column expressions: word-count bounds, mean word length, alpha
+        word fraction, symbol ratio, bullet/ellipsis/duplicate line
+        fractions, stopword hits, and the pass conjunction."""
+        docs = _read(spark, sf, "documents")
+        cols = TX.gopher_filter_cols(F.col("text"))
+        return docs.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()])
+    q["doc_quality_filters"] = doc_quality_filters
+
     return q
 
 
@@ -704,6 +731,40 @@ def oracle_sql() -> dict[str, str]:
         "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
         "FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b) "
         "WHERE jaccard >= 0.3"
+    )
+
+    # connected components over the SAME jaccard pairs via a recursive
+    # transitive-closure CTE (reachability blow-up is fine at oracle
+    # scale; the engine runs min-label propagation instead)
+    o["near_dup_clusters"] = (
+        "WITH RECURSIVE "
+        f"s AS (SELECT doc_id, {sig8} AS sig FROM documents), "
+        f"k AS (SELECT doc_id, {band_keys} FROM s), "
+        "e0 AS (SELECT doc_id, unnest([b1, b2, b3, b4]) AS band_key FROM k), "
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+        "FROM e0 l JOIN e0 r USING (band_key) WHERE l.doc_id < r.doc_id), "
+        f"sh AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents), "
+        "p AS (SELECT a, b FROM (SELECT a, b, "
+        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard "
+        "FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b) "
+        "WHERE jaccard >= 0.3), "
+        "ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+        "walk(v, reach) AS ("
+        "SELECT a AS v, a AS reach FROM ed "
+        "UNION "
+        "SELECT w.v, x.b FROM walk w JOIN ed x ON w.reach = x.a), "
+        "comp AS (SELECT v, min(reach) AS component FROM walk GROUP BY v) "
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, "
+        "coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical "
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id"
+    )
+
+    gq = TX.gopher_filter_sqls("text")
+    o["doc_quality_filters"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{sql} AS {name}" for name, sql in gq.items())
+        + " FROM documents"
     )
 
     cos = H.cosine_sql("q.e", "c.e")

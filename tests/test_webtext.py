@@ -164,6 +164,83 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_near_dup_components_hand_graph(spark):
+    """Min-label propagation CC: a 4-chain (worst diameter per size), a
+    2-cycle-ish triangle, and an isolated pair — component = min member;
+    vertices outside the pair list are absent (callers coalesce)."""
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 5), (5, 6),      # chain 3-4-5-6 → comp 3
+         (10, 11), (11, 12), (10, 12),  # triangle → comp 10
+         (20, 21)],                   # pair → comp 20
+        "a long, b long")
+    comp = {r.member: r.component
+            for r in D.near_dup_components(pairs).collect()}
+    assert comp == {3: 3, 4: 3, 5: 3, 6: 3,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_components_matches_recursive_sql(spark):
+    """Randomized graph: engine CC == DuckDB recursive transitive
+    closure."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rows = [(int(a), int(b)) for a, b in rng.integers(0, 40, (60, 2))
+            if a != b]
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.member, r.component)
+           for r in D.near_dup_components(pairs).collect()}
+    duckdb.sql("DROP TABLE IF EXISTS _cc_pairs")
+    duckdb.sql("CREATE TABLE _cc_pairs(a BIGINT, b BIGINT)")
+    duckdb.executemany("INSERT INTO _cc_pairs VALUES (?, ?)", rows)
+    want = {tuple(r) for r in duckdb.sql(
+        "WITH RECURSIVE ed AS (SELECT a, b FROM _cc_pairs "
+        "UNION SELECT b, a FROM _cc_pairs), "
+        "walk(v, reach) AS (SELECT a, a FROM ed UNION "
+        "SELECT w.v, x.b FROM walk w JOIN ed x ON w.reach = x.a) "
+        "SELECT v, min(reach) FROM walk GROUP BY v").fetchall()}
+    assert got == want and got
+
+
+def test_gopher_filters_rules_and_sql_parity(spark):
+    """Each Gopher rule triggered by a hand case + full Spark↔DuckDB
+    parity over the cases."""
+    texts = [
+        ("ok", "the quick brown fox and the lazy dog ran over the hill "
+               * 5),                                   # passes everything
+        ("short", "tiny doc and the end"),             # < 25 words
+        ("symbols", "# " * 30 + "the and of"),         # symbol ratio > 0.1
+        ("bullets", "- item one\n- item two\n- three"),  # bullet lines
+        ("ellipsis", "so it goes...\nand on...\nthe and of it"),
+        ("duplines", "same line\nsame line\nsame line\nother"),
+        ("longwords", " ".join(["extraordinarily"] * 30) + " the and"),
+        ("nostops", " ".join(f"w{i}" for i in range(30))),  # no stopwords
+    ]
+    df = spark.createDataFrame(texts, "tag string, text string")
+    cols = TX.gopher_filter_cols(F.col("text"))
+    out = {r.tag: r.asDict() for r in df.select(
+        "tag", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert out["ok"]["gopher_pass"]
+    assert not out["short"]["gopher_pass"] and out["short"]["n_words"] < 25
+    assert out["symbols"]["symbol_ratio"] > 0.1
+    assert out["bullets"]["bullet_line_frac"] == 1.0
+    assert out["ellipsis"]["ellipsis_line_frac"] > 0.3
+    assert out["duplines"]["dup_line_frac"] == 0.5
+    assert out["longwords"]["mean_word_len"] > 10
+    assert out["nostops"]["stopword_hits"] == 0
+
+    duckdb.sql("DROP TABLE IF EXISTS _gq")
+    duckdb.sql("CREATE TABLE _gq(tag VARCHAR, text VARCHAR)")
+    duckdb.executemany("INSERT INTO _gq VALUES (?, ?)", texts)
+    sqls = TX.gopher_filter_sqls("text")
+    sel = ", ".join(f"{s} AS {n}" for n, s in sqls.items())
+    want = {r[0]: r[1:] for r in duckdb.sql(
+        f"SELECT tag, {sel} FROM _gq").fetchall()}
+    names = list(sqls)
+    for tag, vals in want.items():
+        got = tuple(out[tag][n] for n in names)
+        assert got == vals, (tag, got, vals)
+
+
 def test_ngram_jaccard_refine(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")

@@ -103,6 +103,112 @@ def quality_score_sql(c: str) -> str:
     )
 
 
+# --- Gopher-style document quality filters (Rae et al. 2021, §A1.1) ---
+# Each rule is one JVM column expression with an exact DuckDB twin; the
+# engine and the oracle compute identical doubles (rounded to 4 places
+# before comparison). Thresholds are parameters; the defaults follow the
+# published rule set, scaled to short web snippets where noted.
+
+def _lines_col(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def gopher_filter_cols(text: Column, min_words: int = 25,
+                       max_words: int = 100_000) -> dict[str, Column]:
+    """{metric name → Column} for the Gopher repetition/quality rules:
+    word count bounds, mean word length in [3, 10], fraction of words
+    with an alphabetic character ≥ 0.8, symbol-to-word ratio (# and
+    ellipsis) ≤ 0.1, bullet-start line fraction ≤ 0.9, ellipsis-end line
+    fraction ≤ 0.3, duplicate-line fraction ≤ 0.3, ≥ 2 distinct stopword
+    markers — plus the conjunction ``gopher_pass``."""
+    words = tokens_col(text)
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    chars = F.length(text)
+    spaces = chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    mean_wl = F.round((chars - spaces) / safe_n, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / safe_n, 4)
+    n_hash = chars - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = F.size(F.split(text, r"\.\.\.")) - 1
+    symbol_ratio = F.round((n_hash + n_ell) / safe_n, 4)
+    lines = _lines_col(text)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]")))
+        / n_lines, 4)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 4)
+    dup_line_frac = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 4)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    all_markers = sorted({m for _, ms in _LANG_MARKERS for m in ms})
+    stop_hits = sum((padded.contains(m).cast("int") for m in all_markers),
+                    F.lit(0))
+    cols = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "dup_line_frac": dup_line_frac,
+        "stopword_hits": stop_hits,
+    }
+    cols["gopher_pass"] = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (alpha_frac >= 0.8) & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+        & (dup_line_frac <= 0.3) & (stop_hits >= 2))
+    return cols
+
+
+def gopher_filter_sqls(c: str, min_words: int = 25,
+                       max_words: int = 100_000) -> dict[str, str]:
+    """DuckDB twins of gopher_filter_cols, same names, same rounding."""
+    words = f"list_filter(string_split({c}, ' '), t -> t != '')"
+    n_words = f"len({words})"
+    safe_n = f"greatest({n_words}, 1)::DOUBLE"
+    mean_wl = (f"round((length({c}) - (length({c}) - "
+               f"length(replace({c}, ' ', '')))) / {safe_n}, 4)")
+    alpha = (f"round(len(list_filter({words}, "
+             f"w -> regexp_matches(w, '[a-zA-Z]'))) / {safe_n}, 4)")
+    n_hash = f"(length({c}) - length(replace({c}, '#', '')))"
+    n_ell = f"(len(string_split_regex({c}, '\\.\\.\\.')) - 1)"
+    symbol = f"round(({n_hash} + {n_ell}) / {safe_n}, 4)"
+    lines = f"string_split({c}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)::DOUBLE"
+    bullet = (f"round(len(list_filter({lines}, "
+              f"l -> regexp_matches(trim(l), '^[-*•]'))) / {n_lines}, 4)")
+    ell_line = (f"round(len(list_filter({lines}, "
+                f"l -> l LIKE '%...')) / {n_lines}, 4)")
+    dup_line = (f"round((len({lines}) - len(list_distinct({lines})))"
+                f" / {n_lines}, 4)")
+    padded = f"(' ' || lower({c}) || ' ')"
+    all_markers = sorted({m for _, ms in _LANG_MARKERS for m in ms})
+    stop = "(" + " + ".join(
+        f"(CASE WHEN contains({padded}, '{m}') THEN 1 ELSE 0 END)"
+        for m in all_markers) + ")"
+    sqls = {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_word_frac": alpha,
+        "symbol_ratio": symbol,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ell_line,
+        "dup_line_frac": dup_line,
+        "stopword_hits": stop,
+    }
+    sqls["gopher_pass"] = (
+        f"({n_words} >= {min_words} AND {n_words} <= {max_words}"
+        f" AND {mean_wl} >= 3 AND {mean_wl} <= 10"
+        f" AND {alpha} >= 0.8 AND {symbol} <= 0.1"
+        f" AND {bullet} <= 0.9 AND {ell_line} <= 0.3"
+        f" AND {dup_line} <= 0.3 AND {stop} >= 2)")
+    return sqls
+
+
 # --- document fingerprint: md5 of the normalized head ---
 
 def fingerprint_col(text: Column) -> Column:

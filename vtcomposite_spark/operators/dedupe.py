@@ -148,6 +148,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def near_dup_components(pairs: DataFrame, a_col: str = "a",
+                        b_col: str = "b", max_iters: int = 50) -> DataFrame:
+    """Connected components over an undirected near-dup pair list:
+    (member, component) with ``component`` = the smallest member id — the
+    cluster step every dedupe pipeline needs after pair generation (keep
+    one doc per component, drop the rest).
+
+    100-TB shape: iterative MINIMUM-LABEL PROPAGATION as DataFrame ops —
+    each round joins labels across edges and takes the per-vertex min
+    (one keys-only shuffle per round, map-side combine), converging in
+    O(component diameter) rounds. Near-dup clusters are shallow (a dup
+    cluster's diameter is small by construction — pairs come from shared
+    LSH buckets), so 2-4 rounds is typical; ``max_iters`` is a backstop.
+    Deterministic: labels only decrease, fixpoint detected via the
+    monotone label sum. Each round persists + localCheckpoints to cut
+    the exponentially-growing join lineage (the standard Spark CC plan;
+    GraphFrames does the same under the hood).
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    edges = (pairs.select(a.alias("v"), b.alias("u"))
+             .unionByName(pairs.select(b.alias("v"), a.alias("u")))
+             .distinct().persist())
+    labels = edges.select("v").distinct() \
+        .select("v", F.col("v").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.withColumnRenamed("v", "u"), on="u")
+               .groupBy("v").agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, on="v", how="left")
+                      .select("v", F.least(F.col("label"),
+                                           F.coalesce(F.col("nbr_min"),
+                                                      F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        labels.unpersist()
+        labels = new_labels
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select(F.col("v").alias("member"),
+                         F.col("label").alias("component"))
+
+
 def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", tables: int = 4,
                            bits: int = 8, dim: int = 64) -> DataFrame:

@@ -265,6 +265,41 @@ def build_workload(spark, sf_dir):
             "gzip_sink_steady_sec", "gzip_sink_mb",
             compress=True)
 
+    def multizoom_sink():
+        """Round-4 multi-zoom source-grouped sink: the same line fixture
+        replicated at TWO source zooms (z7 under a renamed layer, z8
+        plain, distinct tile_idx per zoom — the ingest contract), every
+        z9 target spliced from both zooms' layer messages. Exercises the
+        keys-only cross-zoom first-wins plan + per-layer merge end-to-end
+        at table scale."""
+        from vtcomposite_spark.operators.composite import composite_encode_tiles
+        feats8, targets = _fixture_grid_paths(
+            "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
+        mzpath = f"/tmp/vtc_bench_mz_feats_{N_POLY_SRC}"
+        if not os.path.isdir(mzpath):
+            (feats8.withColumn("src_z", F.lit(7))
+             .withColumn("src_x", F.expr("src_x >> 1").cast("long"))
+             .withColumn("src_y", F.expr("src_y >> 1").cast("long"))
+             .withColumn("tile_idx", F.lit(1))
+             .withColumn("layer", F.concat(F.col("layer"), F.lit("_lo")))
+             .write.mode("overwrite").parquet(mzpath))
+        feats = feats8.unionByName(spark.read.parquet(mzpath))
+
+        def run():
+            return composite_encode_tiles(
+                feats, targets, src_zooms=[7, 8]).agg(
+                F.count("*").alias("tiles"),
+                F.sum(F.length("tile")).alias("bytes")).collect()[0]
+        run()
+        obs = samples.setdefault("mz_sink_steady_sec", [])
+        for _ in range(3):
+            t0 = time.perf_counter()
+            row = run()
+            obs.append(round(time.perf_counter() - t0, 3))
+        counters["mz_sink_steady_sec"] = min(obs)
+        counters["mz_sink_tiles"] = row.tiles
+        counters["mz_sink_mb"] = round((row.bytes or 0) / 1e6, 1)
+
     def encode_sink():
         """S3 sink throughput. The composite input is persisted+materialized
         first, so the reported encode_sec counter times the sink alone;
@@ -355,6 +390,7 @@ def build_workload(spark, sf_dir):
         "poly_overzoom_sink": poly_overzoom_sink,
         "line_overzoom_dz2_sink": line_overzoom_dz2_sink,
         "line_overzoom_gzip_sink": line_overzoom_gzip_sink,
+        "multizoom_sink": multizoom_sink,
         "encode_sink": encode_sink,
         "localize_props": localize_props,
         "knn_grid": knn_grid,
@@ -368,7 +404,8 @@ def build_workload(spark, sf_dir):
         for k in ("line_composite_overzoom", "polygon_composite_overzoom",
                   "line_composite_encode_fused", "line_overzoom_sink",
                   "poly_overzoom_sink", "line_overzoom_dz2_sink",
-                  "line_overzoom_gzip_sink", "encode_sink"):
+                  "line_overzoom_gzip_sink", "multizoom_sink",
+                  "encode_sink"):
             stages.pop(k)
     return stages, counters, samples
 
@@ -444,7 +481,8 @@ def run(sf_dir=None, cpus=None, quiet=False):
     internal_steady = {"line_composite_overzoom", "polygon_composite_overzoom",
                        "line_composite_encode_fused", "line_overzoom_sink",
                        "poly_overzoom_sink", "line_overzoom_dz2_sink",
-                       "line_overzoom_gzip_sink", "encode_sink"}
+                       "line_overzoom_gzip_sink", "multizoom_sink",
+                       "encode_sink"}
     times: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in stages.items():
@@ -504,6 +542,8 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                         / max(counters.get("dz2_sink_steady_sec", 1e-9), 1e-9), 1),
         "gzip_sink_tiles_per_sec": round(counters.get("gzip_sink_tiles", 0)
                                          / max(counters.get("gzip_sink_steady_sec", 1e-9), 1e-9), 1),
+        "mz_sink_tiles_per_sec": round(counters.get("mz_sink_tiles", 0)
+                                       / max(counters.get("mz_sink_steady_sec", 1e-9), 1e-9), 1),
     }
     spark.stop()
     if not quiet:

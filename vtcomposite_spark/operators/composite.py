@@ -901,7 +901,11 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     min(tile_idx) per (target, layer). Each target then carries its
     winner list into the kernel, so a layer encodes in exactly one
     zoom's pass. Byte-parity with the generic join path is gated in
-    tests/test_overzoom_fused.py."""
+    tests/test_overzoom_fused.py.
+
+    Relies on the ingest contract that ``tile_idx`` identifies ONE input
+    tile (its zoom mapping is functional) — reusing a tile_idx across
+    source tiles at different zooms would duplicate winner rows."""
     has_keep = "keep_layers" in targets.columns
     fk = (features.filter(F.col("src_z").isin([int(z) for z in zs]))
           .groupBy("src_z", "src_x", "src_y", "layer")

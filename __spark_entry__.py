@@ -533,6 +533,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[c.alias(n) for n, c in cols.items()])
     q["doc_quality_filters"] = doc_quality_filters
 
+    def pii_redaction(spark, sf):
+        """Email/phone scrub. The corpus text carries no PII by
+        construction, so a deterministic contact tail is synthesized from
+        table columns (the localize-query pattern) and redacted; the
+        output pins counts and the redacted bytes via md5."""
+        docs = _read(spark, sf, "documents")
+        contact = F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@"), F.col("source"),
+            F.lit(".example.com or call +1 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+        n_emails, n_phones = TX.pii_counts_cols(contact)
+        return docs.select(
+            "doc_id", n_emails.alias("n_emails"), n_phones.alias("n_phones"),
+            F.md5(TX.redact_pii_col(contact)).alias("redacted_md5"))
+    q["pii_redaction"] = pii_redaction
+
+    def host_doc_stats(spark, sf):
+        """Per-host rollup over deterministic synthetic URLs: doc count,
+        token sum, and integer-milli-unit mean quality (the
+        lang_quality_agg order-independence trick)."""
+        docs = _read(spark, sf, "documents")
+        url = F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com/p/"),
+                       F.col("doc_id").cast("string"))
+        q_milli = F.round(TX.quality_score_col(F.col("text")) * 1000) \
+            .cast("long")
+        return (docs.select(TX.url_host_col(url).alias("host"),
+                            TX.token_count_col(F.col("text")).alias("t"),
+                            q_milli.alias("qm"))
+                .groupBy("host")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("t").cast("long").alias("total_tokens"),
+                     F.round(F.sum("qm") / (F.count("*") * 1000.0), 4)
+                     .alias("avg_quality")))
+    q["host_doc_stats"] = host_doc_stats
+
     return q
 
 
@@ -765,6 +802,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ", ".join(f"{sql} AS {name}" for name, sql in gq.items())
         + " FROM documents"
+    )
+
+    contact = ("(text || ' contact user' || doc_id || '@' || source || "
+               "'.example.com or call +1 555-' || lpad(doc_id::VARCHAR, 4, '0'))")
+    ne_sql, np_sql = TX.pii_counts_sqls(contact)
+    o["pii_redaction"] = (
+        f"SELECT doc_id, {ne_sql} AS n_emails, {np_sql} AS n_phones, "
+        f"md5({TX.redact_pii_sql(contact)}) AS redacted_md5 FROM documents"
+    )
+
+    url = "('https://' || source || '.example.com/p/' || doc_id)"
+    o["host_doc_stats"] = (
+        f"SELECT {TX.url_host_sql(url)} AS host, count(*) AS n_docs, "
+        f"CAST(sum({TX.TOKEN_COUNT_SQL.format(c='text')}) AS BIGINT) AS total_tokens, "
+        f"round(sum(CAST(round({TX.quality_score_sql('text')} * 1000) AS BIGINT))"
+        " / (count(*) * 1000.0), 4) AS avg_quality FROM documents GROUP BY 1"
     )
 
     cos = H.cosine_sql("q.e", "c.e")

@@ -241,6 +241,53 @@ def test_gopher_filters_rules_and_sql_parity(spark):
         assert got == vals, (tag, got, vals)
 
 
+def test_pii_redaction_and_host_extraction(spark):
+    """Redaction spec (emails first, then phone-shaped spans on the
+    email-redacted text), host extraction, and full Spark↔DuckDB parity
+    on adversarial cases."""
+    rows = [
+        ("plain", "no pii here at all"),
+        ("email", "mail bob.smith+tag@sub.example.co.uk now"),
+        ("phone", "call +1 555-123-4567 today"),
+        ("both", "a@b.io and (020) 7946-0958 mixed"),
+        ("digits_in_local", "x123456789@nums.example.com only"),
+        ("short_digits", "room 12345 is not a phone"),
+    ]
+    df = spark.createDataFrame(rows, "tag string, text string")
+    ne, np_ = TX.pii_counts_cols(F.col("text"))
+    out = {r.tag: (r.red, r.ne, r.np) for r in df.select(
+        "tag", TX.redact_pii_col(F.col("text")).alias("red"),
+        ne.alias("ne"), np_.alias("np")).collect()}
+    assert out["plain"] == ("no pii here at all", 0, 0)
+    assert out["email"] == ("mail <EMAIL> now", 1, 0)
+    assert out["phone"] == ("call <PHONE> today", 0, 1)
+    assert out["both"] == ("<EMAIL> and <PHONE> mixed", 1, 1)
+    # the digit run inside the email local part must NOT double-redact
+    assert out["digits_in_local"] == ("<EMAIL> only", 1, 0)
+    assert out["short_digits"][2] == 0  # 5 digits < the 8-char span floor
+
+    duckdb.sql("DROP TABLE IF EXISTS _pii")
+    duckdb.sql("CREATE TABLE _pii(tag VARCHAR, text VARCHAR)")
+    duckdb.executemany("INSERT INTO _pii VALUES (?, ?)", rows)
+    ne_sql, np_sql = TX.pii_counts_sqls("text")
+    want = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(
+        f"SELECT tag, {TX.redact_pii_sql('text')}, {ne_sql}, {np_sql} "
+        "FROM _pii").fetchall()}
+    assert out == want
+
+    hosts = spark.createDataFrame(
+        [("https://a.example.com/p/1",), ("http://b.co",),
+         ("ftp://files.x.org/d?q=1",), ("not a url",)], "u string")
+    got = [r.h for r in hosts.select(
+        TX.url_host_col(F.col("u")).alias("h")).collect()]
+    assert got == ["a.example.com", "b.co", "files.x.org", ""]
+    duck = [duckdb.sql(
+        f"SELECT {TX.url_host_sql(repr(u))}").fetchone()[0]
+        for (u,) in [("https://a.example.com/p/1",), ("http://b.co",),
+                     ("ftp://files.x.org/d?q=1",), ("not a url",)]]
+    assert duck == got
+
+
 def test_ngram_jaccard_refine(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")

@@ -209,6 +209,54 @@ def gopher_filter_sqls(c: str, min_words: int = 25,
     return sqls
 
 
+# --- PII scrub: email/phone redaction (regex kept to the Java∩RE2
+# common syntax so Spark and DuckDB replace identically) ---
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[+(]?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Emails then phones replaced with typed placeholders. Order is part
+    of the spec: emails first (their local parts may contain digit runs),
+    then phone-shaped digit spans on the already-email-redacted text."""
+    no_mail = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_mail, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts_cols(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) — emails counted on the raw text, phones on
+    the email-redacted text, mirroring redact_pii_col's pass order."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+    no_mail = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_mail, F.lit(PHONE_PATTERN), 0))
+    return n_emails, n_phones
+
+
+def redact_pii_sql(c: str) -> str:
+    return (f"regexp_replace(regexp_replace({c}, '{EMAIL_PATTERN}', "
+            f"'<EMAIL>', 'g'), '{PHONE_PATTERN}', '<PHONE>', 'g')")
+
+
+def pii_counts_sqls(c: str) -> tuple[str, str]:
+    no_mail = f"regexp_replace({c}, '{EMAIL_PATTERN}', '<EMAIL>', 'g')"
+    return (f"len(regexp_extract_all({c}, '{EMAIL_PATTERN}'))",
+            f"len(regexp_extract_all({no_mail}, '{PHONE_PATTERN}'))")
+
+
+# --- URL host extraction (scheme://host[/...]) ---
+
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host_col(url: Column) -> Column:
+    return F.regexp_extract(url, HOST_PATTERN, 1)
+
+
+def url_host_sql(c: str) -> str:
+    return f"coalesce(regexp_extract({c}, '{HOST_PATTERN}', 1), '')"
+
+
 # --- document fingerprint: md5 of the normalized head ---
 
 def fingerprint_col(text: Column) -> Column:

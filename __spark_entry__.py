@@ -533,6 +533,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[c.alias(n) for n, c in cols.items()])
     q["doc_quality_filters"] = doc_quality_filters
 
+    def repetition_stats(spark, sf):
+        """Gopher repetition rules: per-doc top-2/3-gram character
+        fraction + duplicate-5-gram character fraction — explode + window
+        lead + keys-only aggs in the engine; the oracle replays the same
+        metrics with DuckDB list expressions (the O(L²) form the engine
+        avoids)."""
+        docs = _read(spark, sf, "documents")
+        return D.repetition_stats(docs)
+    q["repetition_stats"] = repetition_stats
+
     def pii_redaction(spark, sf):
         """Email/phone scrub. The corpus text carries no PII by
         construction, so a deterministic contact tail is synthesized from
@@ -802,6 +812,37 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ", ".join(f"{sql} AS {name}" for name, sql in gq.items())
         + " FROM documents"
+    )
+
+    def _gram_cte(n: int) -> str:
+        parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+        return (f"SELECT doc_id, unnest(list_transform("
+                f"generate_series(1, len(ws) - {n - 1}), i -> {parts})) "
+                "AS gram FROM w")
+
+    def _top_cte(src: str) -> str:
+        return ("SELECT doc_id, cnt * length(replace(gram, ' ', '')) AS tc "
+                "FROM (SELECT doc_id, gram, count(*) AS cnt, row_number() "
+                "OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC)"
+                f" AS rn FROM {src} GROUP BY doc_id, gram) WHERE rn = 1")
+
+    o["repetition_stats"] = (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t != '') AS ws FROM documents), "
+        "tot AS (SELECT doc_id, greatest(length(replace(text, ' ', '')), 1)"
+        "::DOUBLE AS chars FROM documents), "
+        f"g2 AS ({_gram_cte(2)}), g3 AS ({_gram_cte(3)}), "
+        f"g5 AS ({_gram_cte(5)}), "
+        f"t2 AS ({_top_cte('g2')}), t3 AS ({_top_cte('g3')}), "
+        "d5 AS (SELECT doc_id, sum(cnt * length(replace(gram, ' ', ''))) "
+        "AS dc FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 "
+        "GROUP BY 1, 2) WHERE cnt >= 2 GROUP BY doc_id) "
+        "SELECT tot.doc_id, "
+        "round(coalesce(t2.tc, 0) / chars, 4) AS top2_frac, "
+        "round(coalesce(t3.tc, 0) / chars, 4) AS top3_frac, "
+        "round(coalesce(d5.dc, 0) / chars, 4) AS dup5_frac "
+        "FROM tot LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) "
+        "LEFT JOIN d5 USING (doc_id)"
     )
 
     contact = ("(text || ' contact user' || doc_id || '@' || source || "

@@ -241,6 +241,33 @@ def test_gopher_filters_rules_and_sql_parity(spark):
         assert got == vals, (tag, got, vals)
 
 
+def test_repetition_stats_hand_cases(spark):
+    """Gopher repetition metrics pinned by hand: a doc that is one
+    repeated bigram, a no-repeat doc, a tie (lexicographically larger
+    gram wins, the cross-engine rule), and an empty doc."""
+    docs = spark.createDataFrame(
+        [(0, "ab cd ab cd ab cd"),       # 'ab cd' ×3 of 5 bigrams
+         (1, "one two three four five"),  # all grams unique
+         (2, "x y z x y"),                # 'x y' ×2 vs 'y z'/'z x' ×1
+         (3, ""),                         # empty
+         (4, "b a b a c a c a")],         # tie 'b a'×2 vs 'a b'... check
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in D.repetition_stats(docs).collect()}
+    # doc 0: chars=12; top bigram 'ab cd' cnt=3, 4 chars → 12/12 = 1.0
+    assert out[0].top2_frac == 1.0
+    # 5-grams of doc 0: 'ab cd ab cd ab' ×1, 'cd ab cd ab cd' ×1 → no dup
+    assert out[0].dup5_frac == 0.0
+    # doc 1: every bigram unique, cnt=1; top = lexicographically largest
+    # ('two three', 8 chars) of 19 chars
+    assert out[1].top2_frac == round(8 / 19, 4)
+    # doc 2: 'x y' cnt=2 → 4 chars / 5 chars
+    assert out[2].top2_frac == 0.8
+    assert out[3].top2_frac == 0.0 and out[3].dup5_frac == 0.0
+    # doc 4 bigrams: 'b a'×2, 'a b'×1, 'a c'×2, 'c a'×2 → tie on cnt=2,
+    # max gram of {'b a','a c','c a'} = 'c a' (2×2 chars / 8)
+    assert out[4].top2_frac == 0.5
+
+
 def test_pii_redaction_and_host_extraction(spark):
     """Redaction spec (emails first, then phone-shaped spans on the
     email-redacted text), host extraction, and full Spark↔DuckDB parity

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -146,6 +146,75 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher repetition metrics (Rae et al. 2021 §A1.1, the n-gram
+    rules): per document,
+
+    * ``top2_frac`` / ``top3_frac`` — characters of the MOST COMMON word
+      2-/3-gram (non-space chars × its count) over total non-space
+      characters; ties break to the lexicographically largest gram
+      (max over (count, gram) pairs — identical in Spark and DuckDB).
+    * ``dup5_frac`` — characters of all 5-grams occurring ≥ 2 times
+      (count × non-space chars, occurrences each counted) over total.
+
+    100-TB shape: ONE posexplode of the token array + ONE window shuffle
+    on the doc id (lead() builds all gram widths in a single pass), then
+    keys-only groupBy aggregates with map-side combine — no O(L²)
+    higher-order lambdas (the nested-HOF trap re-evaluates the outer
+    array per element; the oracle SQL keeps that expression form, the
+    engine never runs it).
+    """
+    from ..functions import text as TX
+
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(TX.tokens_col(F.col(text_col))).alias("pos", "w"))
+    win = Window.partitionBy("_id").orderBy("pos")
+    w2 = w.select(
+        "_id", "w",
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, 5)])
+    # totals from the BASE table (token chars == text minus spaces), so
+    # zero-token docs keep a row (fracs 0) instead of vanishing
+    tot = docs.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        .alias("chars"))
+
+    def top_and_dup(n: int):
+        cols = ["w"] + [f"w{i}" for i in range(1, n)]
+        g = (w2.filter(F.col(f"w{n - 1}").isNotNull())
+             .select("_id", F.concat_ws(" ", *cols).alias("gram")))
+        gc = g.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
+        gch = F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
+        return gc.groupBy("_id").agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
+            F.sum((F.col("cnt") * gch).cast("long")).alias("allchars"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * gch)
+                  .otherwise(F.lit(0)).cast("long")).alias("dupchars"))
+
+    t2, t3, t5 = top_and_dup(2), top_and_dup(3), top_and_dup(5)
+
+    def top_frac(t):
+        gch = F.length(F.replace(t["top"]["gram"], F.lit(" "), F.lit("")))
+        return t["top"]["cnt"] * gch
+
+    out = (tot
+           .join(t2.select("_id", top_frac(t2).alias("_n2")), "_id", "left")
+           .join(t3.select("_id", top_frac(t3).alias("_n3")), "_id", "left")
+           .join(t5.select("_id", F.col("dupchars").alias("_d5")),
+                 "_id", "left"))
+    chars = F.greatest(F.col("chars"), F.lit(1)).cast("double")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.round(F.coalesce(F.col("_n2"), F.lit(0)) / chars, 4)
+        .alias("top2_frac"),
+        F.round(F.coalesce(F.col("_n3"), F.lit(0)) / chars, 4)
+        .alias("top3_frac"),
+        F.round(F.coalesce(F.col("_d5"), F.lit(0)) / chars, 4)
+        .alias("dup5_frac"))
 
 
 def near_dup_components(pairs: DataFrame, a_col: str = "a",

@@ -543,6 +543,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.repetition_stats(docs)
     q["repetition_stats"] = repetition_stats
 
+    def chunk_documents(spark, sf):
+        """Fixed-token chunking with overlap (32-token chunks, 8-token
+        overlap): the engine explodes tokens to their covering chunks and
+        regroups (rows ∝ tokens); the oracle slices per chunk. Chunk
+        bytes pinned via md5."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+        out = CH.chunk_documents(docs, chunk_tokens=32, overlap=8)
+        return out.select("doc_id", "chunk_idx", "n_tokens",
+                          F.md5("chunk_text").alias("chunk_md5"))
+    q["chunk_documents"] = chunk_documents
+
+    def hash_sampled_docs(spark, sf):
+        """Deterministic md5-bucket sampling (25% by doc_id) — stable
+        across engines/partitionings, unlike df.sample."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.sample_by_hash(docs, 0.25, "doc_id") \
+            .select("doc_id", "lang", "n_chars")
+    q["hash_sampled_docs"] = hash_sampled_docs
+
     def pii_redaction(spark, sf):
         """Email/phone scrub. The corpus text carries no PII by
         construction, so a deterministic contact tail is synthesized from
@@ -843,6 +864,16 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(d5.dc, 0) / chars, 4) AS dup5_frac "
         "FROM tot LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) "
         "LEFT JOIN d5 USING (doc_id)"
+    )
+
+    from vtcomposite_spark.operators import chunking as CH
+    o["chunk_documents"] = (
+        "SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS chunk_md5 "
+        f"FROM ({CH.chunk_documents_sql(32, 8)}) WHERE doc_id % 5 = 0"
+    )
+    o["hash_sampled_docs"] = (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        f"WHERE {CH.sample_by_hash_sql(0.25, 'doc_id')}"
     )
 
     contact = ("(text || ' contact user' || doc_id || '@' || source || "

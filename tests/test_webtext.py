@@ -241,6 +241,36 @@ def test_gopher_filters_rules_and_sql_parity(spark):
         assert got == vals, (tag, got, vals)
 
 
+def test_chunk_documents_hand_case(spark):
+    """10 tokens, chunk 4, overlap 1 (stride 3): chunks at 0,3,6,9 with
+    the last a single token; overlap tokens appear in both neighbors."""
+    from vtcomposite_spark.operators import chunking as CH
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(toks)), (2, "")],
+                                 "doc_id long, text string")
+    out = {r.chunk_idx: (r.n_tokens, r.chunk_text) for r in
+           CH.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()}
+    assert out == {0: (4, "t0 t1 t2 t3"), 1: (4, "t3 t4 t5 t6"),
+                   2: (4, "t6 t7 t8 t9"), 3: (1, "t9")}
+    with pytest.raises(ValueError):
+        CH.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_sample_by_hash_deterministic_and_salted(spark):
+    from vtcomposite_spark.operators import chunking as CH
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in CH.sample_by_hash(df, 0.2, "doc_id").collect()}
+    b = {r.doc_id for r in CH.sample_by_hash(df, 0.2, "doc_id").collect()}
+    assert a == b                       # stable across runs
+    assert 0.15 < len(a) / 2000 < 0.25  # ≈ fraction
+    c = {r.doc_id for r in
+         CH.sample_by_hash(df, 0.2, "doc_id", salt="other").collect()}
+    assert c != a                       # stratification via salt
+    # monotone: a bigger fraction strictly contains a smaller one
+    big = {r.doc_id for r in CH.sample_by_hash(df, 0.5, "doc_id").collect()}
+    assert a <= big
+
+
 def test_repetition_stats_hand_cases(spark):
     """Gopher repetition metrics pinned by hand: a doc that is one
     repeated bigram, a no-repeat doc, a tie (lexicographically larger

@@ -1,0 +1,99 @@
+"""Corpus preparation for training pipelines: fixed-token chunking with
+overlap, and deterministic hash sampling.
+
+Both are SQL-replayable (md5 + integer arithmetic only) so the DuckDB
+oracle gate verifies them value-exact, and both avoid the O(L²)
+higher-order-lambda trap: chunking EXPLODES tokens to rows and assigns
+each token to its (≤ chunk/stride) covering chunks, then groups — rows ∝
+tokens × small duplication factor, never array-slicing per chunk over a
+carried parent array (which duplicates the full token array per chunk
+row through the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """One row per chunk: (id, chunk_idx, n_tokens, chunk_text).
+
+    Chunk k covers token positions [k·stride, k·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap; chunks exist for every start
+    below the document's token count (the final chunk may be short).
+    Plan: posexplode tokens → each token explodes to its covering chunk
+    indices (a ``sequence`` of at most ⌈chunk/stride⌉ values) → groupBy
+    (id, chunk) rebuilding the chunk text from position-sorted tokens.
+    Deterministic; zero-token documents produce no chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(TX.tokens_col(F.col(text_col))).alias("pos", "w"))
+    k_min = F.greatest(
+        F.ceil((F.col("pos") - F.lit(chunk_tokens - 1)) / F.lit(stride)),
+        F.lit(0)).cast("long")
+    k_max = F.floor(F.col("pos") / F.lit(stride)).cast("long")
+    wk = w.select("_id", "pos", "w",
+                  F.explode(F.sequence(k_min, k_max)).alias("chunk_idx"))
+    return (wk.groupBy("_id", "chunk_idx")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.array_sort(F.collect_list(F.struct("pos", "w")))
+                 .alias("_ps"))
+            .select(F.col("_id").alias(id_col), "chunk_idx", "n_tokens",
+                    F.concat_ws(" ", F.transform("_ps", lambda s: s["w"]))
+                    .alias("chunk_text")))
+
+
+def chunk_documents_sql(chunk_tokens: int = 128, overlap: int = 32,
+                        table: str = "documents",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of chunk_documents — the slice-per-chunk expression
+    form (fine at oracle scale)."""
+    stride = chunk_tokens - overlap
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        f"WITH w AS (SELECT {id_col}, {ws} AS ws FROM {table}), "
+        "c AS (SELECT *, unnest(generate_series(0, "
+        f"CAST(floor((len(ws) - 1) / {stride}) AS BIGINT))) AS chunk_idx "
+        "FROM w WHERE len(ws) > 0) "
+        f"SELECT {id_col}, chunk_idx, "
+        f"len(ws[chunk_idx * {stride} + 1 : "
+        f"chunk_idx * {stride} + {chunk_tokens}]) AS n_tokens, "
+        f"array_to_string(ws[chunk_idx * {stride} + 1 : "
+        f"chunk_idx * {stride} + {chunk_tokens}], ' ') AS chunk_text "
+        "FROM c"
+    )
+
+
+def sample_by_hash(df: DataFrame, fraction: float, key_col: str,
+                   salt: str = "s0") -> DataFrame:
+    """Deterministic, repeatable sampling: keep rows whose md5-derived
+    bucket (first 4 hex chars of md5(salt || key) → int in [0, 65536),
+    mod 10,000) falls below fraction·10,000. Unlike ``df.sample`` this is
+    STABLE across runs/engines/partitionings — the property a
+    training-data pipeline needs for reproducible subsets — and
+    stratification is just a different salt per stratum. Uses the
+    engine-agnostic strpos hex arithmetic (functions.hashing), the same
+    primitive every oracle-gated hash here builds on."""
+    from ..functions.hashing import _hex4_to_int_col
+    bucket = _hex4_to_int_col(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))) % 10000
+    return df.filter(bucket < int(round(fraction * 10000)))
+
+
+def sample_by_hash_sql(fraction: float, key_col: str,
+                       salt: str = "s0") -> str:
+    """DuckDB twin: the WHERE predicate of sample_by_hash."""
+    from ..functions.hashing import hex4_to_int_sql
+    thresh = int(round(fraction * 10000))
+    h = f"md5('{salt}' || {key_col}::VARCHAR)"
+    return f"(({hex4_to_int_sql(h)}) % 10000) < {thresh}"

@@ -564,6 +564,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "n_chars")
     q["hash_sampled_docs"] = hash_sampled_docs
 
+    def distinctive_terms(spark, sf):
+        """Top-5 distinctive terms per language: tf-idf-shaped ranking
+        with an integer score (tf·1e6/df floored) — a float ln() would
+        drift in the last ulp between libms and break the value hash."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.distinctive_terms(docs, group_col="lang", k=5)
+    q["distinctive_terms"] = distinctive_terms
+
     def pii_redaction(spark, sf):
         """Email/phone scrub. The corpus text carries no PII by
         construction, so a deterministic contact tail is synthesized from
@@ -875,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang, n_chars FROM documents "
         f"WHERE {CH.sample_by_hash_sql(0.25, 'doc_id')}"
     )
+    o["distinctive_terms"] = CH.distinctive_terms_sql(group_col="lang", k=5)
 
     contact = ("(text || ' contact user' || doc_id || '@' || source || "
                "'.example.com or call +1 555-' || lpad(doc_id::VARCHAR, 4, '0'))")

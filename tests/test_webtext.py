@@ -271,6 +271,24 @@ def test_sample_by_hash_deterministic_and_salted(spark):
     assert a <= big
 
 
+def test_distinctive_terms_hand_case(spark):
+    """'aa' is frequent in group g1 but corpus-wide (df=3 → low score);
+    'zz' appears only in g1 (df=1) and must outrank it."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(0, "g1", "aa aa zz zz"), (1, "g1", "aa aa"),
+         (2, "g2", "aa bb"), (3, "g2", "aa bb")],
+        "doc_id long, lang string, text string")
+    out = {(r.lang, r.term_rank): (r.term, r.tf, r.df, r.score)
+           for r in CH.distinctive_terms(docs, k=2).collect()}
+    # g1: zz tf=2 df=1 → 2e6; aa tf=4 df=4 → 1e6
+    assert out[("g1", 1)] == ("zz", 2, 1, 2_000_000)
+    assert out[("g1", 2)] == ("aa", 4, 4, 1_000_000)
+    # g2: bb tf=2 df=2 → 1e6 ties aa tf=2 df=4 → 5e5: bb first
+    assert out[("g2", 1)] == ("bb", 2, 2, 1_000_000)
+    assert out[("g2", 2)] == ("aa", 2, 4, 500_000)
+
+
 def test_repetition_stats_hand_cases(spark):
     """Gopher repetition metrics pinned by hand: a doc that is one
     repeated bigram, a no-repeat doc, a tie (lexicographically larger

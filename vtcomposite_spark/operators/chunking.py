@@ -74,6 +74,60 @@ def chunk_documents_sql(chunk_tokens: int = 128, overlap: int = 32,
     )
 
 
+def distinctive_terms(docs: DataFrame, group_col: str = "lang",
+                      text_col: str = "text", k: int = 5,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Top-k distinctive terms per group: term frequency within the group
+    weighted against corpus-wide document frequency — the tf-idf shape
+    with an INTEGER score (tf · 1,000,000 / df, rank-equivalent to
+    tf/df weighting) so both engines compute identical values; a float
+    ln() would differ in the last ulp between libms and break the
+    value-hash oracle. Ties break by (score desc, term asc).
+
+    Plan: one explode → per-(group, term) counts (map-side combine) →
+    corpus df from per-(term, doc) distincts → broadcast-friendly join on
+    term → per-group row_number window over the small aggregate."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.col(group_col).alias("grp"),
+                    F.col(id_col).alias("_id"),
+                    F.explode(TX.tokens_col(F.col(text_col))).alias("term"))
+    tf = w.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    df_ = (w.select("term", "_id").distinct()
+           .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (tf.join(df_, on="term")
+              .withColumn("score",
+                          F.floor(F.col("tf") * F.lit(1_000_000)
+                                  / F.col("df")).cast("long")))
+    rank_w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("term_rank", F.row_number().over(rank_w))
+            .filter(F.col("term_rank") <= k)
+            .select(F.col("grp").alias(group_col), "term", "tf", "df",
+                    "score", "term_rank"))
+
+
+def distinctive_terms_sql(group_col: str = "lang", text_col: str = "text",
+                          k: int = 5, id_col: str = "doc_id",
+                          table: str = "documents") -> str:
+    """DuckDB twin of distinctive_terms."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        f"WITH w AS (SELECT {group_col} AS grp, {id_col} AS _id, "
+        f"unnest({ws}) AS term FROM {table}), "
+        "tf AS (SELECT grp, term, count(*) AS tf FROM w GROUP BY 1, 2), "
+        "d AS (SELECT term, count(*) AS df FROM "
+        "(SELECT DISTINCT term, _id FROM w) GROUP BY 1), "
+        "s AS (SELECT grp, term, tf, df, "
+        "CAST(floor(tf * 1000000.0 / df) AS BIGINT) AS score, "
+        "row_number() OVER (PARTITION BY grp ORDER BY "
+        "CAST(floor(tf * 1000000.0 / df) AS BIGINT) DESC, term ASC) AS term_rank "
+        "FROM tf JOIN d USING (term)) "
+        f"SELECT grp AS {group_col}, term, tf, df, score, term_rank "
+        f"FROM s WHERE term_rank <= {k}"
+    )
+
+
 def sample_by_hash(df: DataFrame, fraction: float, key_col: str,
                    salt: str = "s0") -> DataFrame:
     """Deterministic, repeatable sampling: keep rows whose md5-derived

@@ -183,28 +183,33 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
         .alias("chars"))
 
-    def top_and_dup(n: int):
+    def gram_counts(n: int):
         cols = ["w"] + [f"w{i}" for i in range(1, n)]
         g = (w2.filter(F.col(f"w{n - 1}").isNotNull())
              .select("_id", F.concat_ws(" ", *cols).alias("gram")))
-        gc = g.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
-        gch = F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
-        return gc.groupBy("_id").agg(
-            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"),
-            F.sum((F.col("cnt") * gch).cast("long")).alias("allchars"),
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * gch)
-                  .otherwise(F.lit(0)).cast("long")).alias("dupchars"))
+        return g.groupBy("_id", "gram").agg(F.count("*").alias("cnt"))
 
-    t2, t3, t5 = top_and_dup(2), top_and_dup(3), top_and_dup(5)
+    _gch = F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))
 
-    def top_frac(t):
+    def top_chars(n: int):
+        # chars of the most common n-gram × its count, max over
+        # (cnt, gram) pairs — the cross-engine deterministic tie-break
+        t = gram_counts(n).groupBy("_id").agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"))
         gch = F.length(F.replace(t["top"]["gram"], F.lit(" "), F.lit("")))
-        return t["top"]["cnt"] * gch
+        return t.select("_id", (t["top"]["cnt"] * gch).alias("tc"))
+
+    def dup_chars(n: int):
+        return gram_counts(n).groupBy("_id").agg(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * _gch)
+                  .otherwise(F.lit(0)).cast("long")).alias("dc"))
 
     out = (tot
-           .join(t2.select("_id", top_frac(t2).alias("_n2")), "_id", "left")
-           .join(t3.select("_id", top_frac(t3).alias("_n3")), "_id", "left")
-           .join(t5.select("_id", F.col("dupchars").alias("_d5")),
+           .join(top_chars(2).select("_id", F.col("tc").alias("_n2")),
+                 "_id", "left")
+           .join(top_chars(3).select("_id", F.col("tc").alias("_n3")),
+                 "_id", "left")
+           .join(dup_chars(5).select("_id", F.col("dc").alias("_d5")),
                  "_id", "left"))
     chars = F.greatest(F.col("chars"), F.lit(1)).cast("double")
     return out.select(

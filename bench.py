@@ -274,8 +274,8 @@ def build_workload(spark, sf_dir):
         at table scale."""
         from vtcomposite_spark.operators.composite import composite_encode_tiles
         feats8, targets = _fixture_grid_paths(
-            "linestrings-properties-16-10498-22872.mvt", N_POLY_SRC)
-        mzpath = f"/tmp/vtc_bench_mz_feats_{N_POLY_SRC}"
+            "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
+        mzpath = f"/tmp/vtc_bench_mz_feats_{N_LINE_SRC}"
         if not os.path.isdir(mzpath):
             (feats8.withColumn("src_z", F.lit(7))
              .withColumn("src_x", F.expr("src_x >> 1").cast("long"))

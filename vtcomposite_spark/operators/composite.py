@@ -916,9 +916,18 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
         cand = apply_keep_layers(cand)
     wins = (cand.groupBy("z", "x", "y", "layer")
             .agg(F.min("tile_idx").alias("tile_idx")))
-    # zoom of each winning source tile (tile_idx ↦ one input tile)
-    tzoom = features.select("tile_idx", "src_z").distinct()
-    wins = wins.join(tzoom, on="tile_idx", how="inner")
+    # zoom of each winning source tile (tile_idx ↦ one input tile). Every
+    # winner tile_idx appears in fk (wins are minima over fk), so the
+    # mapping derives from the SMALL aggregate — not a second full scan
+    # of the feature table
+    tzoom = fk.select("tile_idx", "src_z").distinct()
+    # materialize ONCE: the winners subtree (a full feature-key scan)
+    # feeds every per-zoom branch, and a union of branches re-executes
+    # shared upstream per branch (the filter/union trap) — len(zs)× the
+    # dominant scan without this. Winners are keys-only (targets×layers
+    # rows), so the checkpoint is small
+    wins = wins.join(tzoom, on="tile_idx", how="inner") \
+        .localCheckpoint(eager=True)
 
     t_base = targets.drop("keep_layers") if has_keep else targets
     parts = []

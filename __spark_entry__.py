@@ -193,16 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.try_element_at("ys", F.lit(1)).alias("py"))
     q["composite_overzoom_points"] = composite_overzoom_points
 
-    def overzoom_encode_sink(spark, sf):
-        """Materialization fast path under the (rows-only) gate: the same
-        lineitem-derived point features through overzoom_encode_tiles —
-        source-grouped fused scan→first-wins→clip→ENCODE, one row per
-        output tile. Tile BYTES are not SQL-expressible (the encoder is
-        the operator under test), so no oracle entry: the driver records
-        row-count + schema; byte parity across all four encode paths and
-        byte determinism are pytest-gated (tests/test_overzoom_fused.py,
-        tests/test_encode_columnar.py)."""
-        from vtcomposite_spark.operators.composite import overzoom_encode_tiles
+    def _sink_fixture(spark, sf):
+        """lineitem-derived point features + the 8×8 z6 target grid shared
+        by the encode-sink gate queries (z4 sources, dz=2)."""
         li = _read(spark, sf, "lineitem")
         feats = li.select(
             (F.col("l_linenumber") % 3).cast("int").alias("tile_idx"),
@@ -226,9 +219,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.lit(128).alias("buffer_size"),
                            F.lit(None).cast("array<string>").alias("keep_layers"),
                            F.lit(False).alias("compress")))
+        return feats, targets
+
+    def overzoom_encode_sink(spark, sf):
+        """Materialization fast path under the (rows-only) gate:
+        source-grouped fused scan→first-wins→clip→ENCODE, one row per
+        output tile. Tile BYTES are not SQL-expressible (the encoder is
+        the operator under test), so no oracle entry for the LENGTHS —
+        but see ``encode_sink_roundtrip``, which decodes these same tiles
+        back to values and IS fully oracled; byte parity across all four
+        encode paths and byte determinism are pytest-gated."""
+        from vtcomposite_spark.operators.composite import overzoom_encode_tiles
+        feats, targets = _sink_fixture(spark, sf)
         out = overzoom_encode_tiles(feats, targets, src_zoom=4)
         return out.select("z", "x", "y", F.length("tile").alias("tile_len"))
     q["overzoom_encode_sink"] = overzoom_encode_sink
+
+    def encode_sink_roundtrip(spark, sf):
+        """ENCODED BYTES under the FULL oracle gate: the fused sink's
+        tiles decode back to feature rows (``features_from_tiles_df``,
+        the distributed tileset re-ingest) and their per-tile aggregates
+        — feature count, coordinate sums, feature-id sum, distinct
+        property values — must equal a pure-SQL replay of the
+        overzoom+first-wins+clip semantics. The decoder is independently
+        golden-tested against reference fixtures, so this closes the
+        encode loop value-exactly inside the driver's own gate."""
+        from vtcomposite_spark.operators.composite import overzoom_encode_tiles
+        from vtcomposite_spark.sources.ingest import features_from_tiles_df
+        feats, targets = _sink_fixture(spark, sf)
+        tiles = overzoom_encode_tiles(feats, targets, src_zoom=4)
+        dec = features_from_tiles_df(tiles)
+        pts = dec.select(
+            F.col("src_z").alias("z"), F.col("src_x").alias("x"),
+            F.col("src_y").alias("y"),
+            F.element_at("xs", 1).alias("px"),
+            F.element_at("ys", 1).alias("py"),
+            F.col("feature_id").alias("fid"),
+            F.element_at("properties", "k").alias("k"))
+        return (pts.groupBy("z", "x", "y")
+                .agg(F.count("*").alias("n_feats"),
+                     F.sum("px").cast("long").alias("sum_px"),
+                     F.sum("py").cast("long").alias("sum_py"),
+                     F.sum("fid").cast("long").alias("sum_fid"),
+                     F.concat_ws(",", F.array_sort(F.collect_set("k")))
+                     .alias("ks")))
+    q["encode_sink_roundtrip"] = encode_sink_roundtrip
 
     def media_image_features(spark, sf):
         """Multimodal decode under the (rows-only) gate: deterministic
@@ -651,6 +686,28 @@ def oracle_sql() -> dict[str, str]:
         "FROM win WHERE tile_idx = w) "
         "SELECT z, x, y, tile_idx, feature_id, px, py FROM clip "
         "WHERE px BETWEEN -128 AND 4224 AND py BETWEEN -128 AND 4224"
+    )
+
+    # the encode→decode roundtrip replays the SAME overzoom+first-wins+
+    # clip semantics and aggregates per output tile — the decoded tile
+    # BYTES must reproduce these values exactly
+    o["encode_sink_roundtrip"] = (
+        "WITH f AS (SELECT l_linenumber % 3 AS tile_idx, l_orderkey AS fid, "
+        "l_returnflag AS k, l_orderkey % 16 AS sx, l_suppkey % 16 AS sy, "
+        "l_partkey % 4096 AS x0, (l_suppkey * 7) % 4096 AS y0 FROM lineitem), "
+        "t AS (SELECT tx.range AS x, ty.range AS y FROM range(0, 8) tx, range(0, 8) ty), "
+        "cand AS (SELECT f.*, t.x, t.y FROM f JOIN t ON (t.x // 4) = f.sx "
+        "AND (t.y // 4) = f.sy), "
+        "win AS (SELECT *, min(tile_idx) OVER (PARTITION BY x, y) AS w FROM cand), "
+        "clip AS (SELECT 6 AS z, x, y, fid, k, "
+        "x0 * 4 - (x % 4) * 4096 AS px, y0 * 4 - (y % 4) * 4096 AS py "
+        "FROM win WHERE tile_idx = w) "
+        "SELECT z, x, y, count(*) AS n_feats, "
+        "CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(py) AS BIGINT) AS sum_py, "
+        "CAST(sum(fid) AS BIGINT) AS sum_fid, "
+        "array_to_string(list_sort(list_distinct(list(k))), ',') AS ks "
+        "FROM clip WHERE px BETWEEN -128 AND 4224 AND py BETWEEN -128 AND 4224 "
+        "GROUP BY 1, 2, 3"
     )
 
     o["first_wins_orders"] = (

@@ -309,3 +309,47 @@ def test_v1_zlib_tiles_polygon_clockwise(spark, fixture_bytes):
         (fixture_bytes("v1-8.mvt"), 2, 2, 1),
     ], [{"z": 4, "x": 8, "y": 5, "buffer_size": 4080}])
     assert out.select("layer").distinct().count() == 7
+
+
+def test_features_from_tiles_df_matches_local_ingest(spark, fixture_bytes):
+    """Distributed tileset re-ingest == driver-side ingest, row-exact
+    INCLUDING property-map entry order (the wire-order invariant), on two
+    real typed-property fixtures; and sink → re-ingest → re-encode is a
+    byte fixpoint."""
+    import pyspark.sql.functions as F
+
+    bufs = [(fixture_bytes("linestrings-properties-16-10498-22872.mvt"),
+             8, 1, 2),
+            (fixture_bytes("points-properties-16-10498-22872.mvt"), 8, 3, 4)]
+    local = ingest.features_from_tiles(spark, bufs)
+    tiles_df = spark.createDataFrame(
+        [(z, x, y, buf, i) for i, (buf, z, x, y) in enumerate(bufs)],
+        "z int, x long, y long, tile binary, ti int")
+    dist = ingest.features_from_tiles_df(tiles_df, tile_idx_col="ti")
+
+    def canon(df):
+        return sorted(
+            (r.tile_idx, r.src_z, r.src_x, r.src_y, r.layer, r.feature_idx,
+             r.feature_id, r.geom_type, tuple(r.xs), tuple(r.ys),
+             tuple(r.part_offsets), tuple(r.ring_types),
+             tuple(r.pe), tuple(r.te))
+            for r in df.select(
+                "*", F.map_entries("properties").alias("pe"),
+                F.map_entries("prop_types").alias("te")).collect())
+    assert canon(dist) == canon(local) and local.count() > 500
+
+    # fixpoint: encode the re-ingested features at their own address and
+    # get the identical bytes back
+    t = ingest.targets_df(spark, [{"z": 8, "x": 1, "y": 2},
+                                  {"z": 8, "x": 3, "y": 4}])
+    first = {(r.z, r.x, r.y): bytes(r.tile) for r in
+             C.composite_encode_tiles(local, t,
+                                      join_strategy="broadcast").collect()}
+    again_src = ingest.features_from_tiles_df(
+        spark.createDataFrame(
+            [(z, x, y, b) for (z, x, y), b in first.items()],
+            "z int, x long, y long, tile binary"))
+    again = {(r.z, r.x, r.y): bytes(r.tile) for r in
+             C.composite_encode_tiles(again_src, t,
+                                      join_strategy="broadcast").collect()}
+    assert again == first and len(first) == 2

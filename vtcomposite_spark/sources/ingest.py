@@ -119,6 +119,67 @@ def features_from_tiles(spark: SparkSession,
                            "prop_types": F.map_from_entries("prop_types")})
 
 
+def features_from_tiles_df(tiles: DataFrame, buf_col: str = "tile",
+                           tile_idx_col: str | None = None) -> DataFrame:
+    """Distributed tileset RE-INGEST: a (z, x, y, tile) DataFrame decodes
+    back to FEATURES_SCHEMA rows — the S2 scan over a MATERIALIZED
+    tileset. ``features_from_tiles`` takes driver-side buffers; this one
+    scales to a planet pyramid (one decode per tile inside mapInPandas,
+    no driver round-trip) and closes the loop sink → table → re-ingest →
+    composite again.
+
+    ``tile_idx`` is 0 for every tile unless ``tile_idx_col`` names an
+    ordinal column — re-ingested tiles are independent inputs, and the
+    ordinal only matters to first-wins when several INPUT tiles share a
+    source address. Property-map entry order survives the seam (entries
+    arrays cross Arrow; ``map_from_entries`` builds the maps JVM-side —
+    a python dict through mapInPandas would scramble it, the
+    languages=all wire-order lesson).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def entry_t(vt):
+        return T.ArrayType(T.StructType([
+            T.StructField("key", T.StringType()),
+            T.StructField("value", vt)]))
+
+    overrides = {"properties": entry_t(T.StringType()),
+                 "prop_types": entry_t(T.ByteType())}
+    out_schema = T.StructType([
+        T.StructField(f.name, overrides.get(f.name, f.dataType))
+        if f.name in overrides else f for f in FEATURES_SCHEMA.fields])
+    cols = [f.name for f in out_schema.fields]
+
+    sel = ["z", "x", "y", buf_col] + ([tile_idx_col] if tile_idx_col else [])
+
+    def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out: list[dict] = []
+            for row in pdf.itertuples(index=False):
+                ti = int(getattr(row, tile_idx_col)) if tile_idx_col else 0
+                rows = feature_rows([(bytes(getattr(row, buf_col)),
+                                      int(row.z), int(row.x), int(row.y))])
+                for r in rows:
+                    r["tile_idx"] = ti
+                    r["prop_types"] = [
+                        {"key": k, "value": r["prop_types"][k]}
+                        for k in r["properties"]]
+                    r["properties"] = [{"key": k, "value": v}
+                                       for k, v in r["properties"].items()]
+                    out.append(r)
+            yield pd.DataFrame(out, columns=cols) if out \
+                else pd.DataFrame({c: [] for c in cols})
+
+    df = tiles.select(*sel).mapInPandas(decode, schema=out_schema)
+    return df.withColumns({"properties": F.map_from_entries("properties"),
+                           "prop_types": F.map_from_entries("prop_types")})
+
+
 def targets_df(spark: SparkSession, targets: list[dict]) -> DataFrame:
     """targets: [{'z':..,'x':..,'y':..,'buffer_size':0,'keep_layers':None,'compress':False}]"""
     from ..schema import TARGETS_SCHEMA

@@ -449,6 +449,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(",", F.array_sort(F.map_keys(p))).alias("keyset"))
     q["localize_languages_all"] = localize_languages_all
 
+    def localize_key_order(spark, sf):
+        """Wire KEY ORDER of languages=['all'] under the driver gate (the
+        round-4 parity fix): the localized property map's entry order IS
+        the encoded order, and for this fixed input construction the
+        reference's emission rules predict one constant sequence — raw
+        name INLINE at its input position, pass-through keys in input
+        order, then class, name_local, the re-keyed family (name_de drops:
+        value equals the original name), worldview last."""
+        docs = _read(spark, sf, "documents")
+        feats = docs.select(
+            "doc_id",
+            F.create_map(
+                F.lit("zeta"), F.col("lang"),
+                F.lit("_mbx_worldview"), F.lit("US"),
+                F.lit("name"), F.col("source"),
+                F.lit("name_script"), F.lit("Latn"),
+                F.lit("class"), F.col("lang"),
+                F.lit("name_en"), F.concat(F.col("source"), F.lit("_en")),
+                F.lit("_mbx_name_fr"), F.concat(F.col("source"), F.lit("_fr")),
+                F.lit("name_de"), F.col("source"),
+                F.lit("alpha"), F.col("lang"),
+            ).alias("properties"))
+        out = localize(feats, languages=["all"], worldviews=["US"])
+        return out.select(
+            "doc_id",
+            F.concat_ws(",", F.map_keys("properties")).alias("key_order"))
+    q["localize_key_order"] = localize_key_order
+
     # --- webtext: text analysis ---
 
     def text_stats(spark, sf):
@@ -803,6 +831,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source AS name, source AS name_local, "
         "source || '_en2' AS name_en, source || '_fr' AS name_fr, "
         "'name,name_en,name_fr,name_local,other' AS keyset FROM documents"
+    )
+
+    # an independent rendering of the reference's emission order for the
+    # fixed localize_key_order construction (src/vtcomposite.cpp:862-868
+    # inline name, :944-998 class/name_local/family, worldview last)
+    o["localize_key_order"] = (
+        "SELECT doc_id, "
+        "'zeta,name,alpha,class,name_local,name_en,name_fr,worldview' "
+        "AS key_order FROM documents"
     )
 
     o["text_stats"] = (

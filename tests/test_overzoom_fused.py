@@ -19,7 +19,7 @@ def _tiles(df):
 
 
 def _check(feats, targets, src_zoom, partitions=None):
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.overzoom_encode_tiles(feats, targets, src_zoom=src_zoom,
                                          partitions=partitions))
@@ -114,7 +114,7 @@ def test_null_buffer_size_parity(spark, fixture_bytes):
          (5, 5, 7, 128, None, False)],   # normal sibling
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.overzoom_encode_tiles(feats, targets, src_zoom=4))
     assert got == want and set(want) == {(5, 5, 7)}
@@ -127,7 +127,7 @@ def test_generic_fused_src_zooms_routes_to_specialized(spark, fixture_bytes):
     feats, grid = _grid_feats(
         spark, fixture_bytes, "linestrings-properties-16-10498-22872.mvt")
     targets = _targets(spark, grid, 9, 8)
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[8]))
     assert got == want and want
@@ -155,7 +155,7 @@ def test_multizoom_layer_interleave_parity(spark, fixture_bytes):
          (5, 4, 6, 0, None, False), (4, 2, 3, 0, None, False)],
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[4, 5]))
     assert set(got) == set(want) and want
@@ -178,7 +178,7 @@ def test_multizoom_keep_layers_and_first_wins_parity(spark, fixture_bytes):
          (6, 10, 13, 128, None, False)],
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=[4, 5]))
     assert got == want and want
@@ -325,7 +325,7 @@ def test_randomized_parity_multizoom_vs_generic(spark, seed):
     targets = spark.createDataFrame(
         list(seen.values()), "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    want = _tiles(C.composite_encode_tiles(feats, targets,
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
                                            join_strategy="broadcast"))
     got = _tiles(C.composite_encode_tiles(feats, targets,
                                           src_zooms=[ZLO, ZHI]))
@@ -333,3 +333,77 @@ def test_randomized_parity_multizoom_vs_generic(spark, seed):
     assert want  # non-trivial
     for k in want:
         assert got[k] == want[k], k
+
+
+def test_auto_infer_src_zooms_matches_generic(spark, fixture_bytes):
+    """Default src_zooms="auto" (round-5): zoom inference routes the fused
+    sink through the source-grouped strategy without caller knowledge —
+    byte-identical to the forced generic plan on a multi-zoom input."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (lbuf, 5, 4, 6)])
+    targets = spark.createDataFrame(
+        [(6, 8, 12, 128, None, False), (6, 9, 13, 64, None, True),
+         (5, 4, 6, 0, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None,
+                                           join_strategy="broadcast"))
+    got = _tiles(C.composite_encode_tiles(feats, targets))  # default: auto
+    assert got == want and want
+
+
+def test_auto_infer_unknown_mode_raises(spark, fixture_bytes):
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(spark, [(lbuf, 4, 2, 3)])
+    targets = spark.createDataFrame(
+        [(5, 4, 6, 0, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    with pytest.raises(ValueError, match="src_zooms"):
+        C.composite_encode_tiles(feats, targets, src_zooms="bogus")
+
+
+def test_multizoom_shared_tile_idx_raises(spark, fixture_bytes):
+    """The ingest contract guard (round-5): a tile_idx shared by source
+    tiles at DIFFERENT zooms would duplicate winner rows and silently
+    corrupt the spliced tile — the multi-zoom path must refuse it."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (lbuf, 5, 4, 6)]) \
+        .withColumn("tile_idx", F.lit(0))
+    targets = spark.createDataFrame(
+        [(6, 8, 12, 128, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    with pytest.raises(ValueError, match="tile_idx"):
+        C.composite_encode_tiles(feats, targets, src_zooms=[4, 5])
+
+
+def test_multizoom_reingest_default_loop(spark, fixture_bytes):
+    """The advertised sink → re-ingest → composite loop over a MULTI-zoom
+    tileset: features_from_tiles_df's per-zoom default tile_idx satisfies
+    the multi-zoom contract by construction (the old constant-0 default
+    violated it for every such loop), and the re-composited bytes match
+    re-ingesting with an explicit distinct ordinal."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (lbuf, 5, 4, 6)])
+    own = spark.createDataFrame(
+        [(4, 2, 3, 0, None, False), (5, 4, 6, 0, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    tiles = C.composite_encode_tiles(feats, own, src_zooms=[4, 5])
+    re_def = ingest.features_from_tiles_df(tiles)
+    # default = the tile's zoom: distinct across zooms, so the multizoom
+    # route must ACCEPT it (no guard error) and match the explicit-ordinal
+    # re-ingest byte-for-byte
+    tgt = spark.createDataFrame(
+        [(6, 8, 12, 128, None, False), (6, 9, 13, 128, None, True)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    got = _tiles(C.composite_encode_tiles(re_def, tgt, src_zooms=[4, 5]))
+    re_exp = ingest.features_from_tiles_df(
+        tiles.withColumn("ti", F.col("z").cast("int")), tile_idx_col="ti")
+    want = _tiles(C.composite_encode_tiles(re_exp, tgt, src_zooms=[4, 5]))
+    assert got == want and want

@@ -194,3 +194,24 @@ def test_contour_shapes_unit():
     rings = R._contour_tile(img, 1)
     assert sorted(c for _, _, c in rings) == [True, True]  # outer + hole
     assert R._contour_tile(np.zeros((4, 4), np.uint8), 1) == []
+
+
+def test_contour_batch_equals_per_cell_reference():
+    """Round-5: the vectorized case-table emission (_contour_tile_batch,
+    what raster_contours runs) must reproduce the per-cell reference twin
+    EXACTLY — chain point lists, order, closed flags (coordinates are 0.5
+    multiples, so float == is exact). Random noise maximizes saddle
+    density; the checkerboard is all-saddles."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 3, (int(rng.integers(3, 40)),
+                                int(rng.integers(3, 40)))).astype(np.uint8)
+            for _ in range(8)]
+    hole = np.zeros((12, 12), np.uint8)
+    hole[2:9, 2:9] = 3
+    hole[4:7, 4:7] = 0
+    imgs += [hole, np.zeros((4, 4), np.uint8), np.full((6, 6), 9, np.uint8),
+             (np.indices((16, 16)).sum(0) % 2).astype(np.uint8)]
+    for img in imgs:
+        for level in (1, 2):
+            assert R._contour_tile_batch(img, level) == \
+                R._contour_tile(img, level)

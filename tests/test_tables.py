@@ -84,3 +84,31 @@ def test_scaling_bench_template_matches_curated_baseline_md():
     marker = "## Comparison to the reference's published throughput"
     tail = md[md.index(marker):].rstrip()
     assert tail in sb
+
+
+def test_auto_routing_ambiguity_warns(spark, tmp_path):
+    """Round-5: ambiguous fmt='auto' routings are LOUD. A dotted identifier
+    shadowed by a same-named local directory still routes to the path but
+    warns; a bare single-segment read of a non-existent path warns that an
+    Iceberg table needs fmt='iceberg'; a bare WRITE to a fresh directory
+    (the normal create case) stays quiet."""
+    import os
+    import warnings
+
+    import pytest
+
+    d = tmp_path / "amb.cat"
+    d.mkdir()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with pytest.warns(UserWarning, match="same-named local path"):
+            assert not tables._looks_like_iceberg("amb.cat")
+        with pytest.warns(UserWarning, match="fmt='iceberg'"):
+            assert not tables._looks_like_iceberg("no_such_table",
+                                                  reading=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert not tables._looks_like_iceberg("fresh_out_dir")
+    finally:
+        os.chdir(cwd)

@@ -639,3 +639,16 @@ def test_compressed_codec_seam_still_declared(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         MM.decode_image(med, codec="real")
+
+
+def test_near_dup_components_raises_without_fixpoint(spark):
+    """Exhausting max_iters before the fixpoint must RAISE, not return
+    half-propagated labels (a 6-chain needs ~5 rounds; 2 can't finish)."""
+    import pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long")
+    with pytest.raises(RuntimeError, match="max_iters"):
+        D.near_dup_components(pairs, max_iters=2)
+    comp = {r.member: r.component
+            for r in D.near_dup_components(pairs, max_iters=10).collect()}
+    assert comp == {i: 0 for i in range(7)}

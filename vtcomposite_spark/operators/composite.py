@@ -521,7 +521,7 @@ def _unpack_batch(batch, tile_cols: list[str]):
 def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                            join_strategy: str = "auto",
                            winners_join: str = "broadcast",
-                           src_zooms: list[int] | None = None,
+                           src_zooms: list[int] | None | str = "auto",
                            partitions: int | None = None) -> DataFrame:
     """Fused composite→encode: (z, x, y, tile:binary) with ONE python seam.
 
@@ -537,12 +537,19 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     cost across the batch. One wide shuffle + one seam of tile-count rows.
 
     ``src_zooms``: declared feature zoom levels (like ``ancestor_join``'s
-    param — sources at other zooms are ignored either way). Declaring
-    zooms routes through the SOURCE-GROUPED physical strategy whose
+    param — sources at other zooms are ignored either way). Declared
+    zooms route through the SOURCE-GROUPED physical strategy whose
     shuffle carries each feature once instead of once per descendant
     target (4^dz×): one zoom → ``overzoom_encode_tiles`` directly;
     several → ``_multizoom_encode_tiles`` (one source-grouped pass per
     zoom + keys-only cross-zoom first-wins + per-tile layer splicing).
+    ``"auto"`` (default) INFERS them with one tiny
+    ``select(src_z).distinct()`` aggregate — column-pruned to one int
+    column of the scan — so the shuffle-∝-input strategy engages without
+    caller knowledge; the inference job runs eagerly at call time, so
+    streaming callers must declare zooms (or pass ``None``) instead.
+    ``None`` forces the generic join path (the parity-test reference;
+    ``join_strategy``/``winners_join`` only apply there).
     ``partitions`` passes through. Results are byte-identical
     (parity-tested) — this is a physical plan choice, not a semantic
     switch.
@@ -558,6 +565,13 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
 
     from ..sources import mvt_vec
 
+    if isinstance(src_zooms, str):
+        if src_zooms != "auto":
+            raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
+        inferred = [r[0] for r in
+                    features.select("src_z").distinct().collect()
+                    if r[0] is not None]
+        src_zooms = inferred or None  # empty input: any path yields nothing
     if src_zooms is not None:
         zs = sorted({int(z) for z in src_zooms})
         if len(zs) == 1:
@@ -928,6 +942,21 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     # rows), so the checkpoint is small
     wins = wins.join(tzoom, on="tile_idx", how="inner") \
         .localCheckpoint(eager=True)
+    # runtime guard for the ingest contract above: a tile_idx mapping to
+    # several zooms duplicates its winner rows in the join, so the same
+    # (target, layer) would encode in MORE than one zoom pass and the
+    # spliced tile silently diverges from the generic path. Exactly the
+    # corrupting cases surface as duplicated winner keys, and the check
+    # runs on the CHECKPOINTED keys-only winners — no extra feature scan.
+    dup = (wins.groupBy("z", "x", "y", "layer").count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "multi-zoom composite: a tile_idx is shared by source tiles at "
+            "different zooms (the winner for some (target, layer) maps to "
+            "several source zooms). tile_idx must identify ONE input tile — "
+            "re-ingest with features_from_tiles_df's default per-zoom "
+            "ordinal or pass a distinct tile_idx per input tile.")
 
     t_base = targets.drop("keep_layers") if has_keep else targets
     parts = []

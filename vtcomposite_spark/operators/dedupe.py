@@ -235,10 +235,16 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a",
     O(component diameter) rounds. Near-dup clusters are shallow (a dup
     cluster's diameter is small by construction — pairs come from shared
     LSH buckets), so 2-4 rounds is typical; ``max_iters`` is a backstop.
-    Deterministic: labels only decrease, fixpoint detected via the
-    monotone label sum. Each round persists + localCheckpoints to cut
-    the exponentially-growing join lineage (the standard Spark CC plan;
-    GraphFrames does the same under the hood).
+    Deterministic: labels only decrease, so the fixpoint is detected via
+    the monotone label sum — aggregated as DECIMAL(38,0): with hash-sized
+    64-bit ids a plain int64 sum overflows at corpus scale (ANSI mode: job
+    failure; legacy: silent wraparound that could fake a fixpoint). If the
+    loop exhausts ``max_iters`` before the fixpoint (a component whose
+    diameter exceeds the budget), the labels are NOT final components —
+    the function raises instead of returning them silently. Each round
+    persists + localCheckpoints to cut the exponentially-growing join
+    lineage (the standard Spark CC plan; GraphFrames does the same under
+    the hood).
     """
     a = F.col(a_col)
     b = F.col(b_col)
@@ -247,7 +253,9 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a",
              .distinct().persist())
     labels = edges.select("v").distinct() \
         .select("v", F.col("v").alias("label")).persist()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels.withColumnRenamed("v", "u"), on="u")
                .groupBy("v").agg(F.min("label").alias("nbr_min")))
@@ -259,11 +267,18 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a",
                       .localCheckpoint(eager=True))
         labels.unpersist()
         labels = new_labels
-        s = labels.agg(F.sum("label")).first()[0]
+        s = labels.agg(label_sum).first()[0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components: no fixpoint after max_iters={max_iters} "
+            "rounds — a component's diameter exceeds the budget and the "
+            "labels are not final. Raise max_iters (rounds needed ≈ the "
+            "largest component's diameter).")
     return labels.select(F.col("v").alias("member"),
                          F.col("label").alias("component"))
 

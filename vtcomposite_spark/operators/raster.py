@@ -495,6 +495,81 @@ def _contour_tile(img: np.ndarray, level: int):
             for c, closed in chains]
 
 
+# vectorized emission tables for _contour_tile_batch: first/second directed
+# segment per case (second only at the saddles 5/10), and edge midpoints in
+# DOUBLED units so every coordinate is an exact integer (0.5 steps → ×2)
+_MS_SEG1_IN = np.full(16, -1, np.int64)
+_MS_SEG1_OUT = np.full(16, -1, np.int64)
+_MS_SEG2_IN = np.full(16, -1, np.int64)
+_MS_SEG2_OUT = np.full(16, -1, np.int64)
+for _c, _segs in _MS_SEGMENTS.items():
+    _MS_SEG1_IN[_c], _MS_SEG1_OUT[_c] = _segs[0]
+    if len(_segs) > 1:
+        _MS_SEG2_IN[_c], _MS_SEG2_OUT[_c] = _segs[1]
+_EDGE_DX2 = np.array([1, 2, 1, 0], np.int64)   # 2×(_edge_point dx)
+_EDGE_DY2 = np.array([0, 1, 2, 1], np.int64)
+
+
+def _contour_tile_batch(img: np.ndarray, level: int):
+    """``_contour_tile``'s batch-global twin (the `_burn_lines_batch`
+    pattern applied to the inverse direction): segment EMISSION is one
+    case-table lookup over the whole boundary-cell set — per-case affine
+    endpoint tables in doubled integer units, saddle second segments
+    spliced in per-cell order — and only chain STITCHING stays Python,
+    over packed int64 point keys instead of float tuples. Equivalence
+    with the per-cell reference is gated in tests/test_raster.py
+    (result lists compare ==, coordinates are exact 0.5 multiples)."""
+    b = np.pad(img >= level, 1).astype(np.int8)
+    case = (b[:-1, :-1] * 8 + b[:-1, 1:] * 4
+            + b[1:, 1:] * 2 + b[1:, :-1] * 1)
+    ys_, xs_ = np.nonzero((case > 0) & (case < 15))
+    if not len(ys_):
+        return []
+    cv = case[ys_, xs_]
+    two = (cv == 5) | (cv == 10)
+    n1 = len(cv)
+    counts = 1 + two.astype(np.int64)
+    pos = np.zeros(n1, np.int64)
+    np.cumsum(counts[:-1], out=pos[1:])
+    total = int(pos[-1] + counts[-1])
+    e_in = np.empty(total, np.int64)
+    e_out = np.empty(total, np.int64)
+    cy = np.empty(total, np.int64)
+    cx = np.empty(total, np.int64)
+    e_in[pos] = _MS_SEG1_IN[cv]
+    e_out[pos] = _MS_SEG1_OUT[cv]
+    cy[pos] = ys_
+    cx[pos] = xs_
+    p2 = pos[two] + 1
+    e_in[p2] = _MS_SEG2_IN[cv[two]]
+    e_out[p2] = _MS_SEG2_OUT[cv[two]]
+    cy[p2] = ys_[two]
+    cx[p2] = xs_[two]
+    # point key = (2x << 32) | 2y: integer, and numeric order == the
+    # reference's (x, y) tuple lexicographic order (2y < 2^32)
+    ka = ((2 * cx + _EDGE_DX2[e_in]) << 32) | (2 * cy + _EDGE_DY2[e_in])
+    kb = ((2 * cx + _EDGE_DX2[e_out]) << 32) | (2 * cy + _EDGE_DY2[e_out])
+    order = np.lexsort((kb, ka))
+    ka_l = ka.tolist()
+    kb_l = kb.tolist()
+    nxt: dict = {}
+    for a, bk in zip(ka_l, kb_l):  # emission order = the reference's
+        nxt.setdefault(a, []).append(bk)
+    chains = []
+    for i in order.tolist():
+        a0 = ka_l[i]
+        if not nxt.get(a0):
+            continue
+        chain = [a0, nxt[a0].pop()]
+        while nxt.get(chain[-1]) and chain[-1] != a0:
+            chain.append(nxt[chain[-1]].pop())
+        chains.append((chain, chain[0] == chain[-1]))
+    # decode keys: /2 back to corner units, -1 un-pads (exact: 0.5 steps)
+    return [([(k >> 32) * 0.5 - 1 for k in c],
+             [(k & 0xFFFFFFFF) * 0.5 - 1 for k in c], closed)
+            for c, closed in chains]
+
+
 def raster_contours(rasters: DataFrame, level: int = 1,
                     scale_to_extent: int | None = 4096) -> DataFrame:
     """Raster→vector: marching-squares iso-contours at ``level`` over each
@@ -513,7 +588,7 @@ def raster_contours(rasters: DataFrame, level: int = 1,
                 sx = (scale_to_extent / w) if scale_to_extent else 1.0
                 sy = (scale_to_extent / h) if scale_to_extent else 1.0
                 for i, (cxs, cys, closed) in enumerate(
-                        _contour_tile(img, level)):
+                        _contour_tile_batch(img, level)):
                     out["z"].append(row.z)
                     out["x"].append(row.x)
                     out["y"].append(row.y)

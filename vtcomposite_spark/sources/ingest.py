@@ -128,10 +128,16 @@ def features_from_tiles_df(tiles: DataFrame, buf_col: str = "tile",
     no driver round-trip) and closes the loop sink → table → re-ingest →
     composite again.
 
-    ``tile_idx`` is 0 for every tile unless ``tile_idx_col`` names an
-    ordinal column — re-ingested tiles are independent inputs, and the
-    ordinal only matters to first-wins when several INPUT tiles share a
-    source address. Property-map entry order survives the seam (entries
+    ``tile_idx`` defaults to the tile's ZOOM unless ``tile_idx_col`` names
+    an ordinal column. Re-ingested tiles are independent inputs: within one
+    zoom, first-wins only arbitrates between input tiles sharing a source
+    address, which a tileset's unique (z, x, y) makes impossible — so a
+    per-zoom constant loses nothing there, while keeping the multi-zoom
+    contract (tile_idx ↦ one zoom, the ``_multizoom_encode_tiles``
+    invariant) satisfied by construction and giving a deterministic
+    lower-zoom-wins order across zooms. A constant 0 (the old default)
+    violated that contract for every multi-zoom re-ingest.
+    Property-map entry order survives the seam (entries
     arrays cross Arrow; ``map_from_entries`` builds the maps JVM-side —
     a python dict through mapInPandas would scramble it, the
     languages=all wire-order lesson).
@@ -161,7 +167,8 @@ def features_from_tiles_df(tiles: DataFrame, buf_col: str = "tile",
         for pdf in pdfs:
             out: list[dict] = []
             for row in pdf.itertuples(index=False):
-                ti = int(getattr(row, tile_idx_col)) if tile_idx_col else 0
+                ti = int(getattr(row, tile_idx_col)) if tile_idx_col \
+                    else int(row.z)
                 rows = feature_rows([(bytes(getattr(row, buf_col)),
                                       int(row.z), int(row.x), int(row.y))])
                 for r in rows:

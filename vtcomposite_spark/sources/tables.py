@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,14 +32,35 @@ _ICEBERG_IDENT = re.compile(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+\Z")
 _DATA_FILE_EXTS = (".parquet", ".pq", ".orc", ".json", ".csv")
 
 
-def _looks_like_iceberg(s: str) -> bool:
+def _looks_like_iceberg(s: str, reading: bool = False) -> bool:
     if "/" in s or "\\" in s or "://" in s:
         return False
     if any(s.lower().endswith(e) for e in _DATA_FILE_EXTS):
         return False
     if os.path.exists(s):
+        # a dotted catalog identifier shadowed by a same-named local
+        # directory is genuinely ambiguous — and the winner depends on
+        # driver CWD state; route to the path but say so loudly
+        if _ICEBERG_IDENT.match(s) is not None:
+            warnings.warn(
+                f"table IO fmt='auto': {s!r} looks like an Iceberg "
+                "catalog identifier but a same-named local path exists; "
+                "routing to the PATH (parquet). Pass fmt='iceberg' or "
+                "fmt='parquet' to disambiguate.", stacklevel=3)
         return False
-    return _ICEBERG_IDENT.match(s) is not None
+    if _ICEBERG_IDENT.match(s) is None:
+        # bare single-segment name, no such path: on READ, parquet will
+        # fail with path-not-found — if an Iceberg table (current-catalog
+        # resolution needs no dot) was meant, say how to get it. On WRITE
+        # a fresh directory name is the normal create case: stay quiet.
+        if reading and re.fullmatch(r"[A-Za-z_]\w*", s):
+            warnings.warn(
+                f"table IO fmt='auto': single-segment name {s!r} routes "
+                "to parquet (no such path exists). For an Iceberg table "
+                "in the session's current catalog pass fmt='iceberg'.",
+                stacklevel=3)
+        return False
+    return True
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
@@ -65,7 +87,8 @@ def read_pages(spark: SparkSession, source: str,
     name or a parquet path. ``auto`` treats only dotted catalog.table
     identifiers as Iceberg (see _looks_like_iceberg) — a bare relative
     parquet directory routes to parquet."""
-    if fmt == "iceberg" or (fmt == "auto" and _looks_like_iceberg(source)):
+    if fmt == "iceberg" or (fmt == "auto"
+                            and _looks_like_iceberg(source, reading=True)):
         if not _has_iceberg(spark):
             raise RuntimeError(
                 "iceberg-spark-runtime is not on this session's classpath; "

@@ -148,10 +148,18 @@ def compact_tile_log(spark, sink_dir: str, out_dir: str | None = None,
             .parquet(f"{out_dir}/epoch={max_epoch}")
         return
     tmp = sink_dir.rstrip("/") + ".compacting"
+    old = sink_dir.rstrip("/") + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     # materialize fully BEFORE touching the original (the write is the
     # action; after it returns the plan no longer reads sink_dir)
     latest.drop("epoch").write.mode("overwrite") \
         .parquet(f"{tmp}/epoch={max_epoch}")
-    shutil.rmtree(sink_dir)
+    # swap via rename-aside, NOT rmtree-then-rename: a crash between a
+    # delete and the rename would leave no readable log at sink_dir (data
+    # alive only under the temp name). Here every crash point leaves the
+    # full data one rename away, and the log-absent window is two renames,
+    # not a recursive delete.
+    os.rename(sink_dir, old)
     os.rename(tmp, sink_dir)
+    shutil.rmtree(old)

@@ -363,6 +363,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "corpus_id", "rank")
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_seed_topk(spark, sf):
+        """The SAME IVF plan under the FULL oracle gate: with the
+        deterministic lowest-id seed centroids and 6-digit-rounded
+        assignment/probe cosines, bucket assignment → nprobe probing →
+        candidate ranking is pure SQL — the oracle replays every stage
+        (seed select, two rank windows, bucket equi-join, top-k). The
+        kmeans variant above stays rows-only with its recall gates; this
+        row pins the bucketing/probing/ranking MACHINERY they share."""
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 20)
+        return SIM.ann_topk_ivf(qv, emb, k=5, n_centroids=8, nprobe=2,
+                                centroids="seed") \
+            .select("query_id", "corpus_id", "rank", "cos")
+    q["ann_ivf_seed_topk"] = ann_ivf_seed_topk
+
     def raster_points_roundtrip(spark, sf):
         """Raster↔vector under the FULL oracle gate: synthetic integer
         point features burn onto 64×64 per-tile count grids
@@ -584,6 +599,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", cid.alias("component"),
                         (cid == F.col("doc_id")).alias("is_canonical")))
     q["near_dup_clusters"] = near_dup_clusters
+
+    def dedupe_corpus(spark, sf):
+        """Pair→cluster→drop in one operator: keep exactly one doc per
+        near-dup component (the smallest id) plus every unpaired doc —
+        the kept set is deterministic by construction. The drop set is
+        keys-only and the filter is a left_anti join, so full document
+        rows never shuffle."""
+        docs = _read(spark, sf, "documents")
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, k=8, bands=4)
+        return D.dedupe_corpus(docs, pairs).select("doc_id", "lang", "source")
+    q["dedupe_corpus"] = dedupe_corpus
 
     def doc_quality_filters(spark, sf):
         """Gopher-style quality rules (Rae et al. 2021 §A1.1) as pure
@@ -931,6 +957,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id"
     )
 
+    # the same recursive closure, final select = the KEPT corpus (one doc
+    # per component — the min id — plus every unpaired doc)
+    _cc_body = o["near_dup_clusters"]
+    o["dedupe_corpus"] = (
+        _cc_body[:_cc_body.index("SELECT d.doc_id,")]
+        + "SELECT d.doc_id, d.lang, d.source "
+        "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id "
+        "WHERE coalesce(c.component, d.doc_id) = d.doc_id"
+    )
+
     gq = TX.gopher_filter_sqls("text")
     o["doc_quality_filters"] = (
         "SELECT doc_id, "
@@ -1006,6 +1042,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, corpus_id, cos, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank FROM cand) "
         "WHERE rank <= 5"
+    )
+
+    # seed-IVF: replay every stage of ann_topk_ivf(centroids="seed") —
+    # lowest-id seed centroids, 6-digit-rounded assignment/probe cosines
+    # with centroid-id tie-breaks, bucket equi-join, rounded top-k
+    cos_cc = H.cosine_sql("c.e", "ct.centv")
+    cos_qc = H.cosine_sql("q.e", "ct.centv")
+    cos_qv = H.cosine_sql("p.qv", "a.cv")
+    o["ann_ivf_seed_topk"] = (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "cent AS (SELECT vec_id AS centroid_id, e AS centv FROM v "
+        "ORDER BY vec_id LIMIT 8), "
+        "assigned AS (SELECT corpus_id, cv, bucket FROM ("
+        "SELECT c.vec_id AS corpus_id, c.e AS cv, ct.centroid_id AS bucket, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        f"round({cos_cc}, 6) DESC, ct.centroid_id ASC) AS r "
+        "FROM v c CROSS JOIN cent ct) WHERE r = 1), "
+        "probes AS (SELECT query_id, qv, bucket FROM ("
+        "SELECT q.vec_id AS query_id, q.e AS qv, ct.centroid_id AS bucket, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"round({cos_qc}, 6) DESC, ct.centroid_id ASC) AS r "
+        "FROM v q CROSS JOIN cent ct WHERE q.vec_id < 20) WHERE r <= 2), "
+        "cand AS (SELECT p.query_id, a.corpus_id, "
+        f"round({cos_qv}, 6) AS cos "
+        "FROM assigned a JOIN probes p USING (bucket) "
+        "WHERE p.query_id != a.corpus_id) "
+        "SELECT query_id, corpus_id, rank, cos FROM ("
+        "SELECT query_id, corpus_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank "
+        "FROM cand) WHERE rank <= 5"
     )
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same

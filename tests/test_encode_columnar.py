@@ -157,3 +157,66 @@ def test_multi_tile_encode_parity(spark, fixture_bytes):
         sel = ct.filter(pa.array(key == k))
         z, x, y, b = mvt_vec.encode_tile_table(sel)
         assert multi[(z, x, y)] == b, (z, x, y)
+
+
+def _multi_layer_feats(spark, fixture_bytes):
+    """Two fixtures at one source address with tile 1's layers renamed —
+    a multi-layer, multi-tile composite input whose hot tiles exercise
+    per-layer packing."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 0, 0, 0), (pbuf, 0, 0, 0)])
+    return feats.withColumn(
+        "layer", F.when(F.col("tile_idx") == 1,
+                        F.concat(F.col("layer"), F.lit("_p")))
+        .otherwise(F.col("layer")))
+
+
+def test_capped_encode_tiles_byte_parity(spark, fixture_bytes):
+    """Round-5 hot-tile bound: with max_pack_features set low enough that
+    every tile packs per-LAYER, the spliced bytes must equal the
+    whole-tile pack exactly (the multi-zoom merge contract reused as a
+    size cap)."""
+    feats = _multi_layer_feats(spark, fixture_bytes)
+    t = ingest.targets_df(spark, [
+        {"z": 1, "x": 0, "y": 0, "buffer_size": 128},
+        {"z": 1, "x": 1, "y": 1, "buffer_size": 128, "compress": True}])
+    out = C.composite(feats, t).withColumn(
+        "compress", F.col("z").isNotNull() & (F.col("x") == 1))
+    want = {(r.z, r.x, r.y): bytes(r.tile)
+            for r in C.encode_tiles(out).collect()}
+    # cap above the largest single layer but below the whole tile
+    got = {(r.z, r.x, r.y): bytes(r.tile)
+           for r in C.encode_tiles(out, max_pack_features=100000).collect()}
+    assert got == want and want
+
+
+def test_capped_encode_tiles_overflow_raises(spark, fixture_bytes):
+    """A single layer above the cap cannot be split — loud error, not an
+    executor OOM."""
+    feats = _multi_layer_feats(spark, fixture_bytes)
+    t = ingest.targets_df(spark, [{"z": 1, "x": 0, "y": 0,
+                                   "buffer_size": 128}])
+    out = C.composite(feats, t).withColumn("compress", F.lit(False))
+    with pytest.raises(Exception, match="max_pack_features"):
+        C.encode_tiles(out, max_pack_features=3).collect()
+
+
+def test_capped_fused_composite_byte_parity(spark, fixture_bytes):
+    """The generic fused path honors the same cap with byte parity, and
+    refuses the cap under source-grouped routing."""
+    feats = _multi_layer_feats(spark, fixture_bytes)
+    t = ingest.targets_df(spark, [
+        {"z": 1, "x": 0, "y": 0, "buffer_size": 128},
+        {"z": 0, "x": 0, "y": 0, "compress": True}])
+    want = {(r.z, r.x, r.y): bytes(r.tile)
+            for r in C.composite_encode_tiles(feats, t,
+                                              src_zooms=None).collect()}
+    got = {(r.z, r.x, r.y): bytes(r.tile)
+           for r in C.composite_encode_tiles(
+               feats, t, max_pack_features=100000).collect()}
+    assert got == want and want
+    with pytest.raises(ValueError, match="source-grouped"):
+        C.composite_encode_tiles(feats, t, src_zooms=[0],
+                                 max_pack_features=10)

@@ -652,3 +652,18 @@ def test_near_dup_components_raises_without_fixpoint(spark):
     comp = {r.member: r.component
             for r in D.near_dup_components(pairs, max_iters=10).collect()}
     assert comp == {i: 0 for i in range(7)}
+
+
+def test_dedupe_corpus_keeps_min_per_component(spark):
+    """dedupe_corpus keeps exactly the component labels (min ids) plus
+    unpaired docs, deterministically."""
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 5), (8, 9)], "a long, b long")
+    kept = sorted(r.doc_id for r in
+                  D.dedupe_corpus(docs, pairs).select("doc_id").collect())
+    assert kept == [0, 1, 2, 3, 6, 7, 8]
+    again = sorted(r.doc_id for r in
+                   D.dedupe_corpus(docs, pairs).select("doc_id").collect())
+    assert again == kept

@@ -455,7 +455,7 @@ _LAYER_ROWS_SCHEMA = T.StructType([
 ])
 
 
-def _pack_tiles(df: DataFrame) -> DataFrame:
+def _pack_tiles(df: DataFrame, by_layer: bool = False) -> DataFrame:
     """ONE row per (z, x, y): tile-level columns + a ``feats`` list of
     feature structs. The python seam's per-ROW conversion cost (JVM
     ArrowWriter + return-path InternalRow rebuild, measured ~payload-width-
@@ -465,15 +465,21 @@ def _pack_tiles(df: DataFrame) -> DataFrame:
     columnar. Measured 2.26s vs 4.15s for the identical one-way seam.
 
     Scale note: one packed row = one tile, so a tile must fit in one
-    executor's memory — the same invariant a grouped applyInArrow needs;
+    executor's memory — the same invariant a grouped applyInPandas needs;
     hot tiles are a skew problem before they are a packing problem.
+    ``by_layer=True`` shrinks the unit to one row per (z, x, y, LAYER) —
+    the size-capped sink route: a hot multi-layer tile packs as several
+    bounded rows whose encoded layer messages splice back byte-exactly
+    (``_merge_layer_rows``); ``layer`` stays in the feature structs too
+    (the encoder reads it per feature).
     """
+    keys = ["z", "x", "y"] + (["layer"] if by_layer else [])
     data_cols = [c for c in df.columns if c not in _TILE_LEVEL_COLS]
     aggs = [F.collect_list(F.struct(*data_cols)).alias("feats")]
     for c in ("buffer_size", "compress"):
         if c in df.columns:
             aggs.append(F.first(c).alias(c))
-    return df.groupBy("z", "x", "y").agg(*aggs)
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def _norm_list(arr):
@@ -499,6 +505,46 @@ def _tiles_batch(tiles):
         names=["z", "x", "y", "tile"])
 
 
+def _units_batch(units):
+    """encode_tiles_table(per_layer=True) rows → _LAYER_ROWS_SCHEMA batch."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array([u[0] for u in units], pa.int32()),
+         pa.array([u[1] for u in units], pa.int64()),
+         pa.array([u[2] for u in units], pa.int64()),
+         pa.array([u[3] for u in units], pa.int64()),
+         pa.array([u[4] for u in units], pa.int64()),
+         pa.array([u[5] for u in units], pa.bool_()),
+         pa.array([u[6] for u in units], pa.binary())],
+        names=["z", "x", "y", "ord_ti", "ord_fi", "compress", "layer_bytes"])
+
+
+def _check_unit_cap(batch, max_pack_features: int, what: str) -> None:
+    """Loud failure for a single LAYER whose feature count exceeds the
+    declared cap — the one shape per-layer packing cannot bound (splitting
+    WITHIN a layer needs key/value-table-aware merge; not implemented).
+    A clear error beats an executor OOM-kill; note the oversized
+    collect_list row has already materialized JVM-side by the time the
+    kernel sees it, so size the cap below what an executor can hold, not
+    at it."""
+    foff, _ = _norm_list(batch.column("feats"))
+    nf = np.diff(foff)
+    if (nf > max_pack_features).any():
+        i = int(np.argmax(nf))
+        z = int(batch.column("z")[i].as_py())
+        x = int(batch.column("x")[i].as_py())
+        y = int(batch.column("y")[i].as_py())
+        lay = batch.column("layer")[i].as_py()
+        raise ValueError(
+            f"{what}: layer {lay!r} of tile ({z},{x},{y}) has "
+            f"{int(nf[i])} features, above max_pack_features="
+            f"{max_pack_features}. Per-layer packing bounds a unit by its "
+            "layer; a single layer beyond the cap cannot be split without "
+            "key/value-table-aware merge. Raise the cap, thin the layer "
+            "upstream, or drop the cap to pack whole tiles.")
+
+
 def _unpack_batch(batch, tile_cols: list[str]):
     """(flat feature RecordBatch columns dict, per-tile repeated arrays) —
     zero-copy: the packed list's struct children ARE the flat feature
@@ -522,7 +568,8 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                            join_strategy: str = "auto",
                            winners_join: str = "broadcast",
                            src_zooms: list[int] | None | str = "auto",
-                           partitions: int | None = None) -> DataFrame:
+                           partitions: int | None = None,
+                           max_pack_features: int | None = None) -> DataFrame:
     """Fused composite→encode: (z, x, y, tile:binary) with ONE python seam.
 
     ``composite(...)`` then ``encode_tiles(...)`` crosses the seam twice
@@ -565,6 +612,17 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
 
     from ..sources import mvt_vec
 
+    if max_pack_features is not None:
+        # the cap is a GENERIC-path contract: it bounds the per-target
+        # packed row by its largest layer. Source-grouped paths pack by
+        # SOURCE tile, whose row is bounded by what fit in one encoded
+        # input tile — a different (and already bounded) unit
+        if not (src_zooms is None or src_zooms == "auto"):
+            raise ValueError(
+                "max_pack_features applies to the generic join path; "
+                "source-grouped routing (declared src_zooms) bounds packed "
+                "rows by source tile content instead")
+        src_zooms = None
     if isinstance(src_zooms, str):
         if src_zooms != "auto":
             raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
@@ -609,13 +667,16 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     clip_schema = pa.schema([
         pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields])
     kernel_names = [f.name for f in j.schema.fields]
-    packed = _pack_tiles(j)
+    packed = _pack_tiles(j, by_layer=max_pack_features is not None)
     tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
 
     def clip_encode(it):
         for batch in it:
             if batch.num_rows == 0:
                 continue
+            if max_pack_features is not None:
+                _check_unit_cap(batch, max_pack_features,
+                                "composite_encode_tiles")
             cols, total = _unpack_batch(batch, tile_cols)
             if total == 0:
                 continue
@@ -628,11 +689,19 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                 # every feature clipped away: no output row, exactly like
                 # the unfused path (the tile never reaches encode there)
                 continue
-            tiles = mvt_vec.encode_tiles_table(
-                pa.Table.from_batches(clipped, schema=clip_schema))
+            ctbl = pa.Table.from_batches(clipped, schema=clip_schema)
+            if max_pack_features is not None:
+                units = mvt_vec.encode_tiles_table(ctbl, per_layer=True)
+                if units:
+                    yield _units_batch(units)
+                continue
+            tiles = mvt_vec.encode_tiles_table(ctbl)
             if tiles:
                 yield _tiles_batch(tiles)
 
+    if max_pack_features is not None:
+        return _merge_layer_rows(
+            packed.mapInArrow(clip_encode, schema=_LAYER_ROWS_SCHEMA))
     return packed.mapInArrow(clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
 
@@ -843,16 +912,7 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                     pa.Table.from_batches(clipped, schema=clip_schema),
                     per_layer=True)
                 if units:
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array([u[0] for u in units], pa.int32()),
-                         pa.array([u[1] for u in units], pa.int64()),
-                         pa.array([u[2] for u in units], pa.int64()),
-                         pa.array([u[3] for u in units], pa.int64()),
-                         pa.array([u[4] for u in units], pa.int64()),
-                         pa.array([u[5] for u in units], pa.bool_()),
-                         pa.array([u[6] for u in units], pa.binary())],
-                        names=["z", "x", "y", "ord_ti", "ord_fi",
-                               "compress", "layer_bytes"])
+                    yield _units_batch(units)
                 continue
             tiles = mvt_vec.encode_tiles_table(
                 pa.Table.from_batches(clipped, schema=clip_schema))
@@ -975,7 +1035,8 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     return _merge_layer_rows(merged)
 
 
-def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
+def encode_tiles(composited: DataFrame, impl: str = "columnar",
+                 max_pack_features: int | None = None) -> DataFrame:
     """S3/S4 terminal sink: (z, x, y, tile:binary).
 
     Deterministic feature order: input-tile order, then first-seen layer
@@ -992,6 +1053,17 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
     must fit in executor memory — the invariant a grouped applyInArrow
     needed anyway; Arrow batch BYTES are capped by
     spark.sql.execution.arrow.maxBytesPerBatch (schema.get_spark).
+
+    ``max_pack_features``: the HOT-TILE bound. When set, tiles pack one
+    row per (z, x, y, LAYER) instead — a hot multi-layer tile becomes
+    several bounded rows, encoded as self-contained framed layer messages
+    (``encode_tiles_table(per_layer=True)``) and spliced back per tile by
+    ``_merge_layer_rows`` in first-seen order, byte-identical to the
+    whole-tile pack (the multi-zoom sink's proven merge contract; parity
+    gated in tests/test_encode_columnar.py). A single LAYER whose feature
+    count exceeds the cap raises a documented error in-kernel — splitting
+    WITHIN a layer would need key/value-table-aware merge. Cost vs the
+    default: one extra shuffle of encoded layer blobs (∝ output bytes).
     ``impl="rows"``: the original applyInPandas + mvt.Feature path, kept
     as the byte-parity reference.
     """
@@ -1006,9 +1078,28 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar") -> DataFrame:
 
         from ..sources import mvt_vec
 
-        packed = _pack_tiles(composited)
+        packed = _pack_tiles(composited, by_layer=max_pack_features is not None)
         tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
         flat_names = composited.columns
+
+        if max_pack_features is not None:
+            def encode_units(it):
+                for batch in it:
+                    if batch.num_rows == 0:
+                        continue
+                    _check_unit_cap(batch, max_pack_features, "encode_tiles")
+                    cols, total = _unpack_batch(batch, tile_cols)
+                    if total == 0:
+                        continue
+                    flat = pa.Table.from_arrays(
+                        [cols[n] for n in flat_names], names=flat_names)
+                    units = mvt_vec.encode_tiles_table(flat, per_layer=True)
+                    if units:
+                        yield _units_batch(units)
+
+            layer_rows = packed.mapInArrow(encode_units,
+                                           schema=_LAYER_ROWS_SCHEMA)
+            return _merge_layer_rows(layer_rows)
 
         def encode_packed(it):
             for batch in it:

@@ -283,6 +283,27 @@ def near_dup_components(pairs: DataFrame, a_col: str = "a",
                          F.col("label").alias("component"))
 
 
+def dedupe_corpus(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id", a_col: str = "a",
+                  b_col: str = "b", max_iters: int = 50) -> DataFrame:
+    """The pair→cluster→drop pipeline as ONE operator: cluster the
+    near-dup ``pairs`` (``near_dup_components``) and keep exactly one doc
+    per component — the SMALLEST id, which is the component label itself,
+    so the keeper set is deterministic by construction. Docs in no pair
+    keep themselves.
+
+    100-TB shape: the drop set is keys-only (one id per non-canonical
+    member) and the filter is a left_anti equi-join against it — the full
+    document rows never shuffle. Fully SQL-expressible, so this sits
+    under the FULL oracle gate (``dedupe_corpus`` row).
+    """
+    comp = near_dup_components(pairs, a_col=a_col, b_col=b_col,
+                               max_iters=max_iters)
+    drop = (comp.filter(F.col("member") != F.col("component"))
+            .select(F.col("member").alias(id_col)))
+    return docs.join(drop, on=id_col, how="left_anti")
+
+
 def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", tables: int = 4,
                            bits: int = 8, dim: int = 64) -> DataFrame:

@@ -119,6 +119,12 @@ def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
 
     The two centroid-assignment crossJoins always force-broadcast ``cent``
     — that side is C×D doubles, driver-sized by construction.
+
+    Assignment/probe cosines round to 6 digits BEFORE their rank windows
+    (like the candidate ranking always did): bucket choice then depends
+    only on the rounded value + centroid-id tie-break, which a SQL engine
+    replays exactly — with ``centroids="seed"`` the whole operator is
+    deterministic SQL (the ``ann_ivf_seed_topk`` full-oracle row).
     """
     if centroids == "kmeans":
         cent = kmeans_centroids(corpus, n_centroids, kmeans_iters,
@@ -132,7 +138,7 @@ def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
         F.col("ccos").desc(), F.col("centroid_id").asc())
     assigned = (
         c.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", cosine_col(F.col("cv"), F.col("centv")))
+        .withColumn("ccos", F.round(cosine_col(F.col("cv"), F.col("centv")), 6))
         .withColumn("r", F.row_number().over(assign_w))
         .filter(F.col("r") == 1)
         .select("corpus_id", "cv", F.col("centroid_id").alias("bucket"))
@@ -144,7 +150,7 @@ def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
         F.col("qcos").desc(), F.col("centroid_id").asc())
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("qcos", cosine_col(F.col("qv"), F.col("centv")))
+        .withColumn("qcos", F.round(cosine_col(F.col("qv"), F.col("centv")), 6))
         .withColumn("r", F.row_number().over(probe_w))
         .filter(F.col("r") <= nprobe)
         .select("query_id", "qv", F.col("centroid_id").alias("bucket"))

@@ -611,6 +611,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.dedupe_corpus(docs, pairs).select("doc_id", "lang", "source")
     q["dedupe_corpus"] = dedupe_corpus
 
+    def decontaminate_corpus(spark, sf):
+        """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
+        protocol): every doc sharing any word 8-gram with the benchmark
+        subset (doc_id % 25 == 0, standing in for an eval set) is
+        flagged with its distinct-collision count. Benchmark gram set
+        broadcasts; training grams stay map-side — only hit grams
+        shuffle."""
+        docs = _read(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 25 == 0)
+        return D.decontaminate(docs, bench, n=8)
+    q["decontaminate_corpus"] = decontaminate_corpus
+
     def doc_quality_filters(spark, sf):
         """Gopher-style quality rules (Rae et al. 2021 §A1.1) as pure
         column expressions: word-count bounds, mean word length, alpha
@@ -955,6 +967,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, "
         "coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical "
         "FROM documents d LEFT JOIN comp c ON c.v = d.doc_id"
+    )
+
+    # benchmark decontamination: distinct benchmark 8-grams × training
+    # grams, count distinct collisions per doc
+    g8 = H.shingles_sql("text", 8)
+    o["decontaminate_corpus"] = (
+        f"WITH bg AS (SELECT DISTINCT unnest({g8}) AS gram FROM documents "
+        "WHERE doc_id % 25 = 0), "
+        f"tg AS (SELECT doc_id, unnest({g8}) AS gram FROM documents), "
+        "hits AS (SELECT doc_id, count(DISTINCT gram) AS n_hits "
+        "FROM tg JOIN bg USING (gram) GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+        "coalesce(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h USING (doc_id)"
     )
 
     # the same recursive closure, final select = the KEPT corpus (one doc

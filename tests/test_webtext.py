@@ -667,3 +667,27 @@ def test_dedupe_corpus_keeps_min_per_component(spark):
     again = sorted(r.doc_id for r in
                    D.dedupe_corpus(docs, pairs).select("doc_id").collect())
     assert again == kept
+
+
+def test_decontaminate_hand_case(spark):
+    """n-gram collision flagging: doc sharing an n-gram window with the
+    benchmark is contaminated; short docs (< n tokens) and disjoint docs
+    are not; n_hits counts DISTINCT colliding grams."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "said the quick brown fox and left"),             # 1 hit (n=4)
+         (2, "the quick brown fox jumps over something else"), # several
+         (3, "completely different words here entirely now"),
+         (4, "quick brown fox"),                               # < n tokens
+         (5, "x the quick brown fox jumps y the quick brown fox jumps z")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in D.decontaminate(docs, bench, n=4).collect()}
+    assert out[1] == (1, True)      # "the quick brown fox"... one window
+    assert out[2][1] and out[2][0] >= 2
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    # doc 5 repeats the same windows — distinct count, not occurrences
+    assert out[5] == (out[5][0], True) and out[5][0] == 2

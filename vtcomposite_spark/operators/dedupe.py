@@ -304,6 +304,42 @@ def dedupe_corpus(docs: DataFrame, pairs: DataFrame,
     return docs.join(drop, on=id_col, how="left_anti")
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  bench_join: str = "broadcast") -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training docs that share any word
+    n-gram with an evaluation/benchmark set — the n-gram-collision
+    protocol the Gopher and GPT-3 appendices describe (13-grams there;
+    ``n`` is a parameter). Returns one row per doc:
+    (id, n_hits = distinct colliding n-grams, contaminated flag).
+
+    100-TB shape: the benchmark side reduces to a DISTINCT gram set
+    (benchmarks are MBs — broadcast by default, ``bench_join="auto"`` for
+    outsized ones); training grams explode to rows (∝ tokens) but stay
+    MAP-SIDE through the broadcast join — only the HIT grams (tiny) reach
+    the count-distinct shuffle, and the final left join is keys-only.
+    No global distinct over corpus grams anywhere.
+    """
+    bt = bench_text_col or text_col
+    bg = (benchmark
+          .select(F.explode(H.shingles_col(F.col(bt), n)).alias("gram"))
+          .distinct())
+    if bench_join == "broadcast":
+        bg = F.broadcast(bg)
+    tg = docs.select(
+        F.col(id_col),
+        F.explode(H.shingles_col(F.col(text_col), n)).alias("gram"))
+    hits = (tg.join(bg, on="gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hits")))
+    return (docs.select(id_col)
+            .join(hits, on=id_col, how="left")
+            .na.fill({"n_hits": 0})
+            .select(F.col(id_col), F.col("n_hits"),
+                    (F.col("n_hits") > 0).alias("contaminated")))
+
+
 def hyperplane_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", tables: int = 4,
                            bits: int = 8, dim: int = 64) -> DataFrame:

@@ -623,6 +623,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.decontaminate(docs, bench, n=8)
     q["decontaminate_corpus"] = decontaminate_corpus
 
+    def line_dedupe_boilerplate(spark, sf):
+        """Corpus-level line dedupe (CCNet/RefinedWeb boilerplate pass)
+        over a deterministically line-structured corpus: every doc gets a
+        shared header line and even docs a shared footer — exactly the
+        boilerplate shape the operator exists to strip. Hot lines (the
+        two boilerplate strings) are removed everywhere; unique body
+        lines survive in order."""
+        docs = _read(spark, sf, "documents")
+        with_bp = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("copyright footer all rights reserved\n"),
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("\nsubscribe to our newsletter"))
+                .otherwise(F.lit(""))).alias("text"))
+        return D.dedupe_lines(with_bp, min_count=2)
+    q["line_dedupe_boilerplate"] = line_dedupe_boilerplate
+
     def doc_quality_filters(spark, sf):
         """Gopher-style quality rules (Rae et al. 2021 §A1.1) as pure
         column expressions: word-count bounds, mean word length, alpha
@@ -981,6 +1000,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
         "coalesce(h.n_hits, 0) > 0 AS contaminated "
         "FROM documents d LEFT JOIN hits h USING (doc_id)"
+    )
+
+    # corpus-level line dedupe over the boilerplate-wrapped corpus
+    o["line_dedupe_boilerplate"] = (
+        "WITH d AS (SELECT doc_id, "
+        "'copyright footer all rights reserved' || chr(10) || text || "
+        "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our "
+        "newsletter' ELSE '' END AS text FROM documents), "
+        "l AS (SELECT doc_id, generate_subscripts(ls, 1) AS idx, "
+        "unnest(ls) AS line FROM (SELECT doc_id, "
+        "string_split(text, chr(10)) AS ls FROM d)), "
+        "hot AS (SELECT line FROM l WHERE trim(line) != '' "
+        "GROUP BY line HAVING count(*) >= 2), "
+        "m AS (SELECT l.doc_id, l.idx, l.line, "
+        "h.line IS NOT NULL AS hot FROM l LEFT JOIN hot h USING (line)) "
+        "SELECT doc_id, count(*) AS n_lines, "
+        "CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) "
+        "ORDER BY idx), '') AS text_clean "
+        "FROM m GROUP BY doc_id"
     )
 
     # the same recursive closure, final select = the KEPT corpus (one doc

@@ -200,7 +200,10 @@ def build_workload(spark, sf_dir):
                 F.sum(F.length("tile")).alias("bytes")).collect()[0]
         run()
         obs = samples.setdefault(steady_key, [])
-        for _ in range(2):
+        for _ in range(4):  # short ~3s runs at the sink grid: same
+            # best-of-4 noise resistance as the sink stages (the r5 sf0.1
+            # run read 360 vs 1809 tiles/s for IDENTICAL plans on a
+            # best-of-2; isolation showed all routes ~equal)
             t0 = time.perf_counter()
             row = run()
             obs.append(round(time.perf_counter() - t0, 3))

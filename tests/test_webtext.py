@@ -691,3 +691,22 @@ def test_decontaminate_hand_case(spark):
     assert out[4] == (0, False)
     # doc 5 repeats the same windows — distinct count, not occurrences
     assert out[5] == (out[5][0], True) and out[5][0] == 2
+
+
+def test_dedupe_lines_boilerplate(spark):
+    """Corpus line dedupe: shared boilerplate lines vanish from every doc,
+    unique body lines survive in order, whitespace-only lines are never
+    hot, and a doc repeating its own line contributes each copy to the
+    count."""
+    bp = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(1, f"{bp}\nalpha body one\n\nbeta body two"),
+         (2, f"{bp}\ngamma body"),
+         (3, f"solo doc\nself dup\nself dup")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in D.dedupe_lines(docs, min_count=2).collect()}
+    assert out[1].n_lines == 4 and out[1].n_removed == 1
+    assert out[1].text_clean == "alpha body one\n\nbeta body two"
+    assert out[2].text_clean == "gamma body"
+    # "self dup" appears twice (same doc) -> hot -> both copies removed
+    assert out[3].n_removed == 2 and out[3].text_clean == "solo doc"

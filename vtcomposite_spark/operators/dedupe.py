@@ -304,6 +304,51 @@ def dedupe_corpus(docs: DataFrame, pairs: DataFrame,
     return docs.join(drop, on=id_col, how="left_anti")
 
 
+def dedupe_lines(docs: DataFrame, min_count: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 delimiter: str = "\n", hot_join: str = "auto") -> DataFrame:
+    """Corpus-level LINE deduplication — the CCNet/RefinedWeb boilerplate
+    pass: lines occurring ``min_count``+ times ACROSS the corpus (nav
+    bars, cookie banners, copyright footers) are removed from every
+    document. Returns (id, n_lines, n_removed, text_clean).
+
+    Rules: whitespace-only lines never count as hot (removing them would
+    collapse paragraph structure); occurrences count per line INSTANCE
+    (a doc repeating its own line contributes each copy). ``delimiter``
+    splits as a literal and re-joins the clean text.
+
+    100-TB shape: lines explode to rows (∝ corpus lines); the hot set is
+    one groupBy(line) count with map-side combine reduced to the small
+    over-threshold line strings; membership is a left join the exploded
+    side streams through (AQE broadcasts a small hot set —
+    ``hot_join="broadcast"`` forces it) and the regroup is one shuffle
+    keyed by doc id. Nothing ever pairs docs.
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delimiter), -1))
+        .alias("idx", "line"))
+    hot = (lines.filter(F.trim("line") != "")
+           .groupBy("line").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count)
+           .select("line", F.lit(True).alias("_hot")))
+    if hot_join == "broadcast":
+        hot = F.broadcast(hot)
+    marked = lines.join(hot, on="line", how="left")
+    return (marked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.count("_hot").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_hot").isNull(),
+                           F.struct(F.col("idx"), F.col("line"))))),
+                lambda s: s["line"]),
+            delimiter).alias("text_clean")))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str | None = None,

@@ -684,6 +684,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "n_chars")
     q["hash_sampled_docs"] = hash_sampled_docs
 
+    def corpus_mixture_sample(spark, sf):
+        """Corpus MIXING: per-language sampling rates (downsample the
+        dominant 'en', keep low-resource 'fr' whole, default for the
+        rest) — same md5 bucket as hash_sampled_docs, per-doc
+        independent, zero shuffle (rates broadcast; map-side filter)."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.sample_mixture(
+            docs, {"en": 0.25, "fr": 1.0, "de": 0.75},
+            default_rate=0.5).select("doc_id", "lang")
+    q["corpus_mixture_sample"] = corpus_mixture_sample
+
     def distinctive_terms(spark, sf):
         """Top-5 distinctive terms per language: tf-idf-shaped ranking
         with an integer score (tf·1e6/df floored) — a float ln() would
@@ -1080,6 +1092,15 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {CH.sample_by_hash_sql(0.25, 'doc_id')}"
     )
     o["distinctive_terms"] = CH.distinctive_terms_sql(group_col="lang", k=5)
+
+    mix_h = "md5('mix' || doc_id::VARCHAR)"
+    mix_rate = ("CASE lang WHEN 'en' THEN 0.25 WHEN 'fr' THEN 1.0 "
+                "WHEN 'de' THEN 0.75 ELSE 0.5 END")
+    o["corpus_mixture_sample"] = (
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE (({H.hex4_to_int_sql(mix_h)}) % 10000) < "
+        f"CAST(round({mix_rate} * 10000) AS BIGINT)"
+    )
 
     contact = ("(text || ' contact user' || doc_id || '@' || source || "
                "'.example.com or call +1 555-' || lpad(doc_id::VARCHAR, 4, '0'))")

@@ -710,3 +710,24 @@ def test_dedupe_lines_boilerplate(spark):
     assert out[2].text_clean == "gamma body"
     # "self dup" appears twice (same doc) -> hot -> both copies removed
     assert out[3].n_removed == 2 and out[3].text_clean == "solo doc"
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    """Per-group mixture: rate 1.0 keeps every group member, 0.0 drops
+    all, fractional rates are deterministic and per-doc independent
+    (changing one group's rate never changes another group's kept set)."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(200)],
+        "doc_id long, lang string")
+    kept = lambda rates, default=0.0: {
+        r.doc_id for r in CH.sample_mixture(
+            docs, rates, default_rate=default).collect()}
+    all_fr = kept({"en": 0.0, "fr": 1.0})
+    assert all_fr == {i for i in range(200) if i % 2 == 1}
+    half_en = kept({"en": 0.5, "fr": 1.0})
+    assert all_fr < half_en and half_en == kept({"en": 0.5, "fr": 1.0})
+    # fr kept-set identical whatever en's rate is
+    assert {i for i in half_en if i % 2 == 1} == all_fr
+    # absent group takes default_rate
+    assert kept({"fr": 1.0}, default=1.0) == set(range(200))

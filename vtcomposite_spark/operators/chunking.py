@@ -151,3 +151,37 @@ def sample_by_hash_sql(fraction: float, key_col: str,
     thresh = int(round(fraction * 10000))
     h = f"md5('{salt}' || {key_col}::VARCHAR)"
     return f"(({hex4_to_int_sql(h)}) % 10000) < {thresh}"
+
+
+def sample_mixture(docs: DataFrame, rates, group_col: str = "lang",
+                   id_col: str = "doc_id", salt: str = "mix",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Corpus MIXING: per-group deterministic sampling rates — downsample
+    the dominant source, keep low-resource groups whole; the data-mixture
+    step a pretraining corpus build ends with.
+
+    ``rates``: ``{group: fraction}`` dict or a (group, rate) DataFrame;
+    groups absent from it keep ``default_rate``. Keep-decisions use the
+    same md5 bucket as ``sample_by_hash`` (stable across runs, engines
+    and partitionings) and are per-doc independent, so a group's rate can
+    be changed later without reshuffling which OTHER docs survive.
+
+    100-TB shape: the rates table is tiny and broadcasts; the filter is a
+    map-side predicate on the scan — no shuffle at all.
+    """
+    from ..functions.hashing import _hex4_to_int_col
+
+    if isinstance(rates, dict):
+        rates_df = docs.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in sorted(rates.items())],
+            f"{group_col} string, rate double")
+    else:
+        rates_df = rates
+    bucket = _hex4_to_int_col(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))) % 10000
+    thresh = F.round(
+        F.coalesce(F.col("rate"), F.lit(float(default_rate))) * 10000) \
+        .cast("long")
+    return (docs.join(F.broadcast(rates_df), on=group_col, how="left")
+            .filter(bucket < thresh)
+            .drop("rate"))

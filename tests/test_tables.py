@@ -112,3 +112,38 @@ def test_auto_routing_ambiguity_warns(spark, tmp_path):
             assert not tables._looks_like_iceberg("fresh_out_dir")
     finally:
         os.chdir(cwd)
+
+
+def test_features_table_prunes_on_src_z(spark, fixture_bytes, tmp_path):
+    """Round-5: the src_z-partitioned features table makes each per-zoom
+    pass of the multi-zoom composite prune to its own zoom's files, and a
+    composite over the re-read table stays byte-identical to one over the
+    in-memory features."""
+    import shutil
+
+    from vtcomposite_spark.operators import composite as C
+    from vtcomposite_spark.sources import ingest
+
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (lbuf, 5, 4, 6)])
+    out = str(tmp_path / "feature_table")
+    tables.write_features(feats, out, mode="overwrite")
+    back = tables.read_features(spark, out)
+    plan = back.filter(F.col("src_z") == 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == feats.count()
+    targets = spark.createDataFrame(
+        [(6, 8, 12, 128, None, False), (5, 4, 6, 0, None, True)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = {(r.z, r.x, r.y): bytes(r.tile)
+            for r in C.composite_encode_tiles(
+                feats, targets, src_zooms=[4, 5]).collect()}
+    got = {(r.z, r.x, r.y): bytes(r.tile)
+           for r in C.composite_encode_tiles(
+               back.select(*feats.columns), targets,
+               src_zooms=[4, 5]).collect()}
+    assert got == want and want
+    shutil.rmtree(out, ignore_errors=True)

@@ -122,3 +122,49 @@ def write_tiles(df: DataFrame, target: str, fmt: str = "auto",
             raise ValueError(f"unsupported Iceberg write mode {mode!r}")
         return
     df.write.mode(mode).partitionBy("z").parquet(target)
+
+
+def write_features(df: DataFrame, target: str, fmt: str = "auto",
+                   mode: str = "append") -> None:
+    """FEATURES_SCHEMA sink partitioned by source zoom. The multi-zoom
+    composite (`_multizoom_encode_tiles`) runs one source-grouped pass
+    per declared zoom, each filtering ``src_z == z`` — over a src_z-
+    partitioned table every pass prunes to its own zoom's files at the
+    scan, so N zoom passes read each byte once, not N times (the same
+    pruning contract ``write_tiles`` gives the z-partitioned tile log;
+    plan-tested)."""
+    if fmt == "iceberg" or (fmt == "auto" and _looks_like_iceberg(target)):
+        if not _has_iceberg(df.sparkSession):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on this session's classpath; "
+                "add the runtime jar + a spark.sql.catalog.* config, or "
+                "pass a parquet path (fmt='parquet')")
+        w = df.writeTo(target)
+        if mode == "append":
+            w.append()
+        elif mode == "overwrite":
+            w.createOrReplace()
+        elif mode in ("error", "errorifexists"):
+            w.create()
+        else:
+            raise ValueError(f"unsupported Iceberg write mode {mode!r}")
+        return
+    df.write.mode(mode).partitionBy("src_z").parquet(target)
+
+
+def read_features(spark: SparkSession, source: str,
+                  fmt: str = "auto") -> DataFrame:
+    """FEATURES_SCHEMA scan (src_z partition column restored to int —
+    parquet partition discovery reads it back as the directory's inferred
+    type)."""
+    if fmt == "iceberg" or (fmt == "auto"
+                            and _looks_like_iceberg(source, reading=True)):
+        if not _has_iceberg(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime is not on this session's classpath; "
+                "add the runtime jar + a spark.sql.catalog.* config, or "
+                "pass a parquet path (fmt='parquet')")
+        return spark.read.format("iceberg").load(source)
+    from pyspark.sql import functions as F
+    return spark.read.parquet(source) \
+        .withColumn("src_z", F.col("src_z").cast("int"))

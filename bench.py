@@ -291,17 +291,21 @@ def build_workload(spark, sf_dir):
         keys-only cross-zoom first-wins plan + per-layer merge end-to-end
         at table scale."""
         from vtcomposite_spark.operators.composite import composite_encode_tiles
+        from vtcomposite_spark.sources.tables import read_features, write_features
         feats8, targets = _fixture_grid_paths(
             "linestrings-properties-16-10498-22872.mvt", N_LINE_SRC)
-        mzpath = f"/tmp/vtc_bench_mz_feats_{N_LINE_SRC}"
+        # ONE src_z-partitioned features table (the 100-TB layout for
+        # multi-zoom tilesets): each per-zoom pass prunes to its own
+        # zoom's files instead of re-scanning the whole union
+        mzpath = f"/tmp/vtc_bench_mz_table_{N_LINE_SRC}"
         if not os.path.isdir(mzpath):
-            (feats8.withColumn("src_z", F.lit(7))
-             .withColumn("src_x", F.expr("src_x >> 1").cast("long"))
-             .withColumn("src_y", F.expr("src_y >> 1").cast("long"))
-             .withColumn("tile_idx", F.lit(1))
-             .withColumn("layer", F.concat(F.col("layer"), F.lit("_lo")))
-             .write.mode("overwrite").parquet(mzpath))
-        feats = feats8.unionByName(spark.read.parquet(mzpath))
+            lo = (feats8.withColumn("src_z", F.lit(7))
+                  .withColumn("src_x", F.expr("src_x >> 1").cast("long"))
+                  .withColumn("src_y", F.expr("src_y >> 1").cast("long"))
+                  .withColumn("tile_idx", F.lit(1))
+                  .withColumn("layer", F.concat(F.col("layer"), F.lit("_lo"))))
+            write_features(feats8.unionByName(lo), mzpath, mode="overwrite")
+        feats = read_features(spark, mzpath).select(*feats8.columns)
 
         def run():
             return composite_encode_tiles(

@@ -186,9 +186,11 @@ def test_capped_encode_tiles_byte_parity(spark, fixture_bytes):
         "compress", F.col("z").isNotNull() & (F.col("x") == 1))
     want = {(r.z, r.x, r.y): bytes(r.tile)
             for r in C.encode_tiles(out).collect()}
-    # cap above the largest single layer but below the whole tile
+    # the tile is DELIBERATELY hot: 2 layers x 2000 features = 4000 total,
+    # cap 2500 sits above the largest single layer but below the tile, so
+    # per-layer packing is both required and sufficient
     got = {(r.z, r.x, r.y): bytes(r.tile)
-           for r in C.encode_tiles(out, max_pack_features=100000).collect()}
+           for r in C.encode_tiles(out, max_pack_features=2500).collect()}
     assert got == want and want
 
 
@@ -215,7 +217,7 @@ def test_capped_fused_composite_byte_parity(spark, fixture_bytes):
                                               src_zooms=None).collect()}
     got = {(r.z, r.x, r.y): bytes(r.tile)
            for r in C.composite_encode_tiles(
-               feats, t, max_pack_features=100000).collect()}
+               feats, t, max_pack_features=2500).collect()}
     assert got == want and want
     with pytest.raises(ValueError, match="source-grouped"):
         C.composite_encode_tiles(feats, t, src_zooms=[0],

@@ -248,6 +248,14 @@ def test_randomized_parity_specialized_vs_generic(spark, seed):
         trows, "z int, x long, y long, buffer_size int, "
                "keep_layers array<string>, compress boolean").distinct()
     _check(feats, targets, SRC_Z)
+    if seed == 0:  # one randomized shape through the CAPPED per-layer
+        # splice route too (byte parity with the generic plan)
+        want = _tiles(C.composite_encode_tiles(feats, targets,
+                                               src_zooms=None,
+                                               join_strategy="broadcast"))
+        got = _tiles(C.composite_encode_tiles(feats, targets,
+                                              max_pack_features=1 << 20))
+        assert got == want and want
 
 
 @pytest.mark.parametrize("seed", [10, 11, 12])

@@ -131,18 +131,22 @@ def build_workload(spark, sf_dir):
             targets.coalesce(1).write.mode("overwrite").parquet(tpath)
         return spark.read.parquet(fpath), spark.read.parquet(tpath)
 
-    def _run_composite(fixture_name, n_src, steady_key):
+    def _run_composite(fixture_name, n_src, steady_key, packed=False):
         """First action warms (codegen, page cache, python workers); the
         second is the steady-state measurement — the comparable of the
         reference's runs/s, which amortizes over thousands of repeats.
         The plan is REBUILT per run: re-collecting the same DataFrame lets
         Spark skip whole stages via shuffle-output reuse, which would fake
-        the number."""
-        from vtcomposite_spark.operators.composite import composite
+        the number. ``packed=True`` runs composite_packed (auto →
+        source-grouped route) — the relational rows behind the sinks'
+        one-row-per-tile seam — with the identical consumer agg."""
+        from vtcomposite_spark.operators.composite import (composite,
+                                                           composite_packed)
+        fn = composite_packed if packed else composite
         feats, targets = _fixture_grid_paths(fixture_name, n_src)
 
         def run():
-            return composite(feats, targets).agg(
+            return fn(feats, targets).agg(
                 F.countDistinct("z", "x", "y").alias("tiles"),
                 F.count("*").alias("feats")).collect()[0]
         run()
@@ -181,6 +185,22 @@ def build_workload(spark, sf_dir):
         counters["poly_tiles"], counters["poly_features_out"] = _run_composite(
             "polygons-properties-16-10498-22872.mvt", N_POLY_SRC,
             "poly_steady_sec")
+
+    # packed relational twins at the sinks' amortized 4× grid: the per-row
+    # seam cost grows with FEATURE rows, the packed seam with TILE rows —
+    # this pair of stages puts the measured gap (8×+ at this grid) in the
+    # artifact next to the per-row numbers
+    def line_composite_packed():
+        counters["line_packed_tiles"], counters["line_packed_features_out"] = \
+            _run_composite("linestrings-properties-16-10498-22872.mvt",
+                           N_LINE_SINK_SRC, "line_packed_steady_sec",
+                           packed=True)
+
+    def poly_composite_packed():
+        counters["poly_packed_tiles"], counters["poly_packed_features_out"] = \
+            _run_composite("polygons-properties-16-10498-22872.mvt",
+                           N_POLY_SINK_SRC, "poly_packed_steady_sec",
+                           packed=True)
 
     def _run_fused(src_zooms, steady_key, tiles_key, mb_key):
         """composite_encode_tiles at the SAME amortized grid as the sinks,
@@ -407,6 +427,8 @@ def build_workload(spark, sf_dir):
         "tile_composite_overzoom": tile_composite_overzoom,
         "line_composite_overzoom": line_composite_overzoom,
         "polygon_composite_overzoom": polygon_composite_overzoom,
+        "line_composite_packed": line_composite_packed,
+        "poly_composite_packed": poly_composite_packed,
         "line_composite_encode_fused": line_composite_encode_fused,
         "line_fused_generic": line_fused_generic,
         "line_overzoom_sink": line_overzoom_sink,
@@ -425,6 +447,7 @@ def build_workload(spark, sf_dir):
     }
     if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those
         for k in ("line_composite_overzoom", "polygon_composite_overzoom",
+                  "line_composite_packed", "poly_composite_packed",
                   "line_composite_encode_fused", "line_fused_generic",
                   "line_overzoom_sink",
                   "poly_overzoom_sink", "line_overzoom_dz2_sink",
@@ -503,6 +526,7 @@ def run(sf_dir=None, cpus=None, quiet=False):
     # light stages run twice and report the min — this sandbox host shows
     # ±50% noise blips between runs (one stage measured 1.5s and 61.8s)
     internal_steady = {"line_composite_overzoom", "polygon_composite_overzoom",
+                       "line_composite_packed", "poly_composite_packed",
                        "line_composite_encode_fused", "line_fused_generic",
                        "line_overzoom_sink",
                        "poly_overzoom_sink", "line_overzoom_dz2_sink",
@@ -549,6 +573,15 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                     / max(counters.get("line_steady_sec", 1e-9), 1e-9), 1),
         "poly_tiles_per_sec": round(counters.get("poly_tiles", 0)
                                     / max(counters.get("poly_steady_sec", 1e-9), 1e-9), 1),
+        # packed relational twins (composite_packed, auto → source-grouped),
+        # at the sinks' amortized grid — relational ROWS out, compare to
+        # BASELINE.md rows 10/11 like the sinks
+        "line_packed_tiles_per_sec": round(
+            counters.get("line_packed_tiles", 0)
+            / max(counters.get("line_packed_steady_sec", 1e-9), 1e-9), 1),
+        "poly_packed_tiles_per_sec": round(
+            counters.get("poly_packed_tiles", 0)
+            / max(counters.get("poly_packed_steady_sec", 1e-9), 1e-9), 1),
         "encode_tiles_per_sec": round(counters.get("encoded_tiles", 0)
                                       / max(counters.get("encode_sec", 1e-9), 1e-9), 1),
         "fused_tiles_per_sec": round(counters.get("fused_tiles", 0)

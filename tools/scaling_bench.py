@@ -234,6 +234,30 @@ i.e. the within-2× bar for RELATIONAL output sits at this host's
 scan+join floor; tile-materialization pipelines (the reference's only
 output shape) use the sinks and clear the bar.
 
+### Round 5: the packed seam applied to relational output
+
+`composite_packed` (and its source-grouped backend
+`overzoom_composite_packed`) put relational ROWS behind the same
+one-row-per-tile seam the sinks use: pack → clip kernel → re-pack per
+target in-kernel → JVM-side `inline` restores the rows (a codegen
+generator, not a second seam). This is "only fewer rows can help" —
+the decomposition above — applied to the rows-out shape it said was
+floored. Row-identical to `composite()` (tests/test_composite_packed.py:
+parity matrix incl. the source-grouped route, capped packing, and the
+multi-zoom generic fallback); `src_zooms="auto"` routes a single-zoom
+input source-grouped by default, like the sink.
+
+Measured at the sinks' amortized 4× grid (identical consumer agg, plans
+rebuilt per run), interleaved best-of-3 in one calm-window session:
+per-row `composite()` 122 tiles/s (lines) / 72 (polygons) — the per-row
+seam degrades with grid size because its row count is the FEATURE count —
+vs source-grouped packed **1,418 / 324** (**1.22× / 1.28×** the
+reference's single-core runs/s; generic-join packed sits between at
+~965-1,022 / 253-290). The bench artifact carries both packed stages next
+to their per-row twins; its own window (degraded mid-run, mem calibration
+0.51 → 2.97 s) read packed 655 / 369 vs per-row-at-1×-grid 248 / 111 —
+the run-to-run spread is the host, the in-artifact ratio is the claim.
+
 The engine additionally horizontally scales where the reference cannot,
 and geocodes **~1.3M pages/s** at the 51.2M-page scale.
 

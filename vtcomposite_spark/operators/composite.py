@@ -291,16 +291,19 @@ def _overzoom_clip_batches(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
                 yield rb
 
 
-def overzoom_clip(df: DataFrame) -> DataFrame:
-    """F1-F7: per-feature overzoom affine + clip as ONE Arrow crossing.
+def _overzoom_prep(df: DataFrame) -> DataFrame:
+    """dz + displacement columns and the JVM-side envelope prune, shared by
+    the relational kernel (``overzoom_clip``), the fused sink
+    (``composite_encode_tiles``) and the packed relational path
+    (``composite_packed``).
 
-    Expects target-joined rows (columns z/x/y/buffer_size present). Same-zoom
-    rows (dz == 0) pass through untouched *inside* the kernel — the
-    reference's raw-copy fast path (src/vtcomposite.cpp:253-256): no clip is
-    applied at same zoom. Keeping the fast path inside the single kernel
-    (rather than a filter/union split) keeps the plan to ONE scan and ONE
-    join — a union of filtered branches would re-execute the whole upstream
-    subtree per branch, which at 100 TB doubles the dominant cost.
+    The envelope pre-filter is HOISTED out of the kernel into codegen: a
+    feature whose scaled bbox misses the target clip window never crosses to
+    Python. This is the reference's cheap-reject (src/feature_builder.hpp:
+    232-238) applied where it pays most at scale — the ancestor join fans
+    each feature out to several candidate targets, and this prunes the
+    misses before the (allocation-heavy) Arrow conversion. Same-zoom rows
+    (dz == 0) always survive — they are the raw-copy fast path.
     """
     df = (
         df.withColumn("dz", F.col("z") - F.col("src_z"))
@@ -313,12 +316,6 @@ def overzoom_clip(df: DataFrame) -> DataFrame:
             (F.col("y").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
              * F.col("extent")).cast("long"))
     )
-    # envelope pre-filter, HOISTED out of the kernel into codegen: a feature
-    # whose scaled bbox misses the target clip window never crosses to
-    # Python. This is the reference's cheap-reject (src/feature_builder.hpp:
-    # 232-238) applied where it pays most at scale — the ancestor join fans
-    # each feature out to several candidate targets, and this prunes the
-    # misses before the (allocation-heavy) Arrow conversion.
     zf = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz"))
     bxmin = F.array_min("xs") * zf - F.col("disp_x")
     bxmax = F.array_max("xs") * zf - F.col("disp_x")
@@ -326,10 +323,24 @@ def overzoom_clip(df: DataFrame) -> DataFrame:
     bymax = F.array_max("ys") * zf - F.col("disp_y")
     blo = -F.col("buffer_size").cast("long")
     bhi = (F.col("extent") + F.col("buffer_size")).cast("long")
-    df = df.filter(
+    return df.filter(
         (F.col("dz") == 0)
         | ((bxmax >= blo) & (bxmin <= bhi) & (bymax >= blo) & (bymin <= bhi))
     )
+
+
+def overzoom_clip(df: DataFrame) -> DataFrame:
+    """F1-F7: per-feature overzoom affine + clip as ONE Arrow crossing.
+
+    Expects target-joined rows (columns z/x/y/buffer_size present). Same-zoom
+    rows (dz == 0) pass through untouched *inside* the kernel — the
+    reference's raw-copy fast path (src/vtcomposite.cpp:253-256): no clip is
+    applied at same zoom. Keeping the fast path inside the single kernel
+    (rather than a filter/union split) keeps the plan to ONE scan and ONE
+    join — a union of filtered branches would re-execute the whole upstream
+    subtree per branch, which at 100 TB doubles the dominant cost.
+    """
+    df = _overzoom_prep(df)
 
     out_fields = [f for f in df.schema.fields if f.name not in _KERNEL_HELPER_COLS]
     out_schema_spark = T.StructType(out_fields)
@@ -643,25 +654,7 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join).drop("keep_layers")
     # same prep + envelope prune as overzoom_clip, JVM-side
-    j = j.withColumn("dz", F.col("z") - F.col("src_z"))
-    j = j.withColumn(
-        "disp_x",
-        (F.col("x").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
-         * F.col("extent")).cast("long"))
-    j = j.withColumn(
-        "disp_y",
-        (F.col("y").bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz")) - 1)
-         * F.col("extent")).cast("long"))
-    zf = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("dz"))
-    bxmin = F.array_min("xs") * zf - F.col("disp_x")
-    bxmax = F.array_max("xs") * zf - F.col("disp_x")
-    bymin = F.array_min("ys") * zf - F.col("disp_y")
-    bymax = F.array_max("ys") * zf - F.col("disp_y")
-    blo = -F.col("buffer_size").cast("long")
-    bhi = (F.col("extent") + F.col("buffer_size")).cast("long")
-    j = j.filter(
-        (F.col("dz") == 0)
-        | ((bxmax >= blo) & (bxmin <= bhi) & (bymax >= blo) & (bymin <= bhi)))
+    j = _overzoom_prep(j)
 
     clip_fields = [f for f in j.schema.fields if f.name not in _KERNEL_HELPER_COLS]
     clip_schema = pa.schema([
@@ -705,11 +698,148 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     return packed.mapInArrow(clip_encode, schema=_ENCODE_OUT_SCHEMA)
 
 
+def composite_packed(features: DataFrame, targets: DataFrame,
+                     join_strategy: str = "auto",
+                     winners_join: str = "broadcast",
+                     src_zooms: list[int] | None | str = "auto",
+                     partitions: int | None = None,
+                     max_pack_features: int | None = None) -> DataFrame:
+    """``composite``'s row-identical twin behind the sinks' packed seam.
+
+    Same logical output as ``composite`` (one relational row per surviving
+    feature, coordinates in the target frame); different physical plan:
+    join → first-wins → envelope prune → groupBy(z, x, y) packing ONE row
+    per tile (``_pack_tiles``) → ONE mapInArrow crossing whole tiles BOTH
+    ways (the kernel re-packs its clipped output per input tile) → JVM-side
+    ``inline`` restores the feature rows. The python seam's per-row cost is
+    payload-width-independent (~µs/row, the measured floor of the per-row
+    ``composite`` path — see ``_pack_tiles``), so crossing tile-count rows
+    instead of feature-count rows removes the relational path's dominant
+    cost; the restore is a codegen generator, not a second seam.
+
+    ``src_zooms`` mirrors ``composite_encode_tiles``: ``"auto"`` (default)
+    infers the feature zoom levels with one tiny distinct scan and, when
+    they collapse to ONE zoom, routes through the source-grouped
+    ``overzoom_composite_packed`` (features shuffle once, bytes ∝ input —
+    and the measured fastest at bench scale too); several zooms or ``None``
+    run the generic join path here (row-correct for any mix). The
+    inference is an eager job at call time — streaming callers declare
+    zooms or pass ``None``.
+
+    ``max_pack_features`` bounds the packed row per (tile, LAYER) exactly
+    like the sinks (a generic-path contract, like the sink's: it forces
+    the join route) — and unlike the byte sinks, relational output needs
+    NO splice step: several packed rows per tile ``inline`` to the same
+    rows, so the cap is safe here without merge machinery (a single
+    over-cap layer still raises, same contract as the sinks).
+    """
+    if max_pack_features is not None:
+        if not (src_zooms is None or src_zooms == "auto"):
+            raise ValueError(
+                "max_pack_features applies to the generic join path; "
+                "source-grouped routing (declared src_zooms) bounds packed "
+                "rows by source tile content instead")
+        src_zooms = None
+    if isinstance(src_zooms, str):
+        if src_zooms != "auto":
+            raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
+        inferred = [r[0] for r in
+                    features.select("src_z").distinct().collect()
+                    if r[0] is not None]
+        src_zooms = inferred or None
+    if src_zooms is not None:
+        zs = sorted({int(z) for z in src_zooms})
+        if len(zs) == 1:
+            return overzoom_composite_packed(features, targets,
+                                             src_zoom=zs[0],
+                                             partitions=partitions)
+        # several zooms: the generic join path below is row-correct for
+        # any mix; keep the declared zooms to shrink the target explode
+
+    j = ancestor_join(features, targets, strategy=join_strategy,
+                      src_zooms=src_zooms)
+    j = apply_keep_layers(j)
+    j = first_wins(j, winners_join=winners_join).drop("keep_layers")
+    out_cols = [f.name for f in j.schema.fields
+                if f.name not in _KERNEL_HELPER_COLS]  # == composite() order
+    j = _overzoom_prep(j)
+
+    kernel_names = [f.name for f in j.schema.fields]
+    packed = _pack_tiles(j, by_layer=max_pack_features is not None)
+    tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
+    feat_fields = [f for f in j.schema.fields
+                   if f.name not in _KERNEL_HELPER_COLS
+                   and f.name not in tile_cols]
+    feat_names = [f.name for f in feat_fields]
+    clip_fields = [f for f in j.schema.fields
+                   if f.name not in _KERNEL_HELPER_COLS]
+    clip_schema = pa.schema(
+        [pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields]
+        + [pa.field("tile_ord", pa.int64())])
+    struct_type = pa.struct(
+        [pa.field(f.name, _to_arrow(f.dataType)) for f in feat_fields])
+    jfields = {f.name: f for f in j.schema.fields}
+    out_schema_spark = T.StructType(
+        [jfields[c] for c in tile_cols]
+        + [T.StructField("feats", T.ArrayType(T.StructType(feat_fields)))])
+
+    def clip_pack(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            if max_pack_features is not None:
+                _check_unit_cap(batch, max_pack_features, "composite_packed")
+            cols, total = _unpack_batch(batch, tile_cols)
+            ntiles = batch.num_rows
+            counts = np.zeros(ntiles, np.int64)
+            taken = None
+            if total:
+                off, _ = _norm_list(batch.column("feats"))
+                # packed-row ordinal per feature: carried through the clip
+                # kernel as a passthrough column so re-packing is a stable
+                # sort + bincount, not a key match
+                cols["tile_ord"] = pa.array(
+                    np.repeat(np.arange(ntiles, dtype=np.int64),
+                              np.diff(off)), pa.int64())
+                flat = pa.RecordBatch.from_arrays(
+                    [cols[n] if isinstance(cols[n], pa.Array)
+                     else pa.array(cols[n])
+                     for n in kernel_names + ["tile_ord"]],
+                    names=kernel_names + ["tile_ord"])
+                clipped = list(_overzoom_clip_batches(iter([flat]),
+                                                      clip_schema))
+                if clipped:
+                    ctbl = pa.Table.from_batches(clipped, schema=clip_schema)
+                    ords = ctbl.column("tile_ord").to_numpy(
+                        zero_copy_only=False)
+                    order = np.argsort(ords, kind="stable")
+                    counts = np.bincount(ords, minlength=ntiles)
+                    taken = ctbl.take(
+                        pa.array(order, pa.int64())).combine_chunks()
+            offs = np.zeros(ntiles + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            if taken is not None and taken.num_rows:
+                tb = taken.to_batches()[0]
+                struct = pa.StructArray.from_arrays(
+                    [tb.column(n) for n in feat_names], names=feat_names)
+            else:
+                struct = pa.array([], type=struct_type)
+            feats_out = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), struct)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in tile_cols] + [feats_out],
+                names=tile_cols + ["feats"])
+
+    packed_out = packed.mapInArrow(clip_pack, schema=out_schema_spark)
+    return packed_out.select(*tile_cols, F.inline("feats")).select(*out_cols)
+
+
 def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                           src_zoom: int,
                           partitions: int | None = None,
                           _wins: bool = False,
-                          _layer_rows: bool = False) -> DataFrame:
+                          _layer_rows: bool = False,
+                          _packed_rows: bool = False) -> DataFrame:
     """Single-source-zoom composite→encode, grouped by SOURCE tile.
 
     The generic ``composite_encode_tiles`` joins features to targets first,
@@ -743,10 +873,16 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
     ``_layer_rows=True`` emits one row per (target, LAYER) — the framed
     layer message plus its first-seen order keys, uncompressed — instead
     of whole tiles, for cross-zoom splicing by ``_merge_layer_rows``.
+    ``_packed_rows=True`` (the ``overzoom_composite_packed`` backend)
+    skips the encoder and emits one packed row per target — tile keys +
+    the clipped feature structs — for a JVM-side ``inline`` restore.
     """
     import pyarrow as pa
 
     from ..sources import mvt_vec
+
+    if _packed_rows and (_wins or _layer_rows):
+        raise ValueError("_packed_rows is a single-zoom relational mode")
 
     feats = features.filter(F.col("src_z") == src_zoom)
     t = (targets.filter(F.col("z") >= src_zoom)
@@ -783,9 +919,12 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
         T.StructField("buffer_size", T.IntegerType()),
         T.StructField("compress", T.BooleanType()),
     ]
-    clip_schema = pa.schema([
-        pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields
-        if f.name not in _KERNEL_HELPER_COLS])
+    clip_schema = pa.schema(
+        [pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields
+         if f.name not in _KERNEL_HELPER_COLS]
+        + ([pa.field("tile_ord", pa.int64())] if _packed_rows else []))
+    if _packed_rows:
+        kernel_names = kernel_names + ["tile_ord"]
 
     def fan_clip_encode(it):
         for batch in it:
@@ -902,10 +1041,37 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             cols["dz"] = pa.array(dz_arr.astype(np.int32), pa.int32())
             cols["disp_x"] = pa.array((tx[pt] & (zf_arr - 1)) * ext_p, pa.int64())
             cols["disp_y"] = pa.array((ty[pt] & (zf_arr - 1)) * ext_p, pa.int64())
+            if _packed_rows:
+                # pt indexes the batch-flattened target list, so it is
+                # already a batch-unique target ordinal — the re-pack key
+                cols["tile_ord"] = pa.array(pt, pa.int64())
             flat = pa.RecordBatch.from_arrays(
                 [cols[n] for n in kernel_names], names=kernel_names)
             clipped = list(_overzoom_clip_batches(iter([flat]), clip_schema))
             if not clipped:
+                continue
+            if _packed_rows:
+                ctbl = pa.Table.from_batches(clipped, schema=clip_schema)
+                ords = ctbl.column("tile_ord").to_numpy(zero_copy_only=False)
+                order = np.argsort(ords, kind="stable")
+                taken = ctbl.take(pa.array(order, pa.int64())).combine_chunks()
+                uniq, ucounts = np.unique(ords, return_counts=True)
+                offs = np.zeros(len(uniq) + 1, np.int64)
+                np.cumsum(ucounts, out=offs[1:])
+                tb = taken.to_batches()[0]
+                struct = pa.StructArray.from_arrays(
+                    [tb.column(n) for n in data_cols], names=data_cols)
+                feats_out = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), struct)
+                take_t = pa.array(uniq, pa.int64())
+                # tile-level values from the ORIGINAL target structs —
+                # buffer_size/compress keep their nulls (the kernel's
+                # filled copies are prune-internal), generic-path parity
+                yield pa.RecordBatch.from_arrays(
+                    [tvals.field(0).take(take_t), tvals.field(1).take(take_t),
+                     tvals.field(2).take(take_t), tvals.field(3).take(take_t),
+                     tvals.field(4).take(take_t), feats_out],
+                    names=["z", "x", "y", "buffer_size", "compress", "feats"])
                 continue
             if _layer_rows:
                 units = mvt_vec.encode_tiles_table(
@@ -919,8 +1085,55 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             if tiles:
                 yield _tiles_batch(tiles)
 
-    out_schema = _LAYER_ROWS_SCHEMA if _layer_rows else _ENCODE_OUT_SCHEMA
+    if _packed_rows:
+        out_schema = T.StructType([
+            T.StructField("z", T.IntegerType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("buffer_size", T.IntegerType()),
+            T.StructField("compress", T.BooleanType()),
+            T.StructField("feats", T.ArrayType(T.StructType(
+                features.select(*data_cols).schema.fields))),
+        ])
+    else:
+        out_schema = _LAYER_ROWS_SCHEMA if _layer_rows else _ENCODE_OUT_SCHEMA
     return packed.mapInArrow(fan_clip_encode, schema=out_schema)
+
+
+def overzoom_composite_packed(features: DataFrame, targets: DataFrame,
+                              src_zoom: int,
+                              partitions: int | None = None) -> DataFrame:
+    """Source-grouped relational composite: ``composite``'s rows with the
+    sinks' shuffle shape.
+
+    ``composite_packed`` still pays the generic ancestor join, which
+    duplicates every feature once per descendant target (4^dz×) BEFORE the
+    pack shuffle. Under the single-source-zoom contract this path reuses
+    ``overzoom_encode_tiles``' plan — features shuffle ONCE by source tile
+    (bytes ∝ input), targets broadcast, the kernel fans (feature × target)
+    pairs as numpy gathers — and emits packed per-target rows that a
+    JVM-side ``inline`` restores to exactly ``composite``'s schema
+    (``src_z``/``src_x``/``src_y`` are re-derived from the target address:
+    at one source zoom they are ``z - dz`` arithmetic, not carried data).
+    Row-identical to ``composite`` for single-zoom inputs (parity-tested in
+    tests/test_composite_packed.py).
+    """
+    packed_out = overzoom_encode_tiles(features, targets, src_zoom=src_zoom,
+                                       partitions=partitions,
+                                       _packed_rows=True)
+    exploded = packed_out.select(
+        "z", "x", "y", "buffer_size", "compress", F.inline("feats"))
+    dz = F.col("z") - F.lit(src_zoom)
+    exploded = (exploded
+                .withColumn("src_z", F.lit(src_zoom).cast("int"))
+                .withColumn("src_x", F.call_function(
+                    "shiftright", F.col("x"), dz).cast("long"))
+                .withColumn("src_y", F.call_function(
+                    "shiftright", F.col("y"), dz).cast("long")))
+    # composite()'s exact column order — derived from the generic plan's
+    # schema (lazy, never executed), so the two paths stay drop-in
+    order = composite(features, targets).columns
+    return exploded.select(*order)
 
 
 def _merge_layer_rows(layer_rows: DataFrame) -> DataFrame:

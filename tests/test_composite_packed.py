@@ -205,6 +205,24 @@ def test_multizoom_auto_falls_back_to_generic(spark, fixture_bytes):
     _check(feats, targets, _src_zooms="auto")
 
 
+def test_source_grouped_targets_without_keep_layers(spark, fixture_bytes):
+    """The sink contract tolerates a missing keep_layers column; the
+    relational wrapper must too (rows == composite with a null keep)."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(spark, [(lbuf, 4, 2, 3)])
+    bare = spark.createDataFrame(
+        [(5, 4, 6, 128, False)],
+        "z int, x long, y long, buffer_size int, compress boolean")
+    got = C.overzoom_composite_packed(feats, bare, src_zoom=4)
+    want = C.composite(
+        feats, bare.withColumn(
+            "keep_layers", F.lit(None).cast("array<string>")),
+        join_strategy="broadcast")
+    assert got.columns == want.columns
+    w = _canon(want)
+    assert w and _canon(got) == w
+
+
 def test_all_clipped_away_yields_nothing(spark, fixture_bytes):
     """A target whose window every feature misses: the packed row inlines
     to zero rows, exactly like the per-row path."""

@@ -279,6 +279,22 @@ nature — it moves every feature byte through shuffle, Arrow seam, and
 encoded output; the ALU-dominant geocode pipeline above is the workload
 where a single box can demonstrate ≥0.8 honestly.
 
+### Two-parallelism check of the packed relational path (round 5, fixed snapshot)
+
+`overzoom_composite_packed` (relational ROWS out behind the per-tile
+seam), 16,000 output tiles / 14.7M feature rows out, cold JVM per level,
+best across two sessions of 3 runs each: local[2] 54.7 s (292 tiles/s) →
+local[8] 17.5 s (915 tiles/s) = **3.13×** raw over 4× cores (0.78
+efficiency). Same-hour hardware calibration (pure multiprocessing, zero
+Spark): ALU-bound 2→8 = 3.35×, memory-bandwidth-bound 2→8 = 2.05×. The
+packed path reaches **0.93 of the ALU ceiling** — better than the
+encode sink's round-3 reading (1.82× raw) because the packed relational
+output skips the encoder's output-byte materialization — and half again
+the pure-bandwidth ceiling: no engine-side serial bottleneck; the
+residual is the single box's shared memory system, which a real 4N-node
+cluster multiplies with node count. The same job at local[32] read
+1,891 tiles/s (noisy-window best).
+
 ## Repeatability under host noise (round 2)
 
 The sandbox VM is a shared host; three full runs of this bench on

@@ -1131,8 +1131,13 @@ def overzoom_composite_packed(features: DataFrame, targets: DataFrame,
                 .withColumn("src_y", F.call_function(
                     "shiftright", F.col("y"), dz).cast("long")))
     # composite()'s exact column order — derived from the generic plan's
-    # schema (lazy, never executed), so the two paths stay drop-in
-    order = composite(features, targets).columns
+    # schema (lazy, never executed), so the two paths stay drop-in. The
+    # sink contract tolerates a missing keep_layers column; give the
+    # schema-only twin a null one so the derivation tolerates it too
+    tref = targets if "keep_layers" in targets.columns else \
+        targets.withColumn("keep_layers",
+                           F.lit(None).cast("array<string>"))
+    order = composite(features, tref).columns
     return exploded.select(*order)
 
 

@@ -126,3 +126,65 @@ def test_tile_log_latest_epoch_and_compaction(spark, fixture_bytes):
     finally:
         for d in (src, snk, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_latest_tile_updates_change_feed(spark, fixture_bytes):
+    """The stateful change feed: (1) draining a two-epoch log emits winner
+    TRANSITIONS only — per tile the emitted epochs are unique and the
+    final one is the log's max, with the superseding batch's bytes; (2) a
+    re-delivered STALE epoch file, processed under the same checkpoint,
+    emits zero rows (per-tile max-epoch state survives across runs)."""
+    import tempfile
+
+    from vtcomposite_spark.operators.composite import composite_encode_tiles
+    from vtcomposite_spark.sources import ingest
+    from vtcomposite_spark.streaming.pipeline import (
+        run_tile_update_stream, streaming_encode_tiles)
+
+    src = tempfile.mkdtemp(prefix="vtc_cf_src_")
+    snk = tempfile.mkdtemp(prefix="vtc_cf_out_")
+    ck1 = tempfile.mkdtemp(prefix="vtc_cf_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="vtc_cf_ck2_")
+    dirs = [src, snk, ck1, ck2]
+    try:
+        lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+        pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
+        f1 = ingest.features_from_tiles(spark, [(lbuf, 8, 0, 0)])
+        f2 = ingest.features_from_tiles(spark, [(pbuf, 8, 0, 0)])
+        targets = spark.createDataFrame(
+            [(9, dx, dy, 128, None, False) for dx in (0, 1) for dy in (0, 1)],
+            "z int, x long, y long, buffer_size int, "
+            "keep_layers array<string>, compress boolean")
+        f1.coalesce(1).write.mode("append").parquet(src)
+        streaming_encode_tiles(spark, src, targets, snk, ck1, src_zoom=8)
+        f2.coalesce(1).write.mode("append").parquet(src)
+        streaming_encode_tiles(spark, src, targets, snk, ck1, src_zoom=8)
+
+        feed = tempfile.mkdtemp(prefix="vtc_cf_feed_")
+        dirs.append(feed)
+        run_tile_update_stream(spark, snk, feed, ck2,
+                               max_files_per_trigger=1)
+        got = spark.read.parquet(feed).collect()
+        per_key = {}
+        for r in got:
+            per_key.setdefault((r.z, r.x, r.y), []).append((r.epoch, bytes(r.tile)))
+        want = {(r.z, r.x, r.y): bytes(r.tile)
+                for r in composite_encode_tiles(f2, targets).collect()}
+        assert set(per_key) == set(want)
+        for k, emitted in per_key.items():
+            epochs = [e for e, _ in emitted]
+            assert len(epochs) == len(set(epochs))  # one transition per epoch
+            top_epoch, top_bytes = max(emitted)
+            assert top_epoch == 1 and top_bytes == want[k]
+
+        # stale re-delivery: copy the epoch=0 data back in as a NEW file —
+        # the state (max epoch 1 per tile) must suppress every row
+        stale = spark.read.parquet(f"{snk}/epoch=0")  # epoch rides the dir
+        stale.coalesce(1).write.mode("append").parquet(f"{snk}/epoch=0")
+        n_before = spark.read.parquet(feed).count()
+        run_tile_update_stream(spark, snk, feed, ck2,
+                               max_files_per_trigger=1)
+        assert spark.read.parquet(feed).count() == n_before
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -6,10 +6,13 @@ micro-batch extension the survey names as the natural v2: the SAME
 geotag-extraction + cell-index kernels run under ``readStream``, with
 event-time watermarks and windowed per-tile aggregation for late data.
 
-Everything here composes built-ins: the extraction kernel is the identical
-``mapInPandas`` used in batch (kernel reuse is the point), the aggregation
-is a watermarked groupBy — Spark maintains the state store, no custom
-stateful operator is needed for tile counting.
+Everything here composes built-ins where built-ins suffice: the extraction
+kernel is the identical ``mapInPandas`` used in batch (kernel reuse is the
+point), the aggregation is a watermarked groupBy — Spark maintains the
+state store, no custom stateful operator is needed for tile counting. The
+one genuinely stateful operator is ``stream_latest_tile_updates`` (a
+cross-batch latest-wins change feed), which needs per-key state that
+outlives the micro-batch and runs as ``applyInPandasWithState``.
 """
 
 from __future__ import annotations
@@ -98,6 +101,86 @@ def streaming_encode_tiles(spark, features_dir: str, targets: DataFrame,
 
     q = (stream.writeStream
          .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def stream_latest_tile_updates(tiles_stream: DataFrame) -> DataFrame:
+    """Cross-batch latest-wins CHANGE FEED over a tile-log stream.
+
+    ``latest_tiles`` below is the log's reader contract (max epoch per
+    tile wins); this is the same contract pushed INTO the stream: one
+    output row per (z, x, y) per micro-batch IFF that batch raised the
+    tile's maximum epoch ever seen. A superseding re-materialization
+    emits its new bytes; a stale or duplicate arrival (micro-batch
+    replay, out-of-order backfill, a re-delivered epoch) emits NOTHING.
+    Downstream consumers — tile-cache invalidation, CDN push — see
+    exactly the winner transitions, in arrival order.
+
+    This is the module's one custom stateful operator because the
+    built-ins cannot express it: append-mode "emit only improvements
+    over ALL history" needs per-key state that outlives the micro-batch
+    (``dropDuplicates`` cannot supersede, windowed aggs emit on
+    watermark close, not on arrival). It runs as
+    ``applyInPandasWithState`` keyed by tile address; the state is the
+    max epoch seen — ONE long per distinct tile, the blobs only ride
+    the batch and never enter the state store. Scale: a full z14 planet
+    pyramid is ~3.6e8 keys ≈ tens of GB of state across the cluster —
+    configure the RocksDB state store provider at that scale; the
+    per-key work is O(rows in batch for that key).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit(key, pdfs, state):
+        import pandas as pd
+
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf["epoch"].idxmax()]
+            if best is None or int(row["epoch"]) > int(best["epoch"]):
+                best = row
+        prev = state.get[0] if state.exists else None
+        if best is not None and (prev is None or int(best["epoch"]) > prev):
+            state.update((int(best["epoch"]),))
+            yield pd.DataFrame([{
+                "z": int(key[0]), "x": int(key[1]), "y": int(key[2]),
+                "epoch": int(best["epoch"]), "tile": best["tile"]}])
+
+    return (tiles_stream
+            .groupBy("z", "x", "y")
+            .applyInPandasWithState(
+                emit,
+                outputStructType="z int, x long, y long, "
+                                 "epoch long, tile binary",
+                stateStructType="max_epoch long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_tile_update_stream(spark, sink_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None) -> None:
+    """Drive the change feed over a tile-log directory (the
+    ``streaming_encode_tiles`` sink): drain what is currently available
+    (``availableNow``) into an append-only parquet feed of winner
+    transitions at ``out_dir``. Checkpointed: a later call with the same
+    checkpoint resumes the per-tile state, so re-delivered stale epochs
+    stay suppressed across restarts (the memory sink cannot recover a
+    checkpoint; the file sink's exactly-once log can)."""
+    reader = spark.readStream.schema(
+        "z int, x long, y long, tile binary, epoch long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sink_dir)
+    out = stream_latest_tile_updates(stream)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

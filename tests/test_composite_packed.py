@@ -191,18 +191,24 @@ def test_auto_routes_single_zoom_to_source_grouped(spark, fixture_bytes):
     _check(feats, targets, _src_zooms="auto")
 
 
-def test_multizoom_auto_falls_back_to_generic(spark, fixture_bytes):
-    """Two source zooms: auto inference keeps the generic join path and
-    stays row-identical (cross-zoom first-wins included)."""
+def test_multizoom_auto_routes_source_grouped(spark, fixture_bytes):
+    """Two source zooms: auto inference routes the per-zoom source-grouped
+    passes under cross-zoom winners (union merge) and stays row-identical
+    to the generic composite — cross-zoom first-wins included (both
+    sources contribute the same layer name; the z4 tile has the lower
+    tile_idx, so it owns the layer at every target both cover)."""
     lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
     pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
     feats = ingest.features_from_tiles(
         spark, [(lbuf, 4, 2, 3), (pbuf, 5, 4, 6)])
     targets = spark.createDataFrame(
-        [(5, 4, 6, 128, None, False), (6, 8, 12, 64, None, False)],
+        [(5, 4, 6, 128, None, False), (6, 8, 12, 64, None, False),
+         (6, 9, 13, 128, None, False), (4, 2, 3, 0, None, False)],
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
     _check(feats, targets, _src_zooms="auto")
+    # and with explicitly declared zooms (skips the inference job)
+    _check(feats, targets, _src_zooms=[4, 5])
 
 
 def test_source_grouped_targets_without_keep_layers(spark, fixture_bytes):
@@ -221,6 +227,79 @@ def test_source_grouped_targets_without_keep_layers(spark, fixture_bytes):
     assert got.columns == want.columns
     w = _canon(want)
     assert w and _canon(got) == w
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_randomized_multizoom_relational_parity(spark, seed):
+    """Randomized MIXED-ZOOM tilesets (sources at two zooms, shared layer
+    names, targets descending from either or both, keep-lists, varying
+    buffers) — the multi-zoom source-grouped relational route must be
+    row-identical to the generic join plan on shapes no hand case pins."""
+    import numpy as np
+
+    from vtcomposite_spark.sources import mvt
+
+    rng = np.random.default_rng(seed)
+
+    def rand_feature(gt):
+        if gt == 1:
+            parts = [[(int(rng.integers(-200, 4300)),
+                       int(rng.integers(-200, 4300)))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        elif gt == 2:
+            parts = [[(int(x), int(y)) for x, y in
+                      rng.integers(-200, 4300, size=(rng.integers(2, 6), 2))]
+                     for _ in range(rng.integers(1, 3))]
+            rts = [0] * len(parts)
+        else:
+            x, y = int(rng.integers(-100, 3800)), int(rng.integers(-100, 3800))
+            w, h = int(rng.integers(50, 600)), int(rng.integers(50, 600))
+            ring = [(x, y), (x, y + h), (x + w, y + h), (x + w, y), (x, y)]
+            parts, rts = [ring], [1 if mvt.ring_area2(ring) > 0 else 2]
+        props = {f"k{j}": v for j, v in enumerate(
+            [int(rng.integers(-5, 5)), float(round(rng.normal(), 3)),
+             "s" + str(rng.integers(0, 3))][:rng.integers(0, 4)])}
+        return mvt.Feature(geom_type=gt, parts=parts, ring_types=rts,
+                           properties=props, prop_types=None,
+                           fid=int(rng.integers(0, 99)) if rng.random() < .5
+                           else None)
+
+    def rand_tile(nlayers):
+        return mvt.encode_tile([
+            mvt.Layer(name=f"L{li % 2}",
+                      features=[rand_feature(int(rng.integers(1, 4)))
+                                for _ in range(rng.integers(1, 5))])
+            for li in range(nlayers)])
+
+    ZLO, ZHI = 4, 5
+    srcs = []
+    for _ in range(5):
+        if rng.random() < 0.5:
+            srcs.append((ZLO, int(rng.integers(0, 2)), int(rng.integers(0, 2))))
+        else:
+            srcs.append((ZHI, int(rng.integers(0, 4)), int(rng.integers(0, 4))))
+    tiles = [(rand_tile(int(rng.integers(1, 3))), *s) for s in srcs]
+    feats = ingest.features_from_tiles(spark, tiles)
+
+    trows = []
+    for (sz, sx, sy) in srcs:
+        for _ in range(int(rng.integers(1, 3))):
+            dz = int(rng.integers(0, 3))
+            trows.append((
+                sz + dz,
+                (sx << dz) + int(rng.integers(0, 1 << dz)),
+                (sy << dz) + int(rng.integers(0, 1 << dz)),
+                int(rng.choice([0, 128, 4080])),
+                ["L0"] if rng.random() < 0.3 else None,
+                bool(rng.random() < 0.3)))
+    seen: dict = {}
+    for r in trows:
+        seen.setdefault(r[:3], r)
+    targets = spark.createDataFrame(
+        list(seen.values()), "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    _check(feats, targets, _src_zooms=[ZLO, ZHI])
 
 
 def test_all_clipped_away_yields_nothing(spark, fixture_bytes):

@@ -718,11 +718,13 @@ def composite_packed(features: DataFrame, targets: DataFrame,
     cost; the restore is a codegen generator, not a second seam.
 
     ``src_zooms`` mirrors ``composite_encode_tiles``: ``"auto"`` (default)
-    infers the feature zoom levels with one tiny distinct scan and, when
-    they collapse to ONE zoom, routes through the source-grouped
+    infers the feature zoom levels with one tiny distinct scan and routes
+    the source-grouped strategy — ONE zoom through
     ``overzoom_composite_packed`` (features shuffle once, bytes ∝ input —
-    and the measured fastest at bench scale too); several zooms or ``None``
-    run the generic join path here (row-correct for any mix). The
+    and the measured fastest at bench scale too), SEVERAL through
+    ``_multizoom_composite_packed`` (per-zoom source-grouped passes under
+    keys-only cross-zoom winners, merged by plain union). ``None`` forces
+    the generic join path here (the parity-test reference). The
     inference is an eager job at call time — streaming callers declare
     zooms or pass ``None``.
 
@@ -753,8 +755,8 @@ def composite_packed(features: DataFrame, targets: DataFrame,
             return overzoom_composite_packed(features, targets,
                                              src_zoom=zs[0],
                                              partitions=partitions)
-        # several zooms: the generic join path below is row-correct for
-        # any mix; keep the declared zooms to shrink the target explode
+        return _multizoom_composite_packed(features, targets, zs,
+                                           partitions=partitions)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
                       src_zooms=src_zooms)
@@ -881,8 +883,9 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
 
     from ..sources import mvt_vec
 
-    if _packed_rows and (_wins or _layer_rows):
-        raise ValueError("_packed_rows is a single-zoom relational mode")
+    if _packed_rows and _layer_rows:
+        raise ValueError("_packed_rows and _layer_rows are exclusive "
+                         "output modes")
 
     feats = features.filter(F.col("src_z") == src_zoom)
     t = (targets.filter(F.col("z") >= src_zoom)
@@ -1121,15 +1124,7 @@ def overzoom_composite_packed(features: DataFrame, targets: DataFrame,
     packed_out = overzoom_encode_tiles(features, targets, src_zoom=src_zoom,
                                        partitions=partitions,
                                        _packed_rows=True)
-    exploded = packed_out.select(
-        "z", "x", "y", "buffer_size", "compress", F.inline("feats"))
-    dz = F.col("z") - F.lit(src_zoom)
-    exploded = (exploded
-                .withColumn("src_z", F.lit(src_zoom).cast("int"))
-                .withColumn("src_x", F.call_function(
-                    "shiftright", F.col("x"), dz).cast("long"))
-                .withColumn("src_y", F.call_function(
-                    "shiftright", F.col("y"), dz).cast("long")))
+    exploded = _packed_rows_to_relational(packed_out, src_zoom)
     # composite()'s exact column order — derived from the generic plan's
     # schema (lazy, never executed), so the two paths stay drop-in. The
     # sink contract tolerates a missing keep_layers column; give the
@@ -1139,6 +1134,24 @@ def overzoom_composite_packed(features: DataFrame, targets: DataFrame,
                            F.lit(None).cast("array<string>"))
     order = composite(features, tref).columns
     return exploded.select(*order)
+
+
+def _packed_rows_to_relational(packed_out: DataFrame,
+                               src_zoom: int) -> DataFrame:
+    """JVM-side restore of a ``_packed_rows`` sink output to relational
+    feature rows: ``inline`` the feature structs (a codegen generator —
+    not a second python seam) and re-derive ``src_z/src_x/src_y`` from the
+    target address (at one source zoom they are z − dz arithmetic, not
+    carried data). Column ordering is the caller's concern."""
+    exploded = packed_out.select(
+        "z", "x", "y", "buffer_size", "compress", F.inline("feats"))
+    dz = F.col("z") - F.lit(src_zoom)
+    return (exploded
+            .withColumn("src_z", F.lit(src_zoom).cast("int"))
+            .withColumn("src_x", F.call_function(
+                "shiftright", F.col("x"), dz).cast("long"))
+            .withColumn("src_y", F.call_function(
+                "shiftright", F.col("y"), dz).cast("long")))
 
 
 def _merge_layer_rows(layer_rows: DataFrame) -> DataFrame:
@@ -1198,6 +1211,26 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     Relies on the ingest contract that ``tile_idx`` identifies ONE input
     tile (its zoom mapping is functional) — reusing a tile_idx across
     source tiles at different zooms would duplicate winner rows."""
+    wins, t_base = _multizoom_wins(features, targets, zs)
+    parts = []
+    for z_s in zs:
+        t_z = t_base.join(_wins_for_zoom(wins, z_s),
+                          on=["z", "x", "y"], how="inner")
+        parts.append(overzoom_encode_tiles(
+            features, t_z, src_zoom=int(z_s), partitions=partitions,
+            _wins=True, _layer_rows=True))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return _merge_layer_rows(merged)
+
+
+def _multizoom_wins(features: DataFrame, targets: DataFrame,
+                    zs: list[int]):
+    """Cross-zoom first-wins reconciliation shared by the multi-zoom sink
+    and the multi-zoom packed relational path: keys-only global winners
+    per (target, layer) with each winner's source zoom, checkpointed, plus
+    the tile_idx-functional-mapping guard. Returns (wins, t_base)."""
     has_keep = "keep_layers" in targets.columns
     fk = (features.filter(F.col("src_z").isin([int(z) for z in zs]))
           .groupBy("src_z", "src_x", "src_y", "layer")
@@ -1235,22 +1268,44 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
             "several source zooms). tile_idx must identify ONE input tile — "
             "re-ingest with features_from_tiles_df's default per-zoom "
             "ordinal or pass a distinct tile_idx per input tile.")
-
     t_base = targets.drop("keep_layers") if has_keep else targets
+    return wins, t_base
+
+
+def _wins_for_zoom(wins: DataFrame, z_s: int) -> DataFrame:
+    """One zoom's winner lists: (z, x, y, wins: array<struct<layer,
+    tile_idx>>) for targets where zoom ``z_s`` won at least one layer."""
+    return (wins.filter(F.col("src_z") == F.lit(int(z_s)))
+            .groupBy("z", "x", "y")
+            .agg(F.collect_list(F.struct("layer", "tile_idx"))
+                 .alias("wins")))
+
+
+def _multizoom_composite_packed(features: DataFrame, targets: DataFrame,
+                                zs: list[int],
+                                partitions: int | None = None) -> DataFrame:
+    """Multi-zoom packed RELATIONAL twin of ``_multizoom_encode_tiles``:
+    the same keys-only cross-zoom winner plan and per-zoom source-grouped
+    passes, but each pass emits packed relational rows (``_packed_rows``)
+    and the merge is a plain UNION — relational output needs no byte
+    splicing, several passes' rows for one target are just that target's
+    rows. Row-identical to the generic ``composite`` (parity-tested)."""
+    wins, t_base = _multizoom_wins(features, targets, zs)
     parts = []
     for z_s in zs:
-        wz = (wins.filter(F.col("src_z") == F.lit(int(z_s)))
-              .groupBy("z", "x", "y")
-              .agg(F.collect_list(F.struct("layer", "tile_idx"))
-                   .alias("wins")))
-        t_z = t_base.join(wz, on=["z", "x", "y"], how="inner")
-        parts.append(overzoom_encode_tiles(
+        t_z = t_base.join(_wins_for_zoom(wins, z_s),
+                          on=["z", "x", "y"], how="inner")
+        packed_out = overzoom_encode_tiles(
             features, t_z, src_zoom=int(z_s), partitions=partitions,
-            _wins=True, _layer_rows=True))
+            _wins=True, _packed_rows=True)
+        parts.append(_packed_rows_to_relational(packed_out, int(z_s)))
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    return _merge_layer_rows(merged)
+    tref = targets if "keep_layers" in targets.columns else \
+        targets.withColumn("keep_layers",
+                           F.lit(None).cast("array<string>"))
+    return merged.select(*composite(features, tref).columns)
 
 
 def encode_tiles(composited: DataFrame, impl: str = "columnar",

@@ -155,12 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "src_z", "src_x", "src_y")
     q["tile_ancestry_filter"] = tile_ancestry_filter
 
-    def composite_overzoom_points(spark, sf):
-        """The flagship operator itself under the oracle gate: point
-        features derived from lineitem, composited z4→z6 with buffer 128
-        through composite_points (ancestor equi-join → first-wins →
-        overzoom affine → closed-box clip), replayed in ANSI SQL."""
-        from vtcomposite_spark.operators.composite import composite_points
+    def _points_overzoom_fixture(spark, sf):
+        """lineitem-derived point features (z4 sources) + the 8×8 z6
+        target grid shared by the relational composite gate queries."""
         li = _read(spark, sf, "lineitem")
         feats = li.select(
             (F.col("l_linenumber") % 3).cast("int").alias("tile_idx"),
@@ -184,6 +181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.lit(128).alias("buffer_size"),
                            F.lit(None).cast("array<string>").alias("keep_layers"),
                            F.lit(False).alias("compress")))
+        return feats, targets
+
+    def composite_overzoom_points(spark, sf):
+        """The flagship operator itself under the oracle gate: point
+        features derived from lineitem, composited z4→z6 with buffer 128
+        through composite_points (ancestor equi-join → first-wins →
+        overzoom affine → closed-box clip), replayed in ANSI SQL."""
+        from vtcomposite_spark.operators.composite import composite_points
+        feats, targets = _points_overzoom_fixture(spark, sf)
         out = composite_points(feats, targets)
         # try_element_at: ANSI-safe — Catalyst may evaluate the projection
         # speculatively on rows the size()>0 filter later removes
@@ -192,6 +198,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.try_element_at("xs", F.lit(1)).alias("px"),
             F.try_element_at("ys", F.lit(1)).alias("py"))
     q["composite_overzoom_points"] = composite_overzoom_points
+
+    def composite_packed_points(spark, sf):
+        """The r5 PACKED relational path under the FULL oracle gate: the
+        identical workload as composite_overzoom_points, but through
+        composite_packed's source-grouped route (pack by SOURCE tile →
+        in-kernel fan-out + first-wins + clip → packed per-target emit →
+        JVM inline restore) — the whole packed seam round-trip replayed
+        value-for-value by the same ANSI SQL as the expression path."""
+        from vtcomposite_spark.operators.composite import composite_packed
+        feats, targets = _points_overzoom_fixture(spark, sf)
+        out = composite_packed(feats, targets, src_zooms=[4])
+        return out.select(
+            "z", "x", "y", "tile_idx", "feature_id",
+            F.try_element_at("xs", F.lit(1)).alias("px"),
+            F.try_element_at("ys", F.lit(1)).alias("py"))
+    q["composite_packed_points"] = composite_packed_points
 
     def _sink_fixture(spark, sf):
         """lineitem-derived point features + the 8×8 z6 target grid shared
@@ -784,6 +806,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT z, x, y, tile_idx, feature_id, px, py FROM clip "
         "WHERE px BETWEEN -128 AND 4224 AND py BETWEEN -128 AND 4224"
     )
+
+    # the packed relational path computes the SAME relation — one oracle
+    # string, two physical engines under it (expression path above, packed
+    # seam + kernel here)
+    o["composite_packed_points"] = o["composite_overzoom_points"]
 
     # the encode→decode roundtrip replays the SAME overzoom+first-wins+
     # clip semantics and aggregates per output tile — the decoded tile

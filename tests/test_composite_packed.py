@@ -130,18 +130,19 @@ def test_capped_packing_parity(spark, fixture_bytes):
     _check(feats, targets, max_pack_features=int(nmax))
 
 
-def test_capped_packing_over_cap_raises(spark, fixture_bytes):
-    """A single layer beyond the cap raises the sinks' loud error rather
-    than packing an unbounded row."""
+def test_capped_packing_splits_over_cap_layer(spark, fixture_bytes):
+    """Unlike the byte sinks (which must raise — splitting a layer's
+    encoded message needs key/value-table merge), the relational packed
+    path SPLITS an over-cap layer into bounded buckets and the inline
+    union restores it: with a cap of 7 on a ~2000-feature layer the rows
+    still exactly match the per-row composite()."""
     lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
     feats = ingest.features_from_tiles(spark, [(lbuf, 4, 2, 3)])
     targets = spark.createDataFrame(
-        [(4, 2, 3, 0, None, False)],
+        [(4, 2, 3, 0, None, False), (5, 4, 6, 128, None, False)],
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    out = C.composite_packed(feats, targets, max_pack_features=1)
-    with pytest.raises(Exception, match="max_pack_features"):
-        out.collect()
+    _check(feats, targets, max_pack_features=7)
 
 
 @pytest.mark.parametrize("fixture", [

@@ -227,3 +227,29 @@ def test_write_level_and_resume(spark):
         assert L.completed_levels(spark, root) == {0, 1, 2}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_packed_relational_plan_shape(spark):
+    """The r5 packed relational route's physical plan must keep the
+    source-grouped sink's shape: target groups broadcast, features
+    shuffle ONCE (hash by source tile — unduplicated rows, bytes ∝
+    input), exactly one python seam (MapInArrow), and the row restore is
+    a JVM Generate (inline), not a second seam. Rows stay identical to
+    the generic composite()."""
+    from vtcomposite_spark.operators.composite import (composite,
+                                                       overzoom_composite_packed)
+    feats, targets = _points_fixture(spark)
+    out = overzoom_composite_packed(feats, targets, src_zoom=4)
+    got = _canon(out)  # collect first: AQE finalizes the plan on run
+    want = _canon(composite(feats, targets, join_strategy="broadcast"))
+    assert got == want and want
+    # the AQE executedPlan string carries Final AND Initial plan copies —
+    # count nodes in the final section only
+    plan = _final_plan(out).split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in plan
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("Generate") == 1
+    # exactly two hash exchanges: the tiny target-group agg and the ONE
+    # features shuffle by source tile (unduplicated rows); the generic
+    # join path would shuffle the feature×target duplicated relation
+    assert plan.count("Exchange hashpartitioning") == 2

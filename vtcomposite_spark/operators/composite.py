@@ -485,7 +485,10 @@ def _pack_tiles(df: DataFrame, by_layer: bool = False) -> DataFrame:
     (the encoder reads it per feature).
     """
     keys = ["z", "x", "y"] + (["layer"] if by_layer else [])
-    data_cols = [c for c in df.columns if c not in _TILE_LEVEL_COLS]
+    if "_pack_bucket" in df.columns:  # relational within-layer split key
+        keys.append("_pack_bucket")
+    data_cols = [c for c in df.columns
+                 if c not in _TILE_LEVEL_COLS and c != "_pack_bucket"]
     aggs = [F.collect_list(F.struct(*data_cols)).alias("feats")]
     for c in ("buffer_size", "compress"):
         if c in df.columns:
@@ -728,12 +731,14 @@ def composite_packed(features: DataFrame, targets: DataFrame,
     inference is an eager job at call time — streaming callers declare
     zooms or pass ``None``.
 
-    ``max_pack_features`` bounds the packed row per (tile, LAYER) exactly
-    like the sinks (a generic-path contract, like the sink's: it forces
-    the join route) — and unlike the byte sinks, relational output needs
-    NO splice step: several packed rows per tile ``inline`` to the same
-    rows, so the cap is safe here without merge machinery (a single
-    over-cap layer still raises, same contract as the sinks).
+    ``max_pack_features`` bounds EVERY packed row (a generic-path
+    contract, like the sink's: it forces the join route). Unlike the
+    byte sinks, relational output needs NO splice step — several packed
+    rows per tile ``inline`` to the same rows — so a layer beyond the
+    cap does not raise here: it splits into bounded per-layer BUCKETS
+    (a row_number window over the layer) and the union restores it.
+    The sinks keep their loud error because splitting WITHIN a layer's
+    encoded message would need key/value-table-aware merge.
     """
     if max_pack_features is not None:
         if not (src_zooms is None or src_zooms == "auto"):
@@ -767,7 +772,20 @@ def composite_packed(features: DataFrame, targets: DataFrame,
     j = _overzoom_prep(j)
 
     kernel_names = [f.name for f in j.schema.fields]
-    packed = _pack_tiles(j, by_layer=max_pack_features is not None)
+    jp = j
+    if max_pack_features is not None:
+        # relational output needs NO splice, so a layer beyond the cap
+        # simply splits into several bounded packed rows — the inline
+        # restore unions them back. (The byte sinks cannot do this:
+        # splitting WITHIN a layer would need key/value-table-aware
+        # message merge, so they raise instead.) The bucket column is a
+        # grouping key only — _pack_tiles keeps it out of the structs.
+        jp = j.withColumn("_pack_bucket", (
+            (F.row_number().over(
+                Window.partitionBy("z", "x", "y", "layer")
+                .orderBy("tile_idx", "feature_idx")) - 1)
+            / F.lit(int(max_pack_features))).cast("int"))
+    packed = _pack_tiles(jp, by_layer=max_pack_features is not None)
     tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
     feat_fields = [f for f in j.schema.fields
                    if f.name not in _KERNEL_HELPER_COLS

@@ -303,6 +303,24 @@ def test_randomized_multizoom_relational_parity(spark, seed):
     _check(feats, targets, _src_zooms=[ZLO, ZHI])
 
 
+def test_empty_declared_zooms_yield_empty(spark, fixture_bytes):
+    """An explicitly-declared EMPTY src_zooms list (e.g. computed from an
+    empty catalog) must yield an empty result with the right schema in
+    both the packed relational path and the fused sink — not crash the
+    multi-zoom router on zero passes."""
+    buf = fixture_bytes("four-points-quadrants.mvt")
+    feats = ingest.features_from_tiles(spark, [(buf, 0, 0, 0)])
+    targets = spark.createDataFrame(
+        [(1, 0, 0, 0, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    rel = C.composite_packed(feats, targets, src_zooms=[])
+    assert rel.count() == 0
+    assert rel.columns == C.composite(feats, targets).columns
+    sink = C.composite_encode_tiles(feats, targets, src_zooms=[])
+    assert sink.count() == 0 and sink.columns == ["z", "x", "y", "tile"]
+
+
 def test_all_clipped_away_yields_nothing(spark, fixture_bytes):
     """A target whose window every feature misses: the packed row inlines
     to zero rows, exactly like the per-row path."""

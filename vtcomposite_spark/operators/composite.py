@@ -644,13 +644,16 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                     features.select("src_z").distinct().collect()
                     if r[0] is not None]
         src_zooms = inferred or None  # empty input: any path yields nothing
-    if src_zooms is not None:
+    if src_zooms is not None and len(src_zooms) > 0:
         zs = sorted({int(z) for z in src_zooms})
         if len(zs) == 1:
             return overzoom_encode_tiles(features, targets, src_zoom=zs[0],
                                          partitions=partitions)
         return _multizoom_encode_tiles(features, targets, zs,
                                        partitions=partitions)
+    # an explicitly-declared EMPTY zoom list falls through to the generic
+    # join, whose empty target explode yields an empty result with the
+    # right schema (the multi-zoom path would have no passes to union)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
                       src_zooms=src_zooms)
@@ -754,7 +757,7 @@ def composite_packed(features: DataFrame, targets: DataFrame,
                     features.select("src_z").distinct().collect()
                     if r[0] is not None]
         src_zooms = inferred or None
-    if src_zooms is not None:
+    if src_zooms is not None and len(src_zooms) > 0:
         zs = sorted({int(z) for z in src_zooms})
         if len(zs) == 1:
             return overzoom_composite_packed(features, targets,
@@ -762,6 +765,9 @@ def composite_packed(features: DataFrame, targets: DataFrame,
                                              partitions=partitions)
         return _multizoom_composite_packed(features, targets, zs,
                                            partitions=partitions)
+    # an explicitly-declared EMPTY zoom list falls through to the generic
+    # join, whose empty target explode yields an empty result with the
+    # right schema (the multi-zoom path would have no passes to union)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
                       src_zooms=src_zooms)

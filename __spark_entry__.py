@@ -664,6 +664,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.dedupe_lines(with_bp, min_count=2)
     q["line_dedupe_boilerplate"] = line_dedupe_boilerplate
 
+    def dedupe_substrings(spark, sf):
+        """Exact-substring dedupe at 8-token-gram anchors (Lee et al.
+        2021 ExactSubstr, gram-granular): any 8-gram occurring twice in
+        the corpus is removed from every occurrence but the globally
+        first; overlapping removals merge into spans and the kept tokens
+        re-join. The synthetic corpus carries ~1k duplicated 8-grams, so
+        both the removal and pass-through paths are exercised."""
+        docs = _read(spark, sf, "documents")
+        out = D.dedupe_substrings(docs, k=8)
+        return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                          "n_removed", F.md5("text_clean").alias("clean_md5"))
+    q["dedupe_substrings"] = dedupe_substrings
+
     def doc_quality_filters(spark, sf):
         """Gopher-style quality rules (Rae et al. 2021 §A1.1) as pure
         column expressions: word-count bounds, mean word length, alpha
@@ -1059,6 +1072,44 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) "
         "ORDER BY idx), '') AS text_clean "
         "FROM m GROUP BY doc_id"
+    )
+
+    # exact-substring dedupe: same gram hashing, ranking, island merge,
+    # and difference-array coverage as the engine, in pure SQL
+    _ss_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(8))
+    o["dedupe_substrings"] = (
+        "WITH w AS (SELECT doc_id AS id, list_filter(string_split(text, "
+        "' '), t -> t != '') AS ws FROM documents), "
+        "toks AS (SELECT id, i - 1 AS pos, ws[i] AS tok FROM "
+        "(SELECT id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)), "
+        "g AS (SELECT id, i - 1 AS pos, md5(" + _ss_parts + ") AS gram "
+        "FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 7)) "
+        "AS i FROM w) WHERE len(ws) >= 8), "
+        "rem AS (SELECT id, pos, pos + 8 AS e FROM (SELECT *, row_number()"
+        " OVER (PARTITION BY gram ORDER BY id, pos) AS rnk FROM g) "
+        "WHERE rnk > 1), "
+        "isl AS (SELECT id, pos, e, sum(CASE WHEN pmax IS NULL OR "
+        "pos >= pmax THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY "
+        "pos ROWS UNBOUNDED PRECEDING) AS isl FROM (SELECT *, max(e) "
+        "OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) AS pmax FROM rem)), "
+        "spans AS (SELECT id, isl, min(pos) AS s, max(e) AS e FROM isl "
+        "GROUP BY 1, 2), "
+        "ev AS (SELECT id, pos, CAST(sum(d) AS BIGINT) AS d FROM ("
+        "SELECT id, s AS pos, 1 AS d FROM spans UNION ALL "
+        "SELECT id, e AS pos, -1 AS d FROM spans) GROUP BY 1, 2), "
+        "cov AS (SELECT t.id, t.pos, t.tok, sum(coalesce(ev.d, 0)) OVER "
+        "(PARTITION BY t.id ORDER BY t.pos ROWS UNBOUNDED PRECEDING) "
+        "AS cov FROM toks t LEFT JOIN ev ON t.id = ev.id AND "
+        "t.pos = ev.pos), "
+        "agg AS (SELECT id, count(*) AS n_tokens, CAST(sum(CASE WHEN "
+        "cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+        "coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' "
+        "ORDER BY pos), '') AS text_clean FROM cov GROUP BY id) "
+        "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, "
+        "coalesce(a.n_removed, 0) AS n_removed, "
+        "md5(coalesce(a.text_clean, '')) AS clean_md5 "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.id"
     )
 
     # the same recursive closure, final select = the KEPT corpus (one doc

@@ -731,3 +731,46 @@ def test_sample_mixture_rates_and_determinism(spark):
     assert {i for i in half_en if i % 2 == 1} == all_fr
     # absent group takes default_rate
     assert kept({"fr": 1.0}, default=1.0) == set(range(200))
+
+
+def test_dedupe_substrings_exactsubstr_semantics(spark):
+    """ExactSubstr at 8-gram anchors: the globally-first occurrence of a
+    repeated passage survives intact, every other occurrence loses the
+    FULL overlapping span (merged grams), docs shorter than k and empty
+    docs pass through, and sub-k self-repetition is untouched."""
+    from vtcomposite_spark.operators import dedupe as D
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j"),        # first occurrence: kept
+        (2, "x y a b c d e f g h i j z"),  # repeat: grams a..h/b..i/c..j
+        (3, "short doc"),                  # < k tokens
+        (4, ""),                           # empty
+        (5, "p q r p q r p q r"),          # repetition below k
+    ], "doc_id long, text string")
+    out = {r.id: r for r in D.dedupe_substrings(docs, k=8).collect()}
+    assert len(out) == 5
+    assert (out[1].n_removed, out[1].text_clean) == (0, "a b c d e f g h i j")
+    # spans [2,10)+[3,11)+[4,12) merge to [2,12): 10 tokens removed
+    assert (out[2].n_tokens, out[2].n_removed, out[2].text_clean) \
+        == (13, 10, "x y z")
+    assert (out[3].n_removed, out[3].text_clean) == (0, "short doc")
+    assert (out[4].n_tokens, out[4].text_clean) == (0, "")
+    assert (out[5].n_removed, out[5].text_clean) == (0, "p q r p q r p q r")
+
+
+def test_dedupe_substrings_self_repeat_and_triple(spark):
+    """A doc repeating its own long passage keeps only the first copy;
+    a gram occurring in three docs survives only in the smallest id."""
+    from vtcomposite_spark.operators import dedupe as D
+
+    passage = "one two three four five six seven eight"
+    docs = spark.createDataFrame([
+        (1, f"{passage} mid {passage}"),
+        (2, f"lead-in {passage}"),
+        (3, f"{passage} trailer"),
+    ], "doc_id long, text string")
+    out = {r.id: r for r in D.dedupe_substrings(docs, k=8).collect()}
+    assert out[1].text_clean == f"{passage} mid"
+    assert out[1].n_removed == 8
+    assert out[2].text_clean == "lead-in"
+    assert out[3].text_clean == "trailer"

@@ -349,6 +349,86 @@ def dedupe_lines(docs: DataFrame, min_count: int = 2,
             delimiter).alias("text_clean")))
 
 
+def dedupe_substrings(docs: DataFrame, k: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact-SUBSTRING deduplication at k-token-gram anchors — the
+    ExactSubstr protocol of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), gram-granular: any k-token
+    window whose exact text occurs again ANYWHERE in the corpus
+    (another doc or later in the same doc) is removed from every
+    occurrence except the globally first one (order: id, position);
+    overlapping removals merge into spans and the surviving tokens
+    re-join. Returns (id, n_tokens, n_removed, text_clean) — one row
+    per input doc, shorter-than-k and empty docs pass through intact.
+
+    100-TB shape: rows ∝ tokens (ONE posexplode). The gram identity is
+    a 64-hex md5 built in codegen from ``k`` ``lead()``s over one
+    per-doc sort — no O(L·k) token arrays materialize and only the
+    hash+keys shuffle; first-occurrence ranking is one window over the
+    gram hash; span merging is a prefix-max (gaps-and-islands) over the
+    TINY removal set; and coverage is a boundary difference-array
+    cumulative sum, so no token-to-span range join ever forms. Every
+    step is replayable in ANSI SQL (oracle row ``dedupe_substrings``).
+    """
+    from ..functions.text import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    wd = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, k)]
+    grams = (toks
+             .withColumn("gram", F.when(parts[-1].isNotNull(),
+                                        F.md5(F.concat_ws(" ", *parts))))
+             .filter(F.col("gram").isNotNull()))
+    wg = Window.partitionBy("gram").orderBy("id", "pos")
+    removed = (grams
+               .withColumn("rnk", F.row_number().over(wg))
+               .filter(F.col("rnk") > 1)   # rank 1 of a duplicated gram
+               .select("id", "pos",        # is the KEPT occurrence
+                       (F.col("pos") + F.lit(k)).alias("end")))
+    # merge overlapping/adjacent spans per doc: a span starts a new
+    # island when its start clears every previous end (prefix max)
+    wp = Window.partitionBy("id").orderBy("pos")
+    spans = (removed
+             .withColumn("pmax", F.max("end").over(
+                 wp.rowsBetween(Window.unboundedPreceding, -1)))
+             .withColumn("isl", F.sum(
+                 F.when(F.col("pmax").isNull()
+                        | (F.col("pos") >= F.col("pmax")), 1)
+                 .otherwise(0)).over(wp))
+             .groupBy("id", "isl")
+             .agg(F.min("pos").alias("s"), F.max("end").alias("e")))
+    # boundary difference array: +1 at span start, -1 at span end; the
+    # running sum over token order marks covered (removed) positions
+    ev = (spans.select("id", F.col("s").alias("pos"), F.lit(1).alias("d"))
+          .unionByName(
+              spans.select("id", F.col("e").alias("pos"),
+                           F.lit(-1).alias("d")))
+          .groupBy("id", "pos").agg(F.sum("d").alias("d")))
+    cov = (toks.join(ev, on=["id", "pos"], how="left")
+           .withColumn("cov", F.sum(F.coalesce(F.col("d"), F.lit(0)))
+                       .over(wd)))
+    cleaned = (cov.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("cov") > 0, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("cov") == 0,
+                           F.struct(F.col("pos"), F.col("tok"))))),
+                lambda s: s["tok"]),
+            " ").alias("text_clean")))
+    # one row per INPUT doc: zero-token docs never reach the explode
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(cleaned, on="id", how="left")
+            .select("id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str | None = None,

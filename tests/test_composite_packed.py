@@ -101,18 +101,24 @@ def test_first_wins_keep_holes_parity(spark, fixture_bytes):
 
 def test_null_buffer_size_parity(spark, fixture_bytes):
     """NULL buffer_size (dz>0) drops all its features via the envelope
-    predicate in both paths — the packed seam must not resurrect them."""
+    predicate in both paths — the packed seam must not resurrect them.
+    A dz=0 NULL-buffer target PASSES THROUGH (the fast path ignores the
+    buffer) and must survive the packed seam's integer tile-column
+    rebuild even when its batch also carries clip rows — the NaN-cast
+    crash a review repro found."""
     lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
     feats = ingest.features_from_tiles(spark, [(lbuf, 4, 2, 3)])
     targets = spark.createDataFrame(
         [(5, 4, 6, None, None, False),
-         (5, 5, 7, 128, None, False)],
+         (5, 5, 7, 128, None, False),
+         (4, 2, 3, None, None, False)],   # dz=0, NULL buffer: pass-through
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    _check(feats, targets)
-    got = C.composite_packed(feats, targets)
+    _check(feats, targets)                      # generic packed path
+    _check(feats, targets, _src_zooms="auto")   # source-grouped route
+    got = C.composite_packed(feats, targets, src_zooms=None)
     assert {(r.z, r.x, r.y) for r in got.select("z", "x", "y").collect()} \
-        == {(5, 5, 7)}
+        == {(5, 5, 7), (4, 2, 3)}
 
 
 def test_capped_packing_parity(spark, fixture_bytes):
@@ -319,6 +325,10 @@ def test_empty_declared_zooms_yield_empty(spark, fixture_bytes):
     assert rel.columns == C.composite(feats, targets).columns
     sink = C.composite_encode_tiles(feats, targets, src_zooms=[])
     assert sink.count() == 0 and sink.columns == ["z", "x", "y", "tile"]
+    # the cap is a generic-path contract and [] takes the generic path —
+    # combining them must not raise the declared-zooms error
+    assert C.composite_packed(feats, targets, src_zooms=[],
+                              max_pack_features=10).count() == 0
 
 
 def test_all_clipped_away_yields_nothing(spark, fixture_bytes):

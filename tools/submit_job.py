@@ -80,12 +80,14 @@ def main(argv=None) -> None:
     # imported AFTER spark-submit has placed the --py-files zip on the path
     from vtcomposite_spark.schema import get_spark
 
-    extra = {}
-    if args.shuffle_partitions:
-        extra["spark.sql.shuffle.partitions"] = str(args.shuffle_partitions)
+    # pass the knob as get_spark's OWN kwarg: extra_conf is applied before
+    # get_spark's hard-coded shuffle-partitions config, which would
+    # silently overwrite it (builder options are last-write-wins)
+    kw = {}
+    if args.shuffle_partitions is not None:
+        kw["shuffle_partitions"] = args.shuffle_partitions
     # no master here: spark-submit owns it (local[N] / YARN / k8s)
-    spark = get_spark(app=f"vtcomposite-{args.job}", master=None,
-                      extra_conf=extra)
+    spark = get_spark(app=f"vtcomposite-{args.job}", master=None, **kw)
 
     if args.job == "geocode":
         from pyspark.sql import functions as F

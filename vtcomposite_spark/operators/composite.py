@@ -256,7 +256,12 @@ def _overzoom_clip_batches(it: Iterator[pa.RecordBatch], out_schema: pa.Schema):
         dxc = batch.column("disp_x").to_numpy(zero_copy_only=False).astype(_I64)
         dyc = batch.column("disp_y").to_numpy(zero_copy_only=False).astype(_I64)
         extent = batch.column("extent").to_numpy(zero_copy_only=False).astype(_I64)
-        buf = batch.column("buffer_size").to_numpy(zero_copy_only=False).astype(_I64)
+        # buffer_size can be NULL only on dz=0 rows (the JVM envelope
+        # prune drops NULL-buffer dz>0 rows) and those take the fast path
+        # above — but the COLUMN conversion is batch-wide, so a mixed
+        # batch would read NaN into the int bounds without the fill
+        buf = batch.column("buffer_size").fill_null(0).to_numpy(
+            zero_copy_only=False).astype(_I64)
         zf = np.int64(1) << dz
         lo_all = -buf
         hi_all = extent + buf
@@ -571,11 +576,53 @@ def _unpack_batch(batch, tile_cols: list[str]):
     for i, fld in enumerate(vals.type):
         cols[fld.name] = vals.field(i)
     total = int(off[-1])
+    rep_idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                                 nfeat))
     for name in tile_cols:
-        col = batch.column(name)
-        rep = np.repeat(col.to_numpy(zero_copy_only=False), nfeat)
-        cols[name] = pa.array(rep, type=col.type)
-    return cols, total
+        # Arrow-native take, NOT to_numpy+np.repeat: a NULL tile-level
+        # value (e.g. buffer_size on a dz=0 pass-through target) would
+        # read as NaN and crash the integer rebuild
+        cols[name] = batch.column(name).take(rep_idx)
+    return cols, total, off
+
+
+def _route_src_zooms(features: DataFrame, src_zooms,
+                     max_pack_features: int | None) -> list[int] | None:
+    """Shared ``src_zooms`` normalization for the fused sink and the
+    packed relational path (ONE implementation so the two public entry
+    points cannot drift). Returns:
+
+    * a sorted NON-EMPTY zoom list — route the source-grouped strategy;
+    * ``[]`` — zooms were explicitly declared empty: the generic join
+      path with an empty declaration yields an empty result with the
+      right schema;
+    * ``None`` — the generic join path over all zooms.
+
+    ``max_pack_features`` is a generic-path contract: combined with
+    declared non-empty zooms it raises (source-grouped packing bounds
+    rows by source tile content instead); with ``"auto"`` it skips the
+    inference job entirely and forces the generic path. ``"auto"``
+    otherwise infers the zoom levels with one column-pruned distinct
+    scan — an EAGER job at call time (streaming callers declare zooms
+    or pass ``None``)."""
+    if max_pack_features is not None:
+        if src_zooms not in (None, "auto") and src_zooms:
+            raise ValueError(
+                "max_pack_features applies to the generic join path; "
+                "source-grouped routing (declared src_zooms) bounds packed "
+                "rows by source tile content instead")
+        return list(src_zooms) if isinstance(src_zooms, list) else None
+    if isinstance(src_zooms, str):
+        if src_zooms != "auto":
+            raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
+        src_zooms = [r[0] for r in
+                     features.select("src_z").distinct().collect()
+                     if r[0] is not None]
+        if not src_zooms:
+            return None  # empty input: any path yields nothing
+    if src_zooms is None:
+        return None
+    return sorted({int(z) for z in src_zooms})
 
 
 def composite_encode_tiles(features: DataFrame, targets: DataFrame,
@@ -626,37 +673,19 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
 
     from ..sources import mvt_vec
 
-    if max_pack_features is not None:
-        # the cap is a GENERIC-path contract: it bounds the per-target
-        # packed row by its largest layer. Source-grouped paths pack by
-        # SOURCE tile, whose row is bounded by what fit in one encoded
-        # input tile — a different (and already bounded) unit
-        if not (src_zooms is None or src_zooms == "auto"):
-            raise ValueError(
-                "max_pack_features applies to the generic join path; "
-                "source-grouped routing (declared src_zooms) bounds packed "
-                "rows by source tile content instead")
-        src_zooms = None
-    if isinstance(src_zooms, str):
-        if src_zooms != "auto":
-            raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
-        inferred = [r[0] for r in
-                    features.select("src_z").distinct().collect()
-                    if r[0] is not None]
-        src_zooms = inferred or None  # empty input: any path yields nothing
-    if src_zooms is not None and len(src_zooms) > 0:
-        zs = sorted({int(z) for z in src_zooms})
+    zs = _route_src_zooms(features, src_zooms, max_pack_features)
+    if zs:
         if len(zs) == 1:
             return overzoom_encode_tiles(features, targets, src_zoom=zs[0],
                                          partitions=partitions)
         return _multizoom_encode_tiles(features, targets, zs,
                                        partitions=partitions)
-    # an explicitly-declared EMPTY zoom list falls through to the generic
-    # join, whose empty target explode yields an empty result with the
-    # right schema (the multi-zoom path would have no passes to union)
+    # zs is None (generic over all zooms) or [] (explicitly declared
+    # empty — the generic join's empty target explode yields an empty
+    # result with the right schema)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
-                      src_zooms=src_zooms)
+                      src_zooms=zs)
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join).drop("keep_layers")
     # same prep + envelope prune as overzoom_clip, JVM-side
@@ -676,7 +705,7 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
             if max_pack_features is not None:
                 _check_unit_cap(batch, max_pack_features,
                                 "composite_encode_tiles")
-            cols, total = _unpack_batch(batch, tile_cols)
+            cols, total, _foff = _unpack_batch(batch, tile_cols)
             if total == 0:
                 continue
             flat = pa.RecordBatch.from_arrays(
@@ -743,34 +772,20 @@ def composite_packed(features: DataFrame, targets: DataFrame,
     The sinks keep their loud error because splitting WITHIN a layer's
     encoded message would need key/value-table-aware merge.
     """
-    if max_pack_features is not None:
-        if not (src_zooms is None or src_zooms == "auto"):
-            raise ValueError(
-                "max_pack_features applies to the generic join path; "
-                "source-grouped routing (declared src_zooms) bounds packed "
-                "rows by source tile content instead")
-        src_zooms = None
-    if isinstance(src_zooms, str):
-        if src_zooms != "auto":
-            raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
-        inferred = [r[0] for r in
-                    features.select("src_z").distinct().collect()
-                    if r[0] is not None]
-        src_zooms = inferred or None
-    if src_zooms is not None and len(src_zooms) > 0:
-        zs = sorted({int(z) for z in src_zooms})
+    zs = _route_src_zooms(features, src_zooms, max_pack_features)
+    if zs:
         if len(zs) == 1:
             return overzoom_composite_packed(features, targets,
                                              src_zoom=zs[0],
                                              partitions=partitions)
         return _multizoom_composite_packed(features, targets, zs,
                                            partitions=partitions)
-    # an explicitly-declared EMPTY zoom list falls through to the generic
-    # join, whose empty target explode yields an empty result with the
-    # right schema (the multi-zoom path would have no passes to union)
+    # zs is None (generic over all zooms) or [] (explicitly declared
+    # empty — the generic join's empty target explode yields an empty
+    # result with the right schema)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
-                      src_zooms=src_zooms)
+                      src_zooms=zs)
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join).drop("keep_layers")
     out_cols = [f.name for f in j.schema.fields
@@ -792,6 +807,10 @@ def composite_packed(features: DataFrame, targets: DataFrame,
                 .orderBy("tile_idx", "feature_idx")) - 1)
             / F.lit(int(max_pack_features))).cast("int"))
     packed = _pack_tiles(jp, by_layer=max_pack_features is not None)
+    if "_pack_bucket" in packed.columns:
+        # grouping key only — the kernel never reads it; keep it off the
+        # Arrow seam (manual projection on both sides of a Python seam)
+        packed = packed.drop("_pack_bucket")
     tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
     feat_fields = [f for f in j.schema.fields
                    if f.name not in _KERNEL_HELPER_COLS
@@ -815,18 +834,17 @@ def composite_packed(features: DataFrame, targets: DataFrame,
                 continue
             if max_pack_features is not None:
                 _check_unit_cap(batch, max_pack_features, "composite_packed")
-            cols, total = _unpack_batch(batch, tile_cols)
+            cols, total, _foff = _unpack_batch(batch, tile_cols)
             ntiles = batch.num_rows
             counts = np.zeros(ntiles, np.int64)
             taken = None
             if total:
-                off, _ = _norm_list(batch.column("feats"))
                 # packed-row ordinal per feature: carried through the clip
                 # kernel as a passthrough column so re-packing is a stable
                 # sort + bincount, not a key match
                 cols["tile_ord"] = pa.array(
                     np.repeat(np.arange(ntiles, dtype=np.int64),
-                              np.diff(off)), pa.int64())
+                              np.diff(_foff)), pa.int64())
                 flat = pa.RecordBatch.from_arrays(
                     [cols[n] if isinstance(cols[n], pa.Array)
                      else pa.array(cols[n])
@@ -1149,15 +1167,19 @@ def overzoom_composite_packed(features: DataFrame, targets: DataFrame,
                                        partitions=partitions,
                                        _packed_rows=True)
     exploded = _packed_rows_to_relational(packed_out, src_zoom)
-    # composite()'s exact column order — derived from the generic plan's
-    # schema (lazy, never executed), so the two paths stay drop-in. The
-    # sink contract tolerates a missing keep_layers column; give the
-    # schema-only twin a null one so the derivation tolerates it too
+    return exploded.select(*_relational_order(features, targets))
+
+
+def _relational_order(features: DataFrame, targets: DataFrame) -> list[str]:
+    """``composite``'s exact output column order — derived from the
+    generic plan's SCHEMA (lazy, never executed), so the packed paths
+    stay drop-in. The sink contract tolerates a missing keep_layers
+    column; the schema-only twin gets a null one so the derivation
+    tolerates it too."""
     tref = targets if "keep_layers" in targets.columns else \
         targets.withColumn("keep_layers",
                            F.lit(None).cast("array<string>"))
-    order = composite(features, tref).columns
-    return exploded.select(*order)
+    return composite(features, tref).columns
 
 
 def _packed_rows_to_relational(packed_out: DataFrame,
@@ -1326,10 +1348,7 @@ def _multizoom_composite_packed(features: DataFrame, targets: DataFrame,
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    tref = targets if "keep_layers" in targets.columns else \
-        targets.withColumn("keep_layers",
-                           F.lit(None).cast("array<string>"))
-    return merged.select(*composite(features, tref).columns)
+    return merged.select(*_relational_order(features, targets))
 
 
 def encode_tiles(composited: DataFrame, impl: str = "columnar",
@@ -1385,7 +1404,7 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar",
                     if batch.num_rows == 0:
                         continue
                     _check_unit_cap(batch, max_pack_features, "encode_tiles")
-                    cols, total = _unpack_batch(batch, tile_cols)
+                    cols, total, _foff = _unpack_batch(batch, tile_cols)
                     if total == 0:
                         continue
                     flat = pa.Table.from_arrays(
@@ -1402,7 +1421,7 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar",
             for batch in it:
                 if batch.num_rows == 0:
                     continue
-                cols, total = _unpack_batch(batch, tile_cols)
+                cols, total, _foff = _unpack_batch(batch, tile_cols)
                 if total == 0:
                     continue
                 flat = pa.Table.from_arrays(

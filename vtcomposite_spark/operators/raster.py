@@ -281,7 +281,7 @@ def rasterize_tiles(composited: DataFrame, resolution: int = 256) -> DataFrame:
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            cols, total = _unpack_batch(batch, tile_cols)
+            cols, total, _foff = _unpack_batch(batch, tile_cols)
             if total == 0:
                 continue
             xs = cols["xs"]

@@ -329,6 +329,15 @@ def test_empty_declared_zooms_yield_empty(spark, fixture_bytes):
     # combining them must not raise the declared-zooms error
     assert C.composite_packed(feats, targets, src_zooms=[],
                               max_pack_features=10).count() == 0
+    # ANY empty iterable means declared-empty — a tuple must not silently
+    # widen to the full generic run
+    assert C.composite_packed(feats, targets, src_zooms=(),
+                              max_pack_features=10).count() == 0
+    assert C.composite_packed(feats, targets, src_zooms=()).count() == 0
+    # a typo'd mode string reports unknown-mode, with or without the cap
+    for kw in ({}, {"max_pack_features": 10}):
+        with pytest.raises(ValueError, match="unknown mode"):
+            C.composite_packed(feats, targets, src_zooms="atuo", **kw)
 
 
 def test_all_clipped_away_yields_nothing(spark, fixture_bytes):

@@ -271,6 +271,24 @@ def test_sample_by_hash_deterministic_and_salted(spark):
     assert a <= big
 
 
+def test_sample_rounding_half_up_and_mixture_alignment(spark):
+    """Tie fractions round HALF-UP (the Spark/DuckDB round rule) in BOTH
+    sampling operators: moving a stratum from sample_by_hash to
+    sample_mixture at the same rate keeps the identical row set (Python's
+    banker's round would keep 2 of 10,000 buckets where F.round keeps 3)."""
+    from vtcomposite_spark.operators import chunking as CH
+    assert CH._half_up_thresh(0.00025) == 3   # banker's would give 2
+    assert CH._half_up_thresh(0.00035) == 4   # and 4 here: not plain ceil
+    df = spark.range(0, 50000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    a = {r.doc_id for r in
+         CH.sample_by_hash(df, 0.00025, "doc_id", salt="mix").collect()}
+    b = {r.doc_id for r in
+         CH.sample_mixture(df, {"en": 0.00025}, group_col="lang",
+                           id_col="doc_id", salt="mix").collect()}
+    assert a == b and a  # same kept set, non-empty at this scale
+
+
 def test_distinctive_terms_hand_case(spark):
     """'aa' is frequent in group g1 but corpus-wide (df=3 → low score);
     'zz' appears only in g1 (df=1) and must outrank it."""

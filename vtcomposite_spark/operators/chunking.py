@@ -128,6 +128,14 @@ def distinctive_terms_sql(group_col: str = "lang", text_col: str = "text",
     )
 
 
+def _half_up_thresh(fraction: float) -> int:
+    """fraction·10,000 rounded HALF-UP — matching Spark/DuckDB ``round``
+    (Python's ``round`` is banker's: round(2.5)=2, a silent ~50% kept-set
+    difference at tie fractions)."""
+    import math
+    return int(math.floor(fraction * 10000 + 0.5))
+
+
 def sample_by_hash(df: DataFrame, fraction: float, key_col: str,
                    salt: str = "s0") -> DataFrame:
     """Deterministic, repeatable sampling: keep rows whose md5-derived
@@ -137,18 +145,24 @@ def sample_by_hash(df: DataFrame, fraction: float, key_col: str,
     training-data pipeline needs for reproducible subsets — and
     stratification is just a different salt per stratum. Uses the
     engine-agnostic strpos hex arithmetic (functions.hashing), the same
-    primitive every oracle-gated hash here builds on."""
+    primitive every oracle-gated hash here builds on.
+
+    The fraction→threshold rounding is HALF-UP (0.00025 keeps 3 of
+    10,000 buckets) — the same rule ``sample_mixture``'s column-valued
+    thresholds get from Spark's/DuckDB's ``round``, so moving a stratum
+    between the two operators at the same rate keeps the same bucket
+    set."""
     from ..functions.hashing import _hex4_to_int_col
     bucket = _hex4_to_int_col(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))) % 10000
-    return df.filter(bucket < int(round(fraction * 10000)))
+    return df.filter(bucket < _half_up_thresh(fraction))
 
 
 def sample_by_hash_sql(fraction: float, key_col: str,
                        salt: str = "s0") -> str:
     """DuckDB twin: the WHERE predicate of sample_by_hash."""
     from ..functions.hashing import hex4_to_int_sql
-    thresh = int(round(fraction * 10000))
+    thresh = _half_up_thresh(fraction)
     h = f"md5('{salt}' || {key_col}::VARCHAR)"
     return f"(({hex4_to_int_sql(h)}) % 10000) < {thresh}"
 

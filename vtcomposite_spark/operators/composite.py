@@ -606,12 +606,19 @@ def _route_src_zooms(features: DataFrame, src_zooms,
     scan — an EAGER job at call time (streaming callers declare zooms
     or pass ``None``)."""
     if max_pack_features is not None:
-        if src_zooms not in (None, "auto") and src_zooms:
+        if isinstance(src_zooms, str):
+            if src_zooms != "auto":
+                raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")
+            return None  # cap forces the generic path; skip inference
+        if src_zooms is None:
+            return None
+        zooms = sorted({int(z) for z in src_zooms})
+        if zooms:
             raise ValueError(
                 "max_pack_features applies to the generic join path; "
                 "source-grouped routing (declared src_zooms) bounds packed "
                 "rows by source tile content instead")
-        return list(src_zooms) if isinstance(src_zooms, list) else None
+        return zooms  # declared empty (any iterable): empty result
     if isinstance(src_zooms, str):
         if src_zooms != "auto":
             raise ValueError(f"src_zooms: unknown mode {src_zooms!r}")

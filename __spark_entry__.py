@@ -740,6 +740,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CH.distinctive_terms(docs, group_col="lang", k=5)
     q["distinctive_terms"] = distinctive_terms
 
+    def bm25_topk(spark, sf):
+        """BM25 top-5 keyword retrieval: queries derived from the corpus
+        itself (first 3 tokens of every 97th doc — scale-proportional,
+        no external data), ranked by an order-independent integer micro
+        score (per-term contributions rounded to 1e-6 BEFORE summing;
+        the idf ln() is the only libm call, same rounding discipline as
+        the ann_* cosines). Query side broadcasts; postings shuffle once."""
+        from vtcomposite_spark.operators import retrieval as R
+        docs = _read(spark, sf, "documents")
+        queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(TX.tokens_col(F.col("text")), 1, 3))
+            .alias("query"))
+        return R.bm25_topk(docs, queries_df, k=5)
+    q["bm25_topk"] = bm25_topk
+
     def pii_redaction(spark, sf):
         """Email/phone scrub. The corpus text carries no PII by
         construction, so a deterministic contact tail is synthesized from
@@ -1195,6 +1211,13 @@ def oracle_sql() -> dict[str, str]:
         f"round(sum(CAST(round({TX.quality_score_sql('text')} * 1000) AS BIGINT))"
         " / (count(*) * 1000.0), 4) AS avg_quality FROM documents GROUP BY 1"
     )
+
+    from vtcomposite_spark.operators.retrieval import bm25_topk_sql
+    _toks = "list_filter(string_split(text, ' '), t -> t != '')"
+    o["bm25_topk"] = bm25_topk_sql(
+        "SELECT doc_id AS query_id, "
+        f"array_to_string(list_slice({_toks}, 1, 3), ' ') AS query "
+        "FROM documents WHERE doc_id % 97 = 0", k=5)
 
     cos = H.cosine_sql("q.e", "c.e")
     o["ann_cosine_topk"] = (

@@ -417,6 +417,14 @@ def build_workload(spark, sf_dir):
         q = emb.filter(F.col("vec_id") < 50)
         counters["ann_rows"] = SIM.ann_topk_brute(q, emb, k=10).count()
 
+    def bm25():
+        from vtcomposite_spark.operators import retrieval as R
+        qdf = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(TX.tokens_col(F.col("text")), 1, 3))
+            .alias("query"))
+        counters["bm25_rows"] = R.bm25_topk(docs, qdf, k=5).count()
+
     def cell_rollup():
         tagged, lat, lon = geo_cols("event_id")
         pts = events.filter(tagged).select("event_id", lat.alias("lat"), lon.alias("lon"))
@@ -443,6 +451,7 @@ def build_workload(spark, sf_dir):
         "dedupe_minhash": dedupe_minhash,
         "text_quality": text_quality,
         "ann_topk": ann_topk,
+        "bm25": bm25,
         "cell_rollup": cell_rollup,
     }
     if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those

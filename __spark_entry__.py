@@ -585,6 +585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            H.simhash_col(F.col("text"), 12).alias("simhash"))
     q["simhash_fingerprints"] = simhash_fingerprints
 
+    def simhash_near_dups(spark, sf):
+        """Hamming-≤3 SimHash near-dup pairs over 48-bit fingerprints:
+        Manku-style block-permutation candidates (4 exact-block
+        equi-joins — complete by pigeonhole, unlike MinHash bands) +
+        bit_count(xor) refine; the hot-bucket cap (64) is replayed by
+        the oracle. Integer end to end."""
+        docs = _read(spark, sf, "documents")
+        return D.simhash_near_dup_pairs(docs, bits=48, max_hamming=3,
+                                        max_bucket=64)
+    q["simhash_near_dups"] = simhash_near_dups
+
     def ngram_jaccard_near_dups(spark, sf):
         docs = _read(spark, sf, "documents")
         return D.ngram_jaccard_pairs(docs, threshold=0.3, k=8, bands=4)
@@ -1013,6 +1024,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {H.simhash_sql('text', 12)} AS simhash "
         "FROM documents WHERE doc_id % 10 = 1"
     )
+
+    from vtcomposite_spark.operators.dedupe import simhash_near_dup_pairs_sql
+    o["simhash_near_dups"] = simhash_near_dup_pairs_sql(
+        bits=48, max_hamming=3, max_bucket=64)
 
     sh = H.shingles_sql("text", 3)
     o["ngram_jaccard_near_dups"] = (

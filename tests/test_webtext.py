@@ -399,6 +399,74 @@ def test_simhash_dedupe_groups_identical(spark):
     assert sorted((r.keep_id, r.n_dups) for r in rows) == [(1, 2), (3, 1)]
 
 
+def test_simhash_near_dup_pairs_complete_vs_brute(spark):
+    """Uncapped block-permutation candidates + bit_count refine must find
+    EXACTLY the all-pairs Hamming-≤d set (Manku pigeonhole completeness),
+    across several d, on a randomized-ish deterministic corpus."""
+    rows = [(i, " ".join("tok%d" % ((i * 5 + j * j) % 13)
+                         for j in range(5 + i % 5))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.simhash
+          for r in D.simhash_values(df, bits=48).collect()}
+    ids = sorted(fp)
+    for d in (1, 3, 5):
+        want = sorted(
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(fp[a] ^ fp[b]).count("1") <= d)
+        got = sorted(map(tuple, D.simhash_near_dup_pairs(
+            df, bits=48, max_hamming=d).collect()))
+        assert got == want
+    assert want  # d=5 found something — the check is not vacuous
+
+
+def test_simhash_near_dup_pairs_cap_and_sql_twin(spark):
+    """A hot block bucket (many identical docs) is dropped by max_bucket
+    in BOTH engines; capped output ⊆ uncapped; SQL twin matches exactly
+    in the capped and uncapped forms."""
+    import duckdb
+    import pandas as pd
+    rows = [(i, "same same same same text here") for i in range(12)]
+    rows += [(100 + i, " ".join("w%d" % ((i + j * 3) % 11)
+                                for j in range(7))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    full = sorted(map(tuple, D.simhash_near_dup_pairs(
+        df, bits=32, max_hamming=2).collect()))
+    capped = sorted(map(tuple, D.simhash_near_dup_pairs(
+        df, bits=32, max_hamming=2, max_bucket=8).collect()))
+    # the 12 identical docs share every block: 66 pairs at hamming 0,
+    # all dropped by the cap
+    assert set(capped) < set(full)
+    assert sum(1 for a, b, h in full if h == 0) >= 66
+    for cap, got in ((None, full), (8, capped)):
+        want = sorted(map(tuple, con.sql(D.simhash_near_dup_pairs_sql(
+            bits=32, max_hamming=2, max_bucket=cap)).fetchall()))
+        assert got == want
+
+
+def test_simhash_wide_bits_three_form_parity(spark):
+    """48-bit fingerprints (conv-parsed 12-hex prefix): scalable
+    explode-agg == expression form == DuckDB twin; >60 bits raises."""
+    import duckdb
+    import pandas as pd
+    rows = [(i, " ".join("v%d" % ((i * 7 + j) % 10) for j in range(6)))
+            for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.simhash for r in D.simhash_values(df, bits=48).collect()}
+    b = {r.doc_id: r.s for r in df.select(
+        "doc_id", H.simhash_col(F.col("text"), 48).alias("s")).collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    c = dict(con.sql(
+        f"select doc_id, {H.simhash_sql('text', 48)} from documents").fetchall())
+    assert a == b == c and len(a) == 15
+    assert any(v >= (1 << 16) for v in a.values())  # genuinely wide
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        D.simhash_values(df, bits=61).collect()
+
+
 def test_embedding_near_dups(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0, 0.5]), (2, [0.99, 0.01, 0.0, 0.5]),

@@ -114,11 +114,32 @@ def hex4_to_int_sql(h: str) -> str:
     return hex_to_int_sql(h, 4)
 
 
+def _simhash_nchars(bits: int) -> int:
+    """Hex chars of the md5 prefix a ``bits``-wide SimHash consumes: 4
+    (the historic 16-bit minimum) up to 15 (60 bits — the widest prefix
+    that stays a positive BIGINT in both engines)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash bits must be in [1, 60]")
+    return max(4, -(-bits // 4))
+
+
+def _hash_prefix_col(h: Column, nchars: int) -> Column:
+    """First ``nchars`` hex chars of a digest → integer. The 4-char form
+    keeps the historic strpos arithmetic (byte-identical plans for the
+    gated 16-bit rows); wider prefixes use conv(), which the SQL twin
+    replays with the same strpos chain (``hex_to_int_sql``) — both are
+    plain base-16 parses of the same substring."""
+    if nchars == 4:
+        return _hex4_to_int_col(h)
+    return F.conv(F.substring(h, 1, nchars), 16, 10).cast("long")
+
+
 def simhash_col(text: Column, bits: int = 16, n: int = 3) -> Column:
     """SimHash over word n-grams: per bit b, sign of the sum over shingles of
-    ±1 according to bit b of the shingle's 16-bit md5 prefix."""
+    ±1 according to bit b of the shingle's md5 prefix (16-60 bits wide)."""
     sh = shingles_col(text, n)
-    hv = F.transform(sh, lambda s: _hex4_to_int_col(F.md5(s)))
+    nchars = _simhash_nchars(bits)
+    hv = F.transform(sh, lambda s: _hash_prefix_col(F.md5(s), nchars))
     out = F.lit(0).cast("long")
     for b in range(bits):
         bit_sum = F.aggregate(
@@ -133,7 +154,8 @@ def simhash_col(text: Column, bits: int = 16, n: int = 3) -> Column:
 
 def simhash_sql(c: str, bits: int = 16, n: int = 3) -> str:
     sh = shingles_sql(c, n)
-    hv = f"list_transform({sh}, s -> {hex4_to_int_sql('md5(s)')})"
+    nchars = _simhash_nchars(bits)
+    hv = f"list_transform({sh}, s -> {hex_to_int_sql('md5(s)', nchars)})"
     terms = []
     for b in range(bits):
         bit_sum = (f"list_sum(list_transform({hv}, "

@@ -89,7 +89,9 @@ def simhash_values(df: DataFrame, text_col: str = "text",
     Value-identical to functions.hashing.simhash_col / simhash_sql."""
     sh = df.select(F.col(id_col),
                    F.explode(H.shingles_col(F.col(text_col), 3)).alias("shingle"))
-    h = sh.select(F.col(id_col), H._hex4_to_int_col(F.md5("shingle")).alias("h"))
+    h = sh.select(F.col(id_col),
+                  H._hash_prefix_col(F.md5("shingle"),
+                                     H._simhash_nchars(bits)).alias("h"))
     aggs = [
         F.sum(F.when(F.call_function("shiftright", F.col("h"), F.lit(b)) % 2 == 1,
                      1).otherwise(-1)).alias(f"s{b}")
@@ -112,6 +114,108 @@ def simhash_dedupe(df: DataFrame, text_col: str = "text",
         simhash_values(df, text_col, id_col, bits)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per block, widest blocks first — the Manku et al.
+    2007 pigeonhole split: two fingerprints within Hamming distance d
+    agree exactly on at least one of d+1 blocks."""
+    if n_blocks > bits:
+        raise ValueError("more blocks than bits")
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    shifts, off = [], 0
+    for w in widths:
+        shifts.append((off, w))
+        off += w
+    return shifts
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 48,
+                           max_hamming: int = 3,
+                           max_bucket: int | None = None) -> DataFrame:
+    """Hamming-≤d SimHash near-dup pairs → (a, b, hamming), a < b.
+
+    The missing half of ``simhash_dedupe`` (exact Hamming-0 buckets):
+    block-permutation candidate generation — split the ``bits``-wide
+    fingerprint into d+1 blocks; by pigeonhole, any pair within Hamming
+    distance d shares at least one block verbatim, so an equi-join per
+    block finds EVERY such pair — then exact refinement by
+    ``bit_count(a XOR b) <= d``. Complete (no recall loss), unlike the
+    probabilistic MinHash bands.
+
+    100-TB shape: fingerprints shuffle once per block (d+1 small
+    integer-keyed shuffles, rows ∝ docs, never ∝ pairs); the only
+    quadratic risk is a hot block key, capped by ``max_bucket`` exactly
+    like ``embedding_near_dups`` (over-cap buckets DROPPED, the standard
+    LSH guardrail — with the cap the operator is no longer complete, and
+    the SQL twin replays the same cap so the oracle still matches).
+    Integer end to end — no float anywhere."""
+    nb = max_hamming + 1
+    blocks = _simhash_blocks(bits, nb)
+    fp = simhash_values(df, text_col, id_col, bits)
+    keys = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                (F.call_function("shiftright", F.col("simhash"), F.lit(s))
+                 % F.lit(1 << w)).alias("key"))
+            for i, (s, w) in enumerate(blocks)])).alias("bk")) \
+        .select(id_col, "simhash", "bk.blk", "bk.key")
+    if max_bucket is not None:
+        ok = (keys.groupBy("blk", "key").count()
+              .filter(F.col("count") <= max_bucket).select("blk", "key"))
+        # no broadcast hint: the qualifying-key set is ∝ distinct block
+        # keys (corpus-sized), unlike embedding LSH's band-key space
+        keys = keys.join(ok, ["blk", "key"], "left_semi")
+    lhs = keys.select("blk", "key", F.col(id_col).alias("a"),
+                      F.col("simhash").alias("sim_a"))
+    rhs = keys.select("blk", "key", F.col(id_col).alias("b"),
+                      F.col("simhash").alias("sim_b"))
+    cand = (lhs.join(rhs, ["blk", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_dup_pairs_sql(table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id", bits: int = 48,
+                               max_hamming: int = 3,
+                               max_bucket: int | None = None) -> str:
+    """DuckDB twin of ``simhash_near_dup_pairs`` (cap replayed when set).
+    Block keys use floor-div + mod — identical to shiftright + mod on the
+    non-negative fingerprints."""
+    nb = max_hamming + 1
+    blocks = _simhash_blocks(bits, nb)
+    sh_len = f"len({H.shingles_sql(text_col, 3)})"
+    per_block = " UNION ALL ".join(
+        f"SELECT _id, sim, {i} AS blk, (sim // {1 << s}) % {1 << w} AS key "
+        "FROM fp"
+        for i, (s, w) in enumerate(blocks))
+    kept = "keys"
+    cap = ""
+    if max_bucket is not None:
+        cap = (", sizes AS (SELECT blk, key, count(*) AS c FROM keys "
+               "GROUP BY 1, 2), kept AS (SELECT k.* FROM keys k "
+               f"JOIN sizes USING (blk, key) WHERE c <= {max_bucket})")
+        kept = "kept"
+    return (
+        f"WITH fp AS (SELECT {id_col} AS _id, "
+        f"{H.simhash_sql(text_col, bits, 3)} AS sim FROM {table} "
+        f"WHERE {sh_len} > 0), "
+        f"keys AS ({per_block}){cap}, "
+        f"cand AS (SELECT DISTINCT ka._id AS a, kb._id AS b, "
+        f"ka.sim AS sim_a, kb.sim AS sim_b "
+        f"FROM {kept} ka JOIN {kept} kb USING (blk, key) "
+        f"WHERE ka._id < kb._id) "
+        f"SELECT a, b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}"
     )
 
 

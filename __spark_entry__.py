@@ -751,6 +751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CH.distinctive_terms(docs, group_col="lang", k=5)
     q["distinctive_terms"] = distinctive_terms
 
+    def unigram_surprisal(spark, sf):
+        """Self-perplexity quality signal (CCNet LM-filter shape, corpus
+        as its own unigram model): avg per-token −ln(tf/T), per-token
+        micro-rounded BEFORE the sum (order-independent; ln is the only
+        libm call). One explode + term-keyed join + keys-only groupBy."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.unigram_surprisal(docs)
+    q["unigram_surprisal"] = unigram_surprisal
+
     def bm25_topk(spark, sf):
         """BM25 top-5 keyword retrieval: queries derived from the corpus
         itself (first 3 tokens of every 97th doc — scale-proportional,
@@ -1226,6 +1236,9 @@ def oracle_sql() -> dict[str, str]:
         f"round(sum(CAST(round({TX.quality_score_sql('text')} * 1000) AS BIGINT))"
         " / (count(*) * 1000.0), 4) AS avg_quality FROM documents GROUP BY 1"
     )
+
+    from vtcomposite_spark.operators.chunking import unigram_surprisal_sql
+    o["unigram_surprisal"] = unigram_surprisal_sql()
 
     from vtcomposite_spark.operators.retrieval import bm25_topk_sql
     _toks = "list_filter(string_split(text, ' '), t -> t != '')"

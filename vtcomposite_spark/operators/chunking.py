@@ -128,6 +128,66 @@ def distinctive_terms_sql(group_col: str = "lang", text_col: str = "text",
     )
 
 
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      vocab_join: str = "auto") -> DataFrame:
+    """Self-perplexity quality signal (the CCNet/Wiki-LM filter shape
+    with the corpus itself as the language model): per document, the
+    average per-token surprisal −ln(tf_corpus/T) under the corpus's
+    unigram distribution → (id, n_tokens, surprisal_micro_sum,
+    avg_surprisal_micro). LOW average = common/boilerplate-heavy text;
+    HIGH = rare-token/noisy text — both tails are the usual cut
+    candidates. Zero-token documents emit nothing.
+
+    Oracle discipline: each token's surprisal rounds to an integer MICRO
+    value BEFORE the per-doc sum (order-independent; ln() is the only
+    libm call — the ann_*/bm25 rule), and the average is the IEEE double
+    division sum/n floored, identical in both engines.
+
+    100-TB shape: one explode (rows ∝ tokens), term counts with map-side
+    combine, a term-keyed shuffle join of tokens to counts (pass
+    ``vocab_join="broadcast"`` when the vocabulary fits the driver), T
+    as a broadcast 1-row aggregate, then a keys-only per-doc groupBy.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"),
+                       F.explode(TX.tokens_col(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    if vocab_join == "broadcast":
+        counts = F.broadcast(counts)
+    per_tok = (toks.join(counts, "term")
+               .crossJoin(F.broadcast(total))
+               .select("_id", F.round(
+                   F.log(F.col("total").cast("double") / F.col("cnt"))
+                   * F.lit(1000000.0)).cast("long").alias("micro")))
+    return (per_tok.groupBy("_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("micro").alias("surprisal_micro_sum"))
+            .select(F.col("_id").alias(id_col), "n_tokens",
+                    "surprisal_micro_sum",
+                    F.floor(F.col("surprisal_micro_sum")
+                            / F.col("n_tokens")).cast("long")
+                    .alias("avg_surprisal_micro")))
+
+
+def unigram_surprisal_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin of unigram_surprisal."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        f"WITH t AS (SELECT {id_col} AS _id, unnest({ws}) AS term "
+        f"FROM {table}), "
+        "c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1), "
+        "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c), "
+        "p AS (SELECT _id, CAST(round(ln(CAST(total AS DOUBLE) / cnt) "
+        "* 1000000.0) AS BIGINT) AS micro FROM t JOIN c USING (term), s) "
+        f"SELECT _id AS {id_col}, count(*) AS n_tokens, "
+        "CAST(sum(micro) AS BIGINT) AS surprisal_micro_sum, "
+        "CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) "
+        "AS avg_surprisal_micro FROM p GROUP BY 1"
+    )
+
+
 def _half_up_thresh(fraction: float) -> int:
     """fraction·10,000 rounded HALF-UP — matching Spark/DuckDB ``round``
     (Python's ``round`` is banker's: round(2.5)=2, a silent ~50% kept-set

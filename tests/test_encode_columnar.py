@@ -194,20 +194,43 @@ def test_capped_encode_tiles_byte_parity(spark, fixture_bytes):
     assert got == want and want
 
 
-def test_capped_encode_tiles_overflow_raises(spark, fixture_bytes):
-    """A single layer above the cap cannot be split — loud error, not an
-    executor OOM."""
+def test_capped_encode_tiles_within_layer_split_byte_parity(
+        spark, fixture_bytes):
+    """A single layer far above the cap splits into bounded bucket units
+    and the splice byte-merges them (key/value-table-aware tag rewrite,
+    mvt.merge_layer_parts) — byte-identical to the uncapped encode. Run
+    twice: default batching (buckets re-unify inside the encoder) and
+    1-row Arrow batches, which force EVERY bucket through the
+    cross-batch merge path."""
     feats = _multi_layer_feats(spark, fixture_bytes)
     t = ingest.targets_df(spark, [{"z": 1, "x": 0, "y": 0,
-                                   "buffer_size": 128}])
-    out = C.composite(feats, t).withColumn("compress", F.lit(False))
-    with pytest.raises(Exception, match="max_pack_features"):
-        C.encode_tiles(out, max_pack_features=3).collect()
+                                   "buffer_size": 128},
+                                  {"z": 1, "x": 1, "y": 1,
+                                   "buffer_size": 128, "compress": True}])
+    out = C.composite(feats, t).withColumn(
+        "compress", F.col("x") == 1)
+    want = {(r.z, r.x, r.y): bytes(r.tile)
+            for r in C.encode_tiles(out).collect()}
+    got = {(r.z, r.x, r.y): bytes(r.tile)
+           for r in C.encode_tiles(out, max_pack_features=150).collect()}
+    assert got == want and want
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        got1 = {(r.z, r.x, r.y): bytes(r.tile)
+                for r in C.encode_tiles(
+                    out, max_pack_features=150).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert got1 == want
 
 
 def test_capped_fused_composite_byte_parity(spark, fixture_bytes):
-    """The generic fused path honors the same cap with byte parity, and
-    refuses the cap under source-grouped routing."""
+    """The generic fused path honors the same cap with byte parity —
+    both per-layer packing (cap above the largest layer) and the
+    within-layer bucket split (cap far below it) — and refuses the cap
+    under source-grouped routing."""
     feats = _multi_layer_feats(spark, fixture_bytes)
     t = ingest.targets_df(spark, [
         {"z": 1, "x": 0, "y": 0, "buffer_size": 128},
@@ -215,10 +238,11 @@ def test_capped_fused_composite_byte_parity(spark, fixture_bytes):
     want = {(r.z, r.x, r.y): bytes(r.tile)
             for r in C.composite_encode_tiles(feats, t,
                                               src_zooms=None).collect()}
-    got = {(r.z, r.x, r.y): bytes(r.tile)
-           for r in C.composite_encode_tiles(
-               feats, t, max_pack_features=2500).collect()}
-    assert got == want and want
+    for cap in (2500, 150):
+        got = {(r.z, r.x, r.y): bytes(r.tile)
+               for r in C.composite_encode_tiles(
+                   feats, t, max_pack_features=cap).collect()}
+        assert got == want and want, cap
     with pytest.raises(ValueError, match="source-grouped"):
         C.composite_encode_tiles(feats, t, src_zooms=[0],
                                  max_pack_features=10)

@@ -496,6 +496,34 @@ def test_simhash_wide_bits_three_form_parity(spark):
         D.simhash_values(df, bits=61).collect()
 
 
+def test_simhash_block_pigeonhole_fuzz():
+    """Pure-math guarantee behind simhash_near_dup_pairs (no Spark): the
+    (shift, width) split covers the bit range exactly, and ANY two
+    fingerprints within Hamming distance d share at least one block
+    verbatim — so the block equi-joins cannot miss a pair. The engine/SQL
+    expressions themselves are parity-gated elsewhere."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 60), st.integers(0, 5),
+           st.lists(st.integers(0, (1 << 60) - 1), min_size=2, max_size=12))
+    def check(bits, d, raw):
+        assume(d + 1 <= bits)
+        blocks = D._simhash_blocks(bits, d + 1)
+        assert sum(w for _, w in blocks) == bits
+        assert [s for s, _ in blocks] == [
+            sum(w for _, w in blocks[:i]) for i in range(len(blocks))]
+        fps = [v % (1 << bits) for v in raw]
+        for i, a in enumerate(fps):
+            for b in fps[i + 1:]:
+                if bin(a ^ b).count("1") <= d:
+                    assert any((a >> s) % (1 << w) == (b >> s) % (1 << w)
+                               for s, w in blocks)
+
+    check()
+
+
 def test_embedding_near_dups(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0, 0.5]), (2, [0.99, 0.01, 0.0, 0.5]),

@@ -540,13 +540,15 @@ def _units_batch(units):
 
 
 def _check_unit_cap(batch, max_pack_features: int, what: str) -> None:
-    """Loud failure for a single LAYER whose feature count exceeds the
-    declared cap — the one shape per-layer packing cannot bound (splitting
-    WITHIN a layer needs key/value-table-aware merge; not implemented).
-    A clear error beats an executor OOM-kill; note the oversized
-    collect_list row has already materialized JVM-side by the time the
-    kernel sees it, so size the cap below what an executor can hold, not
-    at it."""
+    """Internal invariant assertion: with the ``_pack_bucket`` window in
+    place every capped packed row holds at most ``max_pack_features``
+    features (an over-cap LAYER splits into bounded bucket rows and the
+    sinks byte-merge the partial layer units — ``mvt.merge_layer_parts``),
+    so this can only fire on a bucketing bug. A loud kernel error beats
+    silently encoding an unbounded unit; note a violating collect_list
+    row has already materialized JVM-side by the time the kernel sees
+    it, so the cap bounds the ENCODE unit, and executor sizing should
+    still assume cap-sized rows."""
     foff, _ = _norm_list(batch.column("feats"))
     nf = np.diff(foff)
     if (nf > max_pack_features).any():
@@ -558,10 +560,9 @@ def _check_unit_cap(batch, max_pack_features: int, what: str) -> None:
         raise ValueError(
             f"{what}: layer {lay!r} of tile ({z},{x},{y}) has "
             f"{int(nf[i])} features, above max_pack_features="
-            f"{max_pack_features}. Per-layer packing bounds a unit by its "
-            "layer; a single layer beyond the cap cannot be split without "
-            "key/value-table-aware merge. Raise the cap, thin the layer "
-            "upstream, or drop the cap to pack whole tiles.")
+            f"{max_pack_features}. The _pack_bucket window should have "
+            "split this layer into bounded bucket rows — this is an "
+            "internal bucketing bug, not a data problem.")
 
 
 def _unpack_batch(batch, tile_cols: list[str]):
@@ -702,7 +703,21 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     clip_schema = pa.schema([
         pa.field(f.name, _to_arrow(f.dataType)) for f in clip_fields])
     kernel_names = [f.name for f in j.schema.fields]
+    if max_pack_features is not None:
+        # within-layer split: a layer beyond the cap packs as several
+        # bounded bucket rows; buckets that land in one kernel batch are
+        # re-unified by encode_tiles_table's (tile, layer) grouping, and
+        # buckets split across batches emit partial layer units that the
+        # splice byte-merges (mvt.merge_layer_parts — tag-index rewrite
+        # over verbatim geometry bytes, memory ∝ wire bytes)
+        j = j.withColumn("_pack_bucket", (
+            (F.row_number().over(
+                Window.partitionBy("z", "x", "y", "layer")
+                .orderBy("tile_idx", "feature_idx")) - 1)
+            / F.lit(int(max_pack_features))).cast("int"))
     packed = _pack_tiles(j, by_layer=max_pack_features is not None)
+    if "_pack_bucket" in packed.columns:
+        packed = packed.drop("_pack_bucket")
     tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
 
     def clip_encode(it):
@@ -771,13 +786,12 @@ def composite_packed(features: DataFrame, targets: DataFrame,
     zooms or pass ``None``.
 
     ``max_pack_features`` bounds EVERY packed row (a generic-path
-    contract, like the sink's: it forces the join route). Unlike the
-    byte sinks, relational output needs NO splice step — several packed
-    rows per tile ``inline`` to the same rows — so a layer beyond the
-    cap does not raise here: it splits into bounded per-layer BUCKETS
-    (a row_number window over the layer) and the union restores it.
-    The sinks keep their loud error because splitting WITHIN a layer's
-    encoded message would need key/value-table-aware merge.
+    contract, like the sink's: it forces the join route). A layer
+    beyond the cap splits into bounded per-layer BUCKETS (a row_number
+    window over the layer); relational output needs NO splice step —
+    several packed rows per tile ``inline`` to the same rows and the
+    union restores them. (The byte sinks byte-merge their bucket units
+    instead — ``mvt.merge_layer_parts``.)
     """
     zs = _route_src_zooms(features, src_zooms, max_pack_features)
     if zs:
@@ -1239,7 +1253,25 @@ def _merge_layer_rows(layer_rows: DataFrame) -> DataFrame:
             for i in range(batch.num_rows):
                 ps = sorted(parts[i],
                             key=lambda p: (p["ord_ti"], p["ord_fi"]))
-                buf = b"".join(p["layer_bytes"] for p in ps)
+                names = [mvt.layer_unit_name(p["layer_bytes"]) for p in ps]
+                if len(set(names)) != len(names):
+                    # size-capped bucket units split across kernel
+                    # batches: byte-merge each duplicated layer at its
+                    # first-seen position (ord keys sort bucket 0 first,
+                    # so part order IS feature order)
+                    groups: dict = {}
+                    order = []
+                    for nm, p in zip(names, ps):
+                        if nm not in groups:
+                            groups[nm] = []
+                            order.append(nm)
+                        groups[nm].append(p["layer_bytes"])
+                    buf = b"".join(
+                        mvt.merge_layer_parts(groups[nm])
+                        if len(groups[nm]) > 1 else groups[nm][0]
+                        for nm in order)
+                else:
+                    buf = b"".join(p["layer_bytes"] for p in ps)
                 tiles.append((int(zc[i]), int(xc[i]), int(yc[i]),
                               mvt.gzip_sink(buf, bool(cmp_[i]))))
             yield _tiles_batch(tiles)
@@ -1378,15 +1410,19 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar",
     spark.sql.execution.arrow.maxBytesPerBatch (schema.get_spark).
 
     ``max_pack_features``: the HOT-TILE bound. When set, tiles pack one
-    row per (z, x, y, LAYER) instead — a hot multi-layer tile becomes
-    several bounded rows, encoded as self-contained framed layer messages
-    (``encode_tiles_table(per_layer=True)``) and spliced back per tile by
-    ``_merge_layer_rows`` in first-seen order, byte-identical to the
-    whole-tile pack (the multi-zoom sink's proven merge contract; parity
-    gated in tests/test_encode_columnar.py). A single LAYER whose feature
-    count exceeds the cap raises a documented error in-kernel — splitting
-    WITHIN a layer would need key/value-table-aware merge. Cost vs the
-    default: one extra shuffle of encoded layer blobs (∝ output bytes).
+    row per (z, x, y, LAYER, bucket) — a hot tile becomes several
+    bounded rows even within one layer (buckets of ``max_pack_features``
+    features in (tile_idx, feature_idx) order), encoded as
+    self-contained framed layer messages
+    (``encode_tiles_table(per_layer=True)``) and spliced back per tile
+    by ``_merge_layer_rows`` in first-seen order. Same-layer bucket
+    units that meet in one kernel batch re-unify inside the encoder;
+    units split across batches byte-merge in the splice
+    (``mvt.merge_layer_parts`` — key/value-table-aware tag rewrite over
+    verbatim geometry bytes, memory ∝ wire bytes). Byte-identical to the
+    whole-tile pack either way (parity gated in
+    tests/test_encode_columnar.py). Cost vs the default: one extra
+    shuffle of encoded layer blobs (∝ output bytes).
     ``impl="rows"``: the original applyInPandas + mvt.Feature path, kept
     as the byte-parity reference.
     """
@@ -1401,7 +1437,16 @@ def encode_tiles(composited: DataFrame, impl: str = "columnar",
 
         from ..sources import mvt_vec
 
-        packed = _pack_tiles(composited, by_layer=max_pack_features is not None)
+        src = composited
+        if max_pack_features is not None:
+            src = composited.withColumn("_pack_bucket", (
+                (F.row_number().over(
+                    Window.partitionBy("z", "x", "y", "layer")
+                    .orderBy("tile_idx", "feature_idx")) - 1)
+                / F.lit(int(max_pack_features))).cast("int"))
+        packed = _pack_tiles(src, by_layer=max_pack_features is not None)
+        if "_pack_bucket" in packed.columns:
+            packed = packed.drop("_pack_bucket")
         tile_cols = [c for c in _TILE_LEVEL_COLS if c in packed.columns]
         flat_names = composited.columns
 

@@ -761,6 +761,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CH.unigram_surprisal(docs)
     q["unigram_surprisal"] = unigram_surprisal
 
+    def dsir_importance(spark, sf):
+        """DSIR importance weighting (Xie et al. 2023 shape): score every
+        doc by the hashed-unigram log-likelihood ratio of a TARGET slice
+        (lang='en') vs the raw corpus, add-1 smoothed, per-token
+        micro-rounded BEFORE the order-independent sum (ln is the only
+        libm call). Bucket-count tables ≤1024 rows broadcast; token
+        explode + keys-only per-doc groupBy."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.dsir_logratio(docs, docs.filter(F.col("lang") == "en"),
+                                buckets=1024)
+    q["dsir_importance"] = dsir_importance
+
+    def cap_per_source(spark, sf):
+        """Per-source document cap (the C4/RefinedWeb host-cap pass):
+        keep the 10 best docs per source by the TOTAL (n_chars DESC,
+        doc_id ASC) order — deterministic kept set; the salted two-phase
+        variant is row-identical (exact prune, tested)."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.cap_per_group(docs, 10).select(
+            "doc_id", "source", "n_chars", "grp_rank")
+    q["cap_per_source"] = cap_per_source
+
     def bm25_topk(spark, sf):
         """BM25 top-5 keyword retrieval: queries derived from the corpus
         itself (first 3 tokens of every 97th doc — scale-proportional,
@@ -1239,6 +1263,13 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.chunking import unigram_surprisal_sql
     o["unigram_surprisal"] = unigram_surprisal_sql()
+
+    o["dsir_importance"] = CH.dsir_logratio_sql("lang = 'en'",
+                                                buckets=1024)
+    o["cap_per_source"] = (
+        "SELECT doc_id, source, n_chars, grp_rank FROM "
+        f"({CH.cap_per_group_sql(10)})"
+    )
 
     from vtcomposite_spark.operators.retrieval import bm25_topk_sql
     _toks = "list_filter(string_split(text, ' '), t -> t != '')"

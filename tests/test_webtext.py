@@ -917,3 +917,63 @@ def test_dedupe_substrings_self_repeat_and_triple(spark):
     assert out[1].n_removed == 8
     assert out[2].text_clean == "lead-in"
     assert out[3].text_clean == "trailer"
+
+
+def _corpus_docs_df(spark, n=60):
+    rows = [(i, f"tok{i % 7} tok{i % 3} alpha beta{'x' * (i % 2)} "
+             f"gamma tok{i % 11}", ["en", "fr", "de"][i % 3],
+             f"src{i % 4}", 100 + i * 7 % 50) for i in range(n)]
+    rows.append((n, "", "en", "src0", 0))  # zero-token doc
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"), rows
+
+
+def test_dsir_logratio_twin_parity_and_direction(spark):
+    """Engine == DuckDB twin value-exact on a synthesized corpus; docs
+    drawn from the target slice average a HIGHER importance log-ratio
+    than the rest (the DSIR selection signal points the right way);
+    zero-token docs emit nothing."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs, rows = _corpus_docs_df(spark)
+    target = docs.filter(F.col("lang") == "en")
+    got = {r.doc_id: (r.n_tokens, r.logratio_micro_sum,
+                      r.avg_logratio_micro)
+           for r in CH.dsir_logratio(docs, target, buckets=256).collect()}
+    duckdb.sql("DROP TABLE IF EXISTS _dsir_docs")
+    duckdb.sql("CREATE TABLE _dsir_docs(doc_id BIGINT, text VARCHAR, "
+               "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    duckdb.executemany("INSERT INTO _dsir_docs VALUES (?, ?, ?, ?, ?)",
+                       rows)
+    want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+            for r in duckdb.sql(CH.dsir_logratio_sql(
+                "lang = 'en'", buckets=256, table="_dsir_docs"))
+            .fetchall()}
+    assert got == want
+    assert 60 not in got  # the zero-token doc
+    en = [got[i][2] for i in got if i % 3 == 0]
+    rest = [got[i][2] for i in got if i % 3 != 0]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    with pytest.raises(ValueError, match="buckets"):
+        CH.dsir_logratio(docs, target, buckets=100000)
+
+
+def test_cap_per_group_hand_case_and_salted_identity(spark):
+    """Keep-best-n per group under the total (order DESC, id ASC) order:
+    ties on the order column break toward the smaller id; the salted
+    two-phase prune returns the IDENTICAL rows (exactness of the
+    per-salt-bucket pre-prune)."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 20),
+         (5, "b", 5)],
+        "doc_id long, source string, n_chars long")
+    got = {(r.source, r.grp_rank): r.doc_id
+           for r in CH.cap_per_group(docs, 2).collect()}
+    assert got == {("a", 1): 2, ("a", 2): 3, ("b", 1): 5}
+    plain = sorted(tuple(r) for r in CH.cap_per_group(docs, 2).collect())
+    for s in (2, 7):
+        salted = sorted(tuple(r) for r in
+                        CH.cap_per_group(docs, 2,
+                                         salt_partitions=s).collect())
+        assert salted == plain

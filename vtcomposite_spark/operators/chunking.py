@@ -259,3 +259,144 @@ def sample_mixture(docs: DataFrame, rates, group_col: str = "lang",
     return (docs.join(F.broadcast(rates_df), on=group_col, how="left")
             .filter(bucket < thresh)
             .drop("rate"))
+
+def dsir_logratio(docs: DataFrame, target: DataFrame,
+                  buckets: int = 4096, id_col: str = "doc_id",
+                  text_col: str = "text", salt: str = "dsir",
+                  counts_join: str = "broadcast") -> DataFrame:
+    """Data Selection via Importance Resampling (the DSIR shape, Xie et
+    al. 2023): score every raw document by how much more likely its
+    tokens are under a TARGET subcorpus's hashed-unigram distribution
+    than under the raw corpus's own → (id, n_tokens,
+    logratio_micro_sum, avg_logratio_micro). HIGH average = looks like
+    the target; resampling then keeps docs by weight (pair with
+    ``sample_by_hash``/``cap_per_group`` downstream).
+
+    Features are hashed token buckets (md5(salt||term) → [0, buckets),
+    the paper's hashed n-gram trick), with add-1 smoothing on both
+    distributions; each token contributes
+    round(ln(((t_b+1)/(T+B)) / ((r_b+1)/(R+B))) · 10⁶) where t_b/r_b are
+    the token's bucket counts in target/raw and T/R the total token
+    counts. The per-token value rounds to an integer MICRO score BEFORE
+    the per-doc sum (order-independent; ln() is the only libm call — the
+    bm25/surprisal rule), and both double divisions are written
+    identically in the SQL twin, so the full oracle gate verifies it
+    value-exact.
+
+    100-TB shape: both bucket-count tables have ≤ ``buckets`` rows —
+    broadcast by default (``counts_join="auto"`` leaves the strategy to
+    AQE for huge bucket counts); totals are 1-row broadcast aggregates;
+    the token explode is rows ∝ tokens with map-side-combine counts and
+    a keys-only per-doc groupBy. No all-pairs, no driver collect.
+    """
+    from ..functions.hashing import _hex4_to_int_col
+
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536] (md5 hex4 range)")
+
+    def toks(df):
+        t = df.select(F.col(id_col).alias("_id"),
+                      F.explode(TX.tokens_col(F.col(text_col)))
+                      .alias("term"))
+        return t.select("_id", (_hex4_to_int_col(
+            F.md5(F.concat(F.lit(salt), F.col("term"))))
+            % buckets).alias("b"))
+
+    raw = toks(docs)
+    rc = raw.groupBy("b").agg(F.count("*").alias("rcnt"))
+    tc = toks(target).groupBy("b").agg(F.count("*").alias("tcnt"))
+    tot = rc.agg(F.sum("rcnt").alias("rtot")).crossJoin(
+        tc.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).alias("ttot")))
+    if counts_join == "broadcast":
+        rc, tc = F.broadcast(rc), F.broadcast(tc)
+    num = ((F.coalesce(F.col("tcnt"), F.lit(0)) + 1).cast("double")
+           / (F.col("ttot") + buckets))
+    den = ((F.col("rcnt") + 1).cast("double")
+           / (F.col("rtot") + buckets))
+    per_tok = (raw.join(rc, "b").join(tc, "b", "left")
+               .crossJoin(F.broadcast(tot))
+               .select("_id", F.round(F.log(num / den) * 1000000.0)
+                       .cast("long").alias("micro")))
+    return (per_tok.groupBy("_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("micro").alias("logratio_micro_sum"))
+            .select(F.col("_id").alias(id_col), "n_tokens",
+                    "logratio_micro_sum",
+                    F.floor(F.col("logratio_micro_sum")
+                            / F.col("n_tokens")).cast("long")
+                    .alias("avg_logratio_micro")))
+
+
+def dsir_logratio_sql(target_where: str, buckets: int = 4096,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", salt: str = "dsir") -> str:
+    """DuckDB twin of ``dsir_logratio`` with the target subcorpus given
+    as a WHERE clause over the same table."""
+    from ..functions.hashing import hex4_to_int_sql
+
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    h = f"md5('{salt}' || term)"
+    b = f"(({hex4_to_int_sql(h)}) % {buckets})"
+    return (
+        f"WITH w AS (SELECT {id_col} AS _id, unnest({ws}) AS term "
+        f"FROM {table}), "
+        f"t AS (SELECT _id, {b} AS b FROM w), "
+        f"wt AS (SELECT unnest({ws}) AS term FROM {table} "
+        f"WHERE {target_where}), "
+        f"tt AS (SELECT {b} AS b FROM wt), "
+        "rc AS (SELECT b, count(*) AS rcnt FROM t GROUP BY 1), "
+        "tc AS (SELECT b, count(*) AS tcnt FROM tt GROUP BY 1), "
+        "tot AS (SELECT (SELECT CAST(sum(rcnt) AS BIGINT) FROM rc) AS rtot, "
+        "(SELECT CAST(coalesce(sum(tcnt), 0) AS BIGINT) FROM tc) AS ttot), "
+        "p AS (SELECT _id, CAST(round(ln("
+        f"(CAST(coalesce(tc.tcnt, 0) + 1 AS DOUBLE) / (tot.ttot + {buckets}))"
+        f" / (CAST(rc.rcnt + 1 AS DOUBLE) / (tot.rtot + {buckets}))"
+        ") * 1000000.0) AS BIGINT) AS micro "
+        "FROM t JOIN rc USING (b) LEFT JOIN tc USING (b), tot) "
+        f"SELECT _id AS {id_col}, count(*) AS n_tokens, "
+        "CAST(sum(micro) AS BIGINT) AS logratio_micro_sum, "
+        "CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) "
+        "AS avg_logratio_micro FROM p GROUP BY 1"
+    )
+
+
+def cap_per_group(docs: DataFrame, n: int, group_col: str = "source",
+                  order_col: str = "n_chars", id_col: str = "doc_id",
+                  salt_partitions: int = 0) -> DataFrame:
+    """Per-group document cap (the C4/RefinedWeb host-cap pass): keep at
+    most ``n`` documents per ``group_col``, best-first by
+    (``order_col`` DESC, ``id_col`` ASC) — a TOTAL order, so the kept
+    set is deterministic across engines and partitionings. Output = the
+    input columns plus the 1-based ``grp_rank``.
+
+    ``salt_partitions > 1`` turns on the bm25-style two-phase exact
+    prune for hot groups (one host owning a large share of the corpus):
+    a first window over (group, crc32(id) % S) keeps n rows per salt
+    bucket, then the global per-group window ranks the ≤ n·S survivors —
+    exact because any row in the group's true top-n is also in its salt
+    bucket's top-n under the same total order."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    src = docs
+    if salt_partitions > 1:
+        pre = Window.partitionBy(
+            F.col(group_col),
+            F.crc32(F.col(id_col).cast("string")) % salt_partitions
+        ).orderBy(*order)
+        src = (src.withColumn("_pre_rank", F.row_number().over(pre))
+               .filter(F.col("_pre_rank") <= n).drop("_pre_rank"))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (src.withColumn("grp_rank", F.row_number().over(w))
+            .filter(F.col("grp_rank") <= n))
+
+
+def cap_per_group_sql(n: int, group_col: str = "source",
+                      order_col: str = "n_chars", id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    """DuckDB twin of ``cap_per_group`` (salt prune omitted — exact)."""
+    return (
+        f"SELECT *, row_number() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {order_col} DESC, {id_col} ASC) AS grp_rank "
+        f"FROM {table} QUALIFY grp_rank <= {n}"
+    )

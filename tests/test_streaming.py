@@ -188,3 +188,85 @@ def test_stream_latest_tile_updates_change_feed(spark, fixture_bytes):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedupe_docs_first_seen_wins(spark):
+    """Streaming exact dedupe: (1) within one micro-batch the lowest id
+    per text wins (the batch exact_dedupe keep rule); (2) a later batch
+    under the same checkpoint emits only never-seen texts — even when
+    its duplicate has a LOWER id (first-arrival-wins, the stream
+    contract); (3) replaying batch-1's file emits zero rows (state
+    survives the checkpointed restart)."""
+    import tempfile
+
+    from vtcomposite_spark.operators.dedupe import exact_dedupe
+    from vtcomposite_spark.streaming.pipeline import run_doc_dedupe_stream
+
+    src = tempfile.mkdtemp(prefix="vtc_dd_src_")
+    out = tempfile.mkdtemp(prefix="vtc_dd_out_")
+    ckpt = tempfile.mkdtemp(prefix="vtc_dd_ck_")
+    try:
+        b1 = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "alpha beta"), (12, "gamma")],
+            "doc_id long, text string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        run_doc_dedupe_stream(spark, src, out, ckpt)
+        got1 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+        want1 = {(r.keep_id,) for r in exact_dedupe(b1).collect()}
+        assert {(i,) for i, _ in got1} == want1
+        assert got1 == {(10, "alpha beta"), (12, "gamma")}
+
+        # batch 2: dup of "gamma" with a LOWER id + one new text
+        b2 = spark.createDataFrame(
+            [(5, "gamma"), (13, "delta")], "doc_id long, text string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_doc_dedupe_stream(spark, src, out, ckpt)
+        got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+        assert got2 == got1 | {(13, "delta")}  # 5 suppressed: seen in b1
+
+        # replay batch 1's rows as a new file: nothing new may emit
+        b1.coalesce(1).write.mode("append").parquet(src)
+        run_doc_dedupe_stream(spark, src, out, ckpt)
+        assert {(r.doc_id, r.text)
+                for r in spark.read.parquet(out).collect()} == got2
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_text_quality_matches_batch(spark):
+    """The stateless text operators compose under readStream unchanged:
+    the Gopher filter bundle over a documents stream equals the batch
+    result row-for-row (codegen expressions are engine-side; no state,
+    no watermark needed)."""
+    import tempfile
+
+    from vtcomposite_spark.functions import text as TX
+
+    src = tempfile.mkdtemp(prefix="vtc_q_src_")
+    out = tempfile.mkdtemp(prefix="vtc_q_out_")
+    ckpt = tempfile.mkdtemp(prefix="vtc_q_ck_")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over a lazy dog " * 5),
+             (2, "# # # # # #"), (3, "word " * 30)],
+            "doc_id long, text string")
+        docs.coalesce(1).write.mode("append").parquet(src)
+
+        def bundle(df):
+            cols = TX.gopher_filter_cols(F.col("text"), min_words=10)
+            return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+        want = {tuple(r) for r in bundle(docs).collect()}
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(src)
+        q = (bundle(stream).writeStream.format("parquet")
+             .option("path", out).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        assert got == want and want
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -246,3 +246,82 @@ def compact_tile_log(spark, sink_dir: str, out_dir: str | None = None,
     os.rename(sink_dir, old)
     os.rename(tmp, sink_dir)
     shutil.rmtree(old)
+
+
+def stream_dedupe_docs(docs_stream: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Cross-batch streaming EXACT dedupe over a document stream: emit a
+    document the FIRST time its content fingerprint (md5 of the text) is
+    seen in the stream's entire history; every later duplicate — inside
+    the same micro-batch (lowest id wins, matching the batch
+    ``dedupe.exact_dedupe`` keep rule), in a later batch, or replayed
+    across a checkpointed restart — emits NOTHING. This is the dedupe
+    semantics an INCREMENTAL corpus build needs: batch exact_dedupe
+    re-ranks the whole corpus per run (a later crawl could steal a keep
+    from an earlier one); the stream contract is first-arrival-wins,
+    stable as history grows.
+
+    Stateful for the same reason as ``stream_latest_tile_updates``:
+    "emit only if never seen before across ALL history" needs per-key
+    state that outlives the micro-batch (``dropDuplicates`` on a stream
+    state-times-out with the watermark and cannot span restarts).
+    Runs as ``applyInPandasWithState`` keyed by the fingerprint; state =
+    the keeper's id, ONE long per distinct document text — document
+    BLOBS ride the batch and never enter the state store. At corpus
+    scale the state is rows ∝ distinct texts: configure the RocksDB
+    state store provider, same as the tile feed.
+
+    Returns (fingerprint, id, text) rows — the kept documents only.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit(key, pdfs, state):
+        import pandas as pd
+
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf[id_col].idxmin()]
+            if best is None or int(row[id_col]) < int(best[id_col]):
+                best = row
+        if best is not None and not state.exists:
+            state.update((int(best[id_col]),))
+            yield pd.DataFrame([{
+                "fingerprint": key[0], id_col: int(best[id_col]),
+                text_col: best[text_col]}])
+
+    keyed = docs_stream.withColumn(
+        "fingerprint", F.md5(F.col(text_col)))
+    return (keyed.groupBy("fingerprint")
+            .applyInPandasWithState(
+                emit,
+                outputStructType=f"fingerprint string, {id_col} long, "
+                                 f"{text_col} string",
+                stateStructType="keep_id long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_doc_dedupe_stream(spark, source_dir: str, out_dir: str,
+                          checkpoint_dir: str, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_files_per_trigger: int | None = None) -> None:
+    """Drive ``stream_dedupe_docs`` over a documents directory: drain
+    what is currently available (``availableNow``) into an append-only
+    parquet corpus of first-seen documents at ``out_dir``. Checkpointed:
+    a later call with the same checkpoint resumes the fingerprint state,
+    so duplicates and replayed files stay suppressed across restarts."""
+    reader = spark.readStream.schema(f"{id_col} long, {text_col} string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    out = stream_dedupe_docs(stream, id_col=id_col, text_col=text_col)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -161,9 +161,10 @@ Determinism: all three runs produced byte-identical counters.
 Run history (same code path, independent sessions — the spread is the
 host, not the engine): round 2 measured 0.832–0.849 primary efficiency,
 round 4 (calmest window, ALU calib 3.93×) **0.922**, round 5 (ALU calib
-3.76×) **0.806**, round 5 re-run (ALU calib 3.18×) **0.861** — 1.08× of
+3.76×) **0.806**, round 5 re-runs (ALU calib 3.18×) **0.861** — 1.08× of
 that window's calibrated ceiling, i.e. the engine scaled BETTER than the
-host's own single-purpose ALU loop that hour. Every run clears the ≥0.8
+host's own single-purpose ALU loop that hour — and (ALU calib 3.96×)
+**0.846**. Every run clears the ≥0.8
 target; the efficiency-vs-calibrated-ceiling row above normalizes out
 most of the host variance.
 

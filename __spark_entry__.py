@@ -785,6 +785,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source", "n_chars", "grp_rank")
     q["cap_per_source"] = cap_per_source
 
+    def pack_sequences(spark, sf):
+        """GPT-style sequence packing: concatenate the corpus's tokens
+        in doc_id order, split into fixed 256-token training sequences,
+        emit the (sequence, document) slice map. The global token
+        offset runs as a DISTRIBUTED two-phase prefix sum (per-bucket
+        totals + small bucket-offset cumsum + within-bucket window) —
+        never one unpartitioned window over the data; the oracle twin
+        is the naive global window."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.pack_sequences(docs, seq_tokens=256, bucket_docs=64)
+    q["pack_sequences"] = pack_sequences
+
     def bm25_topk(spark, sf):
         """BM25 top-5 keyword retrieval: queries derived from the corpus
         itself (first 3 tokens of every 97th doc — scale-proportional,
@@ -1270,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, n_chars, grp_rank FROM "
         f"({CH.cap_per_group_sql(10)})"
     )
+    o["pack_sequences"] = CH.pack_sequences_sql(256)
 
     from vtcomposite_spark.operators.retrieval import bm25_topk_sql
     _toks = "list_filter(string_split(text, ' '), t -> t != '')"

@@ -977,3 +977,49 @@ def test_cap_per_group_hand_case_and_salted_identity(spark):
                         CH.cap_per_group(docs, 2,
                                          salt_partitions=s).collect())
         assert salted == plain
+
+
+def test_pack_sequences_hand_case_and_bucket_parity(spark):
+    """Token counts [3, 5, 2] at seq_tokens=4 concatenate to stream
+    positions 0-9 → the known slice map; a zero-token doc vanishes; sum
+    of slice lengths == total tokens and every sequence except the last
+    is exactly full. bucket_docs=1 (every doc its own prefix-sum bucket)
+    must equal the single-bucket default — the distributed two-phase
+    cumsum is exact."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, ""), (4, "i j")],
+        "doc_id long, text string")
+    out = {(r.seq_idx, r.doc_id):
+           (r.doc_tok_start, r.seq_tok_start, r.n_toks)
+           for r in CH.pack_sequences(docs, seq_tokens=4).collect()}
+    assert out == {(0, 1): (0, 0, 3), (0, 2): (0, 3, 1),
+                   (1, 2): (1, 0, 4), (2, 4): (0, 0, 2)}
+    assert sum(v[2] for v in out.values()) == 10
+    for s in (1, 3):
+        per_bucket = {(r.seq_idx, r.doc_id):
+                      (r.doc_tok_start, r.seq_tok_start, r.n_toks)
+                      for r in CH.pack_sequences(
+                          docs, seq_tokens=4, bucket_docs=s).collect()}
+        assert per_bucket == out
+    with pytest.raises(ValueError):
+        CH.pack_sequences(docs, seq_tokens=0)
+
+
+def test_pack_sequences_twin_parity(spark):
+    """Engine (distributed prefix sum) == DuckDB twin (naive global
+    window) value-exact on a synthesized corpus spanning many buckets."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs, rows = _corpus_docs_df(spark)
+    got = {(r.seq_idx, r.doc_id):
+           (r.doc_tok_start, r.seq_tok_start, r.n_toks)
+           for r in CH.pack_sequences(docs, seq_tokens=7,
+                                      bucket_docs=8).collect()}
+    duckdb.sql("DROP TABLE IF EXISTS _ps_docs")
+    duckdb.sql("CREATE TABLE _ps_docs(doc_id BIGINT, text VARCHAR, "
+               "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    duckdb.executemany("INSERT INTO _ps_docs VALUES (?, ?, ?, ?, ?)", rows)
+    want = {(int(r[0]), int(r[1])): (int(r[2]), int(r[3]), int(r[4]))
+            for r in duckdb.sql(CH.pack_sequences_sql(
+                7, table="_ps_docs")).fetchall()}
+    assert got == want and got

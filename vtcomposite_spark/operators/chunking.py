@@ -400,3 +400,90 @@ def cap_per_group_sql(n: int, group_col: str = "source",
         f"ORDER BY {order_col} DESC, {id_col} ASC) AS grp_rank "
         f"FROM {table} QUALIFY grp_rank <= {n}"
     )
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bucket_docs: int = 4096) -> DataFrame:
+    """Sequence PACKING (the GPT-style concat-and-chunk pretraining
+    step): conceptually concatenate every document's tokens in
+    ``id_col`` order and split the stream into fixed ``seq_tokens``
+    windows; emit the (sequence, document) assignment map →
+    (seq_idx, id, doc_tok_start, seq_tok_start, n_toks) — one row per
+    document-slice, from which a trainer materializes each sequence by
+    slicing its documents in (seq_tok_start) order. Zero-token documents
+    vanish (they contribute no tokens). Pure integer arithmetic — fully
+    SQL-replayable.
+
+    The global token offset is the interesting part at scale: the naive
+    plan is ONE unpartitioned window cumsum (every row through a single
+    task — the classic Spark prefix-sum trap). This runs the textbook
+    DISTRIBUTED prefix sum instead: docs bucket by id range
+    (``bucket_docs`` per bucket), per-bucket token totals aggregate
+    small, the bucket-offset cumsum runs over #buckets rows only, and
+    the per-doc cumsum windows WITHIN each bucket — no full-data
+    single-partition stage. Size ``bucket_docs`` so #buckets stays
+    executor-sized (at 10¹² docs, 10⁶ docs/bucket → a 10⁶-row offsets
+    table; add a second bucketing level before that table itself needs
+    one). The oracle twin uses the naive global window — identical
+    values, oracle-scale only.
+    """
+    if seq_tokens < 1:
+        raise ValueError("seq_tokens must be >= 1")
+    t = (docs.select(F.col(id_col).alias("_id"),
+                     TX.token_count_col(F.col(text_col)).alias("n"))
+         .filter(F.col("n") > 0)
+         .withColumn("_bkt", F.floor(F.col("_id") / bucket_docs)))
+    btot = t.groupBy("_bkt").agg(F.sum("n").alias("btot"))
+    from pyspark.sql.window import Window
+    boff = btot.select(
+        "_bkt",
+        (F.sum("btot").over(Window.orderBy("_bkt")
+                            .rowsBetween(Window.unboundedPreceding, -1)))
+        .alias("boff")).fillna({"boff": 0})
+    win = (Window.partitionBy("_bkt").orderBy("_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    placed = (t.join(F.broadcast(boff), "_bkt")
+              .select("_id", "n",
+                      (F.col("boff")
+                       + F.coalesce(F.sum("n").over(win), F.lit(0)))
+                      .alias("off")))
+    s_min = F.floor(F.col("off") / seq_tokens).cast("long")
+    s_max = F.floor((F.col("off") + F.col("n") - 1) / seq_tokens) \
+        .cast("long")
+    spans = placed.select(
+        "_id", "n", "off",
+        F.explode(F.sequence(s_min, s_max)).alias("seq_idx"))
+    lo = F.greatest(F.col("off"), F.col("seq_idx") * seq_tokens)
+    hi = F.least(F.col("off") + F.col("n"),
+                 (F.col("seq_idx") + 1) * seq_tokens)
+    return spans.select(
+        "seq_idx", F.col("_id").alias(id_col),
+        (lo - F.col("off")).cast("long").alias("doc_tok_start"),
+        (lo - F.col("seq_idx") * seq_tokens).cast("long")
+        .alias("seq_tok_start"),
+        (hi - lo).cast("long").alias("n_toks"))
+
+
+def pack_sequences_sql(seq_tokens: int = 2048, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of ``pack_sequences`` — the naive single global
+    window cumsum (fine at oracle scale)."""
+    cnt = TX.TOKEN_COUNT_SQL.format(c=text_col)
+    return (
+        f"WITH t AS (SELECT {id_col} AS _id, {cnt} AS n FROM {table}), "
+        "p AS (SELECT _id, n, CAST(coalesce(sum(n) OVER ("
+        "ORDER BY _id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS BIGINT) AS off FROM t WHERE n > 0), "
+        "s AS (SELECT _id, n, off, unnest(generate_series("
+        f"CAST(floor(off / {seq_tokens}) AS BIGINT), "
+        f"CAST(floor((off + n - 1) / {seq_tokens}) AS BIGINT))) AS seq_idx "
+        "FROM p) "
+        f"SELECT seq_idx, _id AS {id_col}, "
+        f"greatest(off, seq_idx * {seq_tokens}) - off AS doc_tok_start, "
+        f"greatest(off, seq_idx * {seq_tokens}) - seq_idx * {seq_tokens} "
+        "AS seq_tok_start, "
+        f"least(off + n, (seq_idx + 1) * {seq_tokens}) "
+        f"- greatest(off, seq_idx * {seq_tokens}) AS n_toks FROM s"
+    )

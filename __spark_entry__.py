@@ -798,6 +798,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return CH.pack_sequences(docs, seq_tokens=256, bucket_docs=64)
     q["pack_sequences"] = pack_sequences
 
+    def bigram_merges(spark, sf):
+        """Tokenizer-training step 1: corpus-wide top-20 adjacent token
+        pairs (the BPE merge-candidate count) under the TOTAL
+        (cnt DESC, w1, w2) order — min_count prunes the pair table
+        before the rank window; the salted two-phase variant is
+        row-identical (tested)."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.bigram_merge_candidates(docs, k=20, min_count=2)
+    q["bigram_merges"] = bigram_merges
+
+    def bigram_surprisal(spark, sf):
+        """Context-aware LM quality: avg −ln p(w2|w1) under the
+        corpus's own add-1 bigram model (head counts + vocab-size
+        smoothing), per-bigram micro-rounded BEFORE the
+        order-independent sum — scores transitions, not token identity,
+        so word salad ranks high and templated boilerplate low."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        return CH.bigram_surprisal(docs)
+    q["bigram_surprisal"] = bigram_surprisal
+
     def bm25_topk(spark, sf):
         """BM25 top-5 keyword retrieval: queries derived from the corpus
         itself (first 3 tokens of every 97th doc — scale-proportional,
@@ -1284,6 +1306,8 @@ def oracle_sql() -> dict[str, str]:
         f"({CH.cap_per_group_sql(10)})"
     )
     o["pack_sequences"] = CH.pack_sequences_sql(256)
+    o["bigram_merges"] = CH.bigram_merge_candidates_sql(20, 2)
+    o["bigram_surprisal"] = CH.bigram_surprisal_sql()
 
     from vtcomposite_spark.operators.retrieval import bm25_topk_sql
     _toks = "list_filter(string_split(text, ' '), t -> t != '')"

@@ -1023,3 +1023,52 @@ def test_pack_sequences_twin_parity(spark):
             for r in duckdb.sql(CH.pack_sequences_sql(
                 7, table="_ps_docs")).fetchall()}
     assert got == want and got
+
+
+def test_bigram_merge_candidates_hand_case_and_salted(spark):
+    """'a b a b c' + 'a b' → (a,b)×3 ranks 1; (b,a) and (b,c) fall at
+    min_count=2 and survive at 1 with the (cnt DESC, w1, w2) tie-break;
+    the salted two-phase prune returns identical rows."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame([(1, "a b a b c"), (2, "a b")],
+                                 "doc_id long, text string")
+    got = [(r.w1, r.w2, r.cnt, r.pair_rank) for r in
+           CH.bigram_merge_candidates(docs, k=10, min_count=2)
+           .orderBy("pair_rank").collect()]
+    assert got == [("a", "b", 3, 1)]
+    got1 = [(r.w1, r.w2, r.cnt, r.pair_rank) for r in
+            CH.bigram_merge_candidates(docs, k=10, min_count=1)
+            .orderBy("pair_rank").collect()]
+    assert got1 == [("a", "b", 3, 1), ("b", "a", 1, 2), ("b", "c", 1, 3)]
+    for s in (2, 5):
+        assert [(r.w1, r.w2, r.cnt, r.pair_rank) for r in
+                CH.bigram_merge_candidates(docs, k=10, min_count=1,
+                                           salt_partitions=s)
+                .orderBy("pair_rank").collect()] == got1
+
+
+def test_bigram_surprisal_twin_parity_and_contract(spark):
+    """Engine == DuckDB twin value-exact; single-token and empty docs
+    emit nothing; a doc made of the corpus's most common transitions
+    scores LOWER than a rare-transition doc."""
+    from vtcomposite_spark.operators import chunking as CH
+    docs, rows = _corpus_docs_df(spark)
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_micro_sum,
+                      r.avg_surprisal_micro)
+           for r in CH.bigram_surprisal(docs).collect()}
+    duckdb.sql("DROP TABLE IF EXISTS _bs_docs")
+    duckdb.sql("CREATE TABLE _bs_docs(doc_id BIGINT, text VARCHAR, "
+               "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    duckdb.executemany("INSERT INTO _bs_docs VALUES (?, ?, ?, ?, ?)", rows)
+    want = {int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+            for r in duckdb.sql(CH.bigram_surprisal_sql(
+                table="_bs_docs")).fetchall()}
+    assert got == want and got
+    assert 60 not in got  # empty doc
+    small = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x q z y"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.avg_surprisal_micro
+           for r in CH.bigram_surprisal(small).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] < out[2]

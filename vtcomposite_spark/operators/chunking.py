@@ -487,3 +487,139 @@ def pack_sequences_sql(seq_tokens: int = 2048, table: str = "documents",
         f"least(off + n, (seq_idx + 1) * {seq_tokens}) "
         f"- greatest(off, seq_idx * {seq_tokens}) AS n_toks FROM s"
     )
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, w1, w2) — one row per adjacent token pair, via ONE
+    posexplode + ONE lead() window on the doc id (the repetition_stats
+    pass shape; rows ∝ tokens, no array slicing)."""
+    from pyspark.sql.window import Window
+
+    w = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(TX.tokens_col(F.col(text_col))).alias("pos", "w1"))
+    win = Window.partitionBy("_id").orderBy("pos")
+    return (w.select("_id", "w1", F.lead("w1").over(win).alias("w2"))
+            .filter(F.col("w2").isNotNull()))
+
+
+def bigram_merge_candidates(docs: DataFrame, k: int = 20,
+                            min_count: int = 2, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            salt_partitions: int = 0) -> DataFrame:
+    """Corpus-wide top-k adjacent token pairs → (w1, w2, cnt,
+    pair_rank): the counting step a BPE/WordPiece TOKENIZER TRAINING
+    loop runs each merge round (the highest-count pair is the next
+    merge), also the input to collocation mining. Ranking is the TOTAL
+    order (cnt DESC, w1 ASC, w2 ASC), so the winner set is deterministic
+    across engines and partitionings.
+
+    100-TB shape: pair counts are one explode + one window + a
+    map-side-combine groupBy; ``min_count`` prunes the (vocab²-bounded)
+    pair table before the rank window, and ``salt_partitions > 1`` turns
+    on the bm25-style two-phase exact top-k for the final global rank
+    (per-salt top-k ⊇ global top-k under a total order)."""
+    from pyspark.sql.window import Window
+
+    pairs = (_bigrams(docs, id_col, text_col)
+             .groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") >= min_count))
+    order = [F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    if salt_partitions > 1:
+        pre = Window.partitionBy(
+            F.crc32(F.concat_ws("\x00", "w1", "w2")) % salt_partitions
+        ).orderBy(*order)
+        pairs = (pairs.withColumn("_pr", F.row_number().over(pre))
+                 .filter(F.col("_pr") <= k).drop("_pr"))
+    w = Window.orderBy(*order)
+    return (pairs.withColumn("pair_rank", F.row_number().over(w))
+            .filter(F.col("pair_rank") <= k))
+
+
+def bigram_merge_candidates_sql(k: int = 20, min_count: int = 2,
+                                table: str = "documents",
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """DuckDB twin of ``bigram_merge_candidates``."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        f"WITH w AS (SELECT {ws} AS ws FROM {table}), "
+        "b AS (SELECT unnest(list_transform(generate_series(1, "
+        "len(ws) - 1), i -> ws[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i + 1])) AS w2 FROM w), "
+        "c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2), "
+        "r AS (SELECT w1, w2, cnt, row_number() OVER (ORDER BY cnt DESC, "
+        f"w1 ASC, w2 ASC) AS pair_rank FROM c WHERE cnt >= {min_count}) "
+        f"SELECT w1, w2, cnt, pair_rank FROM r WHERE pair_rank <= {k}"
+    )
+
+
+def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     counts_join: str = "auto") -> DataFrame:
+    """Context-aware LM quality signal: per document, the average
+    bigram surprisal −ln p(w2|w1) under the corpus's own add-1-smoothed
+    bigram model, p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) with c(w1·) the
+    count of w1 as a bigram head and V the corpus's distinct-token
+    vocabulary size → (id, n_bigrams, surprisal_micro_sum,
+    avg_surprisal_micro). Sharper than ``unigram_surprisal`` at flagging
+    word-salad text (high) and templated boilerplate (low): it scores
+    transitions, not token identity. Documents with < 2 tokens emit
+    nothing.
+
+    Oracle discipline: each bigram's surprisal = round(ln((c1+V)/
+    (c12+1))·10⁶) — integer arithmetic inside the (positive) ln, rounded
+    BEFORE the order-independent per-doc sum; the bm25/dsir rule.
+
+    100-TB shape: pair counts and head counts are map-side-combine
+    groupBys; the per-bigram joins key on (w1, w2)/(w1) — shuffle joins
+    by default (the pair vocabulary is corpus-sized;
+    ``counts_join="broadcast"`` forces broadcast when it fits), V rides
+    a 1-row broadcast, and the per-doc rollup is keys-only.
+    """
+    bg = _bigrams(docs, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (docs.select(F.explode(TX.tokens_col(F.col(text_col)))
+                         .alias("w")).agg(F.count_distinct("w").alias("v")))
+    if counts_join == "broadcast":
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+    per = (bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+           .crossJoin(F.broadcast(vocab))
+           .select("_id", F.round(F.log(
+               (F.col("c1") + F.col("v")).cast("double")
+               / (F.col("c12") + 1)) * 1000000.0)
+               .cast("long").alias("micro")))
+    return (per.groupBy("_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("micro").alias("surprisal_micro_sum"))
+            .select(F.col("_id").alias(id_col), "n_bigrams",
+                    "surprisal_micro_sum",
+                    F.floor(F.col("surprisal_micro_sum")
+                            / F.col("n_bigrams")).cast("long")
+                    .alias("avg_surprisal_micro")))
+
+
+def bigram_surprisal_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of ``bigram_surprisal``."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        f"WITH w AS (SELECT {id_col} AS _id, {ws} AS ws FROM {table}), "
+        "b AS (SELECT _id, unnest(list_transform(generate_series(1, "
+        "len(ws) - 1), i -> ws[i])) AS w1, "
+        "unnest(list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i + 1])) AS w2 FROM w), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT t.w) AS v FROM "
+        "(SELECT unnest(ws) AS w FROM w) t), "
+        "p AS (SELECT _id, CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE) "
+        "/ (c12.c12 + 1)) * 1000000.0) AS BIGINT) AS micro "
+        "FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v) "
+        f"SELECT _id AS {id_col}, count(*) AS n_bigrams, "
+        "CAST(sum(micro) AS BIGINT) AS surprisal_micro_sum, "
+        "CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) "
+        "AS avg_surprisal_micro FROM p GROUP BY 1"
+    )

@@ -609,6 +609,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "corpus_id", "rank", "cos")
     q["ann_cosine_topk"] = ann_cosine_topk
 
+    def quantize_embeddings(spark, sf):
+        """Scalar int8 quantization of the embedding corpus (the 4×
+        storage shrink before ANN at 100 TB): global per-dimension
+        min/max ranges (D-row broadcast aggregate), then a map-side
+        affine code — value-exact across engines because floats widen
+        exactly to double and the expression tree is identical."""
+        emb = _read(spark, sf, "embeddings")
+        return SIM.quantize_embeddings(emb, bits=8)
+    q["quantize_embeddings"] = quantize_embeddings
+
     def embedding_near_dup_pairs(spark, sf):
         """Banded random-hyperplane LSH (2 tables × 4 bits, OR-amplified)
         → exact-cosine refine; md5-seeded literal hyperplanes keep the
@@ -1327,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank FROM cand) "
         "WHERE rank <= 5"
     )
+
+    o["quantize_embeddings"] = SIM.quantize_embeddings_sql(8)
 
     # seed-IVF: replay every stage of ann_topk_ivf(centroids="seed") —
     # lowest-id seed centroids, 6-digit-rounded assignment/probe cosines

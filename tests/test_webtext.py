@@ -1072,3 +1072,48 @@ def test_bigram_surprisal_twin_parity_and_contract(spark):
            for r in CH.bigram_surprisal(small).collect()}
     assert set(out) == {1, 2}
     assert out[1] < out[2]
+
+
+def test_quantize_embeddings_hand_case_and_roundtrip(spark):
+    """Known ranges → known codes; a constant dimension codes to 0;
+    dequantization error is bounded by (hi−lo)/(2·levels); DuckDB twin
+    is value-exact on float inputs (exact float→double widening)."""
+    import numpy as np
+
+    from vtcomposite_spark.operators import similarity as S
+
+    rows = [(0, [0.0, 5.0, 1.0]), (1, [1.0, 5.0, 0.0]),
+            (2, [0.5, 5.0, 0.25])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.dim): r.code
+           for r in S.quantize_embeddings(emb, bits=8).collect()}
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 255
+    assert got[(2, 0)] == 128  # round(0.5 * 255) = round(127.5) HALF-UP
+    assert all(got[(i, 1)] == 0 for i in range(3))  # constant dim
+    assert got[(2, 2)] == round(0.25 * 255)
+    # dequant error bound over a random corpus
+    rng = np.random.default_rng(7)
+    data = [(i, [float(x) for x in rng.normal(size=8).astype("float32")])
+            for i in range(40)]
+    emb2 = spark.createDataFrame(data,
+                                 "vec_id long, embedding array<float>")
+    codes = {(r.vec_id, r.dim): r.code
+             for r in S.quantize_embeddings(emb2, bits=8).collect()}
+    arr = np.array([v for _, v in data], dtype="float64")
+    lo, hi = arr.min(axis=0), arr.max(axis=0)
+    for (i, d), c in codes.items():
+        deq = lo[d] + c * (hi[d] - lo[d]) / 255
+        assert abs(deq - arr[i, d]) <= (hi[d] - lo[d]) / (2 * 255) + 1e-12
+    # twin parity
+    import pandas as pd
+    duckdb.sql("DROP TABLE IF EXISTS _qe")
+    duckdb.register("_qe_src", pd.DataFrame(
+        {"vec_id": [i for i, _ in data],
+         "embedding": [np.array(v, dtype="float32") for _, v in data]}))
+    duckdb.sql("CREATE TABLE _qe AS SELECT vec_id, "
+               "embedding::FLOAT[] AS embedding FROM _qe_src")
+    want = {(int(r[0]), int(r[1])): int(r[2]) for r in duckdb.sql(
+        S.quantize_embeddings_sql(8, table="_qe")).fetchall()}
+    assert codes == want
+    with pytest.raises(ValueError):
+        S.quantize_embeddings(emb, bits=0)

@@ -163,3 +163,57 @@ def ann_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int,
         .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
     )
     return _ranked(cand, k).select("query_id", "corpus_id", "cos", "rank")
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar quantization of an embedding corpus for vector STORAGE at
+    scale: per-dimension global [min, max] ranges map each float to an
+    integer code in [0, 2^bits − 1] → (id, dim, code) rows (pack
+    downstream however the store likes; at 8 bits this is the standard
+    4× shrink over float32 that a 100-TB vector corpus takes before
+    ANN). A constant dimension (max == min) codes to 0. Engine-exact:
+    min/max of doubles are exact, the affine map is the IDENTICAL IEEE
+    expression tree in the SQL twin (floats widen exactly to double in
+    both engines), and round() on the same non-negative double agrees —
+    so the full oracle gate verifies the codes value-exact.
+
+    100-TB shape: one posexplode (rows ∝ N·D), a D-row min/max
+    aggregate (map-side combine) broadcast back, then a map-side
+    expression — no shuffle after the stats agg. Dequantization is
+    lo + code·(hi−lo)/levels; max error (hi−lo)/(2·levels), tested.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    levels = (1 << bits) - 1
+    d = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "v"))
+    stats = d.groupBy("dim").agg(F.min("v").alias("lo"),
+                                 F.max("v").alias("hi"))
+    return (d.join(F.broadcast(stats), "dim")
+            .select(F.col("_id").alias(id_col), "dim",
+                    F.when(F.col("hi") == F.col("lo"), F.lit(0))
+                    .otherwise(F.round(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * levels))
+                    .cast("int").alias("code")))
+
+
+def quantize_embeddings_sql(bits: int = 8, table: str = "embeddings",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``quantize_embeddings`` (0-based dims)."""
+    levels = (1 << bits) - 1
+    return (
+        f"WITH d AS (SELECT {id_col} AS _id, "
+        f"generate_subscripts({vec_col}, 1) - 1 AS dim, "
+        f"unnest({vec_col})::DOUBLE AS v FROM {table}), "
+        "s AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM d "
+        "GROUP BY 1) "
+        f"SELECT _id AS {id_col}, dim, CASE WHEN hi = lo THEN 0 ELSE "
+        f"CAST(round((v - lo) / (hi - lo) * {levels}) AS INTEGER) END "
+        "AS code FROM d JOIN s USING (dim)"
+    )

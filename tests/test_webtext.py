@@ -1117,3 +1117,69 @@ def test_quantize_embeddings_hand_case_and_roundtrip(spark):
     assert codes == want
     with pytest.raises(ValueError):
         S.quantize_embeddings(emb, bits=0)
+
+
+# --- SemDeDup (semantic dedup; similarity.semdedup) ---
+
+def _knotted_corpus(spark):
+    """3 tight duplicate knots (exact copies) + unique fillers, 16-dim.
+    Ids interleave knots and fillers so "keep the min id" is non-trivial."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(60):
+        if i % 4 == 3:      # ids 3,7,11,... are knot members
+            v = base[(i // 4) % 3]
+        else:
+            v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_one_per_knot(spark):
+    emb2 = _knotted_corpus(spark)
+    out = {r.vec_id: (r.bucket, r.kept)
+           for r in S.semdedup(emb2, threshold=0.999,
+                               n_centroids=4).collect()}
+    assert len(out) == 60  # one row per input vector, always
+    # within every (bucket, knot) the smallest id is kept, the rest drop
+    knots = {}
+    for i in range(60):
+        if i % 4 == 3:
+            knots.setdefault(((i // 4) % 3, out[i][0]), []).append(i)
+    for members in knots.values():
+        kept = [m for m in members if out[m][1]]
+        assert kept == [min(members)], (members, kept)
+    # fillers (random 16-dim, far below 0.999 cosine) all survive
+    assert all(out[i][1] for i in range(60) if i % 4 != 3)
+
+
+def test_semdedup_max_bucket_guardrail(spark):
+    hot = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    # uncapped: one survivor; capped: the over-cap bucket skips pruning
+    assert S.semdedup(hot, threshold=0.9, n_centroids=2) \
+        .filter("kept").count() == 1
+    assert S.semdedup(hot, threshold=0.9, n_centroids=2,
+                      max_bucket=10).filter("kept").count() == 50
+
+
+def test_semdedup_kmeans_variant_runs(spark):
+    emb2 = _knotted_corpus(spark)
+    out = S.semdedup(emb2, threshold=0.999, n_centroids=4,
+                     centroids="kmeans", kmeans_iters=2)
+    kept = out.filter("kept").count()
+    assert 40 <= kept < 60  # drops some knot members, keeps all fillers
+
+
+def test_semdedup_sql_twin_parity(spark, emb):
+    sub = emb.filter(F.col("vec_id") % 3 == 0)
+    got = {(r.vec_id, r.bucket, r.kept)
+           for r in S.semdedup(sub, threshold=0.25, n_centroids=6).collect()}
+    want = {(int(a), int(b), bool(k)) for a, b, k in duck(
+        S.semdedup_sql(0.25, 6, where="vec_id % 3 = 0"))}
+    assert got == want

@@ -202,6 +202,101 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8,
                     .cast("int").alias("code")))
 
 
+def semdedup(corpus: DataFrame, threshold: float = 0.95,
+             n_centroids: int = 16, centroids: str = "seed",
+             kmeans_iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             max_bucket: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup:
+    cluster the embedding corpus, then inside each cluster drop every
+    vector that has a near-identical neighbor — cosine >= ``threshold``
+    — with a SMALLER id (so exactly one representative, the lowest id,
+    survives each tight within-cluster duplicate knot). Returns one row
+    per corpus vector: (``id_col``, bucket, kept).
+
+    100-TB shape: the quadratic term is the WITHIN-cluster self-join —
+    the paper's own design bounds it by cluster count (raise
+    ``n_centroids`` as the corpus grows), and a pathological hot cluster
+    is capped by ``max_bucket`` (over-cap buckets skip pruning — all
+    members kept — the same sacrifice rule as embedding_near_dups). The
+    drop set is keys-only; full vectors never shuffle after assignment.
+
+    Determinism: ``centroids="seed"`` (default here, unlike ann_topk_ivf
+    — dedup decisions should be replayable) + 6-digit-rounded assignment
+    and pair cosines make the whole operator pure SQL; the
+    ``semdedup_keep`` entry puts it under the full oracle gate.
+    ``centroids="kmeans"`` runs Lloyd's for better balance; recall the
+    kept-set then depends on float mean order, so it is test-gated only.
+    """
+    if centroids == "kmeans":
+        cent = kmeans_centroids(corpus, n_centroids, kmeans_iters,
+                                vec_col, id_col)
+    else:
+        cent = _seed_centroids(corpus, n_centroids, vec_col, id_col)
+    c = corpus.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc())
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(cosine_col(F.col("cv"), F.col("centv")), 6))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("_id", "cv", F.col("centroid_id").alias("bucket"))
+    )
+    prunable = assigned
+    if max_bucket is not None:
+        ok = (assigned.groupBy("bucket").count()
+              .filter(F.col("count") <= max_bucket).select("bucket"))
+        prunable = assigned.join(F.broadcast(ok), "bucket", "left_semi")
+    a = prunable.select("bucket", F.col("_id").alias("a"),
+                        F.col("cv").alias("va"))
+    b = prunable.select("bucket", F.col("_id").alias("b"),
+                        F.col("cv").alias("vb"))
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b").alias("_id")).distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "_id", "left")
+        .select(F.col("_id").alias(id_col), "bucket",
+                F.col("_dropped").isNull().alias("kept"))
+    )
+
+
+def semdedup_sql(threshold: float, n_centroids: int,
+                 table: str = "embeddings", id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 where: str = "TRUE") -> str:
+    """DuckDB twin of ``semdedup(centroids="seed")`` — seed centroid
+    select, rounded-cosine assignment window, within-bucket smaller-id
+    prune, left-anti kept flag. Shares the rounding/tie-break discipline
+    with the ann_ivf_seed_topk oracle."""
+    from ..functions.hashing import cosine_sql
+    cos_cc = cosine_sql("c.e", "ct.centv")
+    cos_ab = cosine_sql("a.cv", "b.cv")
+    return (
+        f"WITH v AS (SELECT {id_col} AS _id, {vec_col}::DOUBLE[] AS e "
+        f"FROM {table} WHERE {where}), "
+        f"cent AS (SELECT _id AS centroid_id, e AS centv FROM v "
+        f"ORDER BY _id LIMIT {n_centroids}), "
+        "assigned AS (SELECT _id, cv, bucket FROM ("
+        "SELECT c._id, c.e AS cv, ct.centroid_id AS bucket, "
+        "row_number() OVER (PARTITION BY c._id ORDER BY "
+        f"round({cos_cc}, 6) DESC, ct.centroid_id ASC) AS r "
+        "FROM v c CROSS JOIN cent ct) WHERE r = 1), "
+        "dropped AS (SELECT DISTINCT b._id FROM assigned a "
+        "JOIN assigned b USING (bucket) WHERE a._id < b._id "
+        f"AND round({cos_ab}, 6) >= {threshold}) "
+        f"SELECT a._id AS {id_col}, a.bucket, d._id IS NULL AS kept "
+        "FROM assigned a LEFT JOIN dropped d ON a._id = d._id"
+    )
+
+
 def quantize_embeddings_sql(bits: int = 8, table: str = "embeddings",
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> str:

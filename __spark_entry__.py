@@ -22,6 +22,7 @@ import vtcomposite_spark.functions.hashing as H
 import vtcomposite_spark.functions.text as TX
 from vtcomposite_spark import tilemath as tm
 from vtcomposite_spark.operators import dedupe as D
+from vtcomposite_spark.operators import graph as GR
 from vtcomposite_spark.operators import similarity as SIM
 from vtcomposite_spark.operators.cells import encode_cells, rollup_counts
 from vtcomposite_spark.operators.joins import knn_join
@@ -400,6 +401,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "corpus_id", "rank", "cos")
     q["ann_ivf_seed_topk"] = ann_ivf_seed_topk
 
+    def semdedup_keep(spark, sf):
+        """SemDeDup (Abbas et al. 2023): seed-centroid embedding clusters,
+        within-cluster smaller-id cosine prune — the semantic-dedup
+        keep/drop decision for every corpus vector, fully SQL-replayable
+        (seed centroids + 6-digit-rounded cosines; the kmeans variant is
+        pytest-gated in tests/test_webtext.py)."""
+        emb = _read(spark, sf, "embeddings")
+        return SIM.semdedup(emb, threshold=0.25, n_centroids=8) \
+            .select("vec_id", "bucket", "kept")
+    q["semdedup_keep"] = semdedup_keep
+
     def raster_points_roundtrip(spark, sf):
         """Raster↔vector under the FULL oracle gate: synthetic integer
         point features burn onto 64×64 per-tile count grids
@@ -642,6 +654,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", cid.alias("component"),
                         (cid == F.col("doc_id")).alias("is_canonical")))
     q["near_dup_clusters"] = near_dup_clusters
+
+    def doc_pagerank(spark, sf):
+        """PageRank over a deterministic md5-derived doc link graph —
+        the canonical iterative web-graph operator (crawl-priority /
+        quality weighting for corpus curation). Integer micro-unit
+        arithmetic end to end (integer division per contribution,
+        rational damping), so 5 rounds of join+sum replay bit-exact in
+        the unrolled-CTE SQL twin."""
+        docs = _read(spark, sf, "documents")
+        edges = GR.doc_link_edges(docs, out_degree=3, mod=256)
+        return GR.pagerank(edges, iters=5).select("id", "rank")
+    q["doc_pagerank"] = doc_pagerank
 
     def dedupe_corpus(spark, sf):
         """Pair→cluster→drop in one operator: keep exactly one doc per
@@ -1369,6 +1393,12 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank "
         "FROM cand) WHERE rank <= 5"
     )
+
+    from vtcomposite_spark.operators.similarity import semdedup_sql
+    o["semdedup_keep"] = semdedup_sql(0.25, 8)
+
+    o["doc_pagerank"] = GR.pagerank_sql(
+        GR.doc_link_edges_sql(3, 256), iters=5)
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

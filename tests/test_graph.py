@@ -1,0 +1,76 @@
+"""PageRank over deterministic link graphs: hand-sized exactness, DuckDB
+twin parity, multi-edge semantics, and the mass-conservation bound."""
+
+import duckdb
+import pytest
+
+from vtcomposite_spark.operators import graph as G
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pr(spark, edge_rows, iters, **kw):
+    e = spark.createDataFrame(edge_rows, "src long, dst long")
+    return {r.id: r.rank for r in G.pagerank(e, iters=iters, **kw).collect()}
+
+
+def test_pagerank_uniform_at_zero_iters(spark):
+    out = _pr(spark, [(0, 1), (1, 2), (2, 0)], iters=0)
+    assert out == {0: 10 ** 12 // 3, 1: 10 ** 12 // 3, 2: 10 ** 12 // 3}
+
+
+def test_pagerank_cycle_hand_case(spark):
+    # 3-cycle: every node keeps the uniform mass at every iteration
+    # (each sends its whole rank to exactly one successor).
+    u = 10 ** 12 // 3
+    expect = ((100 - 85) * 10 ** 12) // (100 * 3) + (85 * u) // 100
+    out = _pr(spark, [(0, 1), (1, 2), (2, 0)], iters=1)
+    assert out == {0: expect, 1: expect, 2: expect}
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # 0,1,2 all link to 3; 3 links back to 0 only.
+    out = _pr(spark, [(0, 3), (1, 3), (2, 3), (3, 0)], iters=5)
+    assert out[3] > out[0] > out[1] == out[2]
+    # leaky mass bound: total never exceeds the initial scale
+    assert sum(out.values()) <= 10 ** 12
+
+
+def test_pagerank_multi_edge_counts(spark):
+    # a duplicated link splits src's mass across BOTH copies — dst sees
+    # the same total as a single link, but src's deg is 2 so a second
+    # distinct target would get half. Verify deg semantics end-to-end.
+    single = _pr(spark, [(0, 1), (1, 0)], iters=1)
+    double = _pr(spark, [(0, 1), (0, 1), (1, 0)], iters=1)
+    assert double[1] == single[1]  # 2 * (rank div 2) == rank (even rank)
+    split = _pr(spark, [(0, 1), (0, 2), (1, 0), (2, 0)], iters=1)
+    assert split[1] < single[1]
+
+
+def test_pagerank_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        G.pagerank(e, iters=-1)
+    with pytest.raises(ValueError):
+        G.pagerank(e, scale=1 << 62)
+
+
+def test_pagerank_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = G.doc_link_edges(docs, out_degree=3, mod=64)
+    got = {(r.id, r.rank) for r in G.pagerank(edges, iters=4).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    sql = G.pagerank_sql(G.doc_link_edges_sql(3, 64), iters=4)
+    want = {(int(a), int(b)) for a, b in con.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_doc_link_edges_shape(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    e = G.doc_link_edges(docs, out_degree=3, mod=64)
+    rows = e.collect()
+    assert len(rows) <= 3 * n  # only self-loops drop
+    assert all(0 <= r.dst < 64 for r in rows)
+    assert all(r.src != r.dst for r in rows)

@@ -1,0 +1,136 @@
+"""Link-graph analytics over web-document tables.
+
+PageRank is THE canonical iterative web-scale operator (the reference
+engine has no analog — this is graft surface, like the dedupe family):
+a corpus crawl graph's stationary link authority drives crawl
+prioritization and quality weighting for training-data curation.
+
+Engine-exactness discipline (the repo rule every oracled operator
+follows): ranks live in INTEGER units of ``scale`` — per-edge
+contributions are integer divisions (``rank div out_degree``) and the
+damping blend is rational (``num/den``) applied as integer multiply
+then divide. Integer sums are order-independent, so the result is
+bit-identical across engines and partitionings; ``pagerank_sql``
+replays the whole loop as an unrolled CTE chain in DuckDB.
+
+100-TB shape: edges are a keys-only (src, dst) table persisted once;
+each iteration is one equi-join of ranks onto edges plus one
+map-side-combinable sum — shuffle ∝ |E| per round, never |E|² — with a
+``localCheckpoint`` per round to cut the growing join lineage (the
+same plan as dedupe.near_dup_components). The mass-conservation bound
+(total rank ≈ ``scale``) keeps every per-node sum inside int64:
+``num * incoming <= num * scale`` must stay below 2^63, enforced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import _hex4_to_int_col, hex4_to_int_sql
+
+
+def pagerank(edges: DataFrame, iters: int = 5,
+             damping_num: int = 85, damping_den: int = 100,
+             scale: int = 10 ** 12,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-arithmetic PageRank: (id, rank) after ``iters`` rounds,
+    ``rank`` in units of ``scale`` (initial mass = ``scale // N`` per
+    node; total ≈ ``scale``).
+
+    The "leaky" formulation: dangling nodes (no out-edges) do not
+    redistribute their mass — the standard simple variant, chosen
+    because it keeps every step a pure join+sum (the redistribution
+    term would add a global aggregate per round). Multi-edges count:
+    a page linking twice sends two contributions, as both the out
+    degree and the incoming sum see the duplicate row — the SQL twin
+    agrees by construction.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if damping_num * scale >= (1 << 63):
+        raise ValueError("damping_num * scale must fit in int64")
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst")).persist()
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = nodes.count()  # one scalar — driver metadata, like the centroid collect
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (ranks.join(outdeg, ranks["id"] == outdeg["src"])
+                    .select("src", F.expr("rank div deg").alias("c")))
+        incoming = (e.join(contribs, "src")
+                    .groupBy("dst").agg(F.sum("c").alias("inc")))
+        ranks = (nodes.join(incoming, nodes["id"] == incoming["dst"], "left")
+                 .select("id",
+                         (F.lit(base) + F.expr(
+                             f"({damping_num} * coalesce(inc, 0L)) "
+                             f"div {damping_den}")).cast("long").alias("rank"))
+                 .localCheckpoint(eager=True))
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, iters: int = 5,
+                 damping_num: int = 85, damping_den: int = 100,
+                 scale: int = 10 ** 12) -> str:
+    """DuckDB twin of ``pagerank`` — the loop unrolled as CTEs r0..rN
+    (no recursion: a fixed iteration count IS a static plan). Every
+    arithmetic step is the identical integer expression; casts pin
+    DuckDB's HUGEINT sum back to BIGINT at each round."""
+    nn = "(SELECT count(*) FROM nodes)"
+    base = (f"(({damping_den - damping_num}::BIGINT * {scale}) "
+            f"// ({damping_den} * {nn}))")
+    parts = [
+        f"WITH e AS ({edges_sql}), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), "
+        f"r0 AS (SELECT id, CAST({scale}::BIGINT // {nn} AS BIGINT) "
+        "AS rank FROM nodes)"
+    ]
+    for k in range(iters):
+        parts.append(
+            f", r{k + 1} AS (SELECT n.id, CAST({base} + "
+            f"({damping_num} * coalesce(i.inc, 0)) // {damping_den} "
+            "AS BIGINT) AS rank FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS id, sum(r.rank // od.deg) AS inc "
+            f"FROM e JOIN r{k} r ON e.src = r.id "
+            "JOIN od ON od.src = e.src GROUP BY 1) i ON n.id = i.id)")
+    parts.append(f" SELECT id, rank FROM r{iters}")
+    return "".join(parts)
+
+
+def doc_link_edges(docs: DataFrame, out_degree: int = 3, mod: int = 256,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic link graph over a document table: doc d
+    emits ``out_degree`` links whose targets are md5-derived ids in
+    [0, mod) — with ``mod`` below the corpus size every target is a
+    real doc and low ids become hubs (a Zipf-ish in-degree skew, the
+    shape real web graphs have). Self-loops drop. Pure expressions,
+    replayed exactly by ``doc_link_edges_sql``."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(out_degree)])).alias("j")
+    src = F.col(id_col).cast("long")
+    e = docs.select(src.alias("src"), j)
+    h = F.md5(F.concat(F.lit("lnk"), F.col("src").cast("string"),
+                       F.lit("_"), F.col("j").cast("string")))
+    return (e.select("src", (_hex4_to_int_col(h) % mod)
+                     .cast("long").alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+
+
+def doc_link_edges_sql(out_degree: int = 3, mod: int = 256,
+                       table: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    lits = ", ".join(str(i) for i in range(out_degree))
+    h = f"md5('lnk' || src || '_' || j)"
+    return (
+        f"SELECT src, dst FROM (SELECT {id_col}::BIGINT AS src, j, "
+        f"CAST({hex4_to_int_sql(h)} % {mod} AS BIGINT) AS dst "
+        f"FROM {table} CROSS JOIN (SELECT unnest([{lits}]) AS j)) "
+        "WHERE src != dst"
+    )

@@ -678,6 +678,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.dedupe_corpus(docs, pairs).select("doc_id", "lang", "source")
     q["dedupe_corpus"] = dedupe_corpus
 
+    def url_canonical_dedupe(spark, sf):
+        """Crawl-frontier URL dedupe: a deliberately messy deterministic
+        URL per doc (scheme/www/port/case noise, tracking params,
+        fragments, trailing slashes — group = doc_id div 4 shares a
+        canonical target) is normalized by text.canonicalize_url_col and
+        deduped min-id-per-canonical. Pure regexp expressions; the SQL
+        twin replays every rule character-for-character."""
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id")
+        g = F.expr("doc_id div 4")
+        host = F.concat(F.lit("site"), (g % 7).cast("string"),
+                        F.lit(".Example.com"))
+        url = F.concat(
+            F.when(d % 2 == 0, "http://").otherwise("https://"),
+            F.when(d % 3 == 0, "www.").otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.upper(host)).otherwise(host),
+            F.when(d % 5 == 0, F.when(d % 2 == 0, ":80").otherwise(":443"))
+            .otherwise(F.lit("")),
+            F.concat(F.lit("/p/"), g.cast("string")),
+            F.when((d % 2 == 1) & (g % 2 == 1), "/").otherwise(F.lit("")),
+            F.when(g % 2 == 0, F.concat(F.lit("?v="), (g % 3).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(d % 2 == 0,
+                   F.concat(F.when(g % 2 == 0, "&").otherwise(F.lit("?")),
+                            F.lit("utm_source=s"), (d % 4).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(d % 3 == 1, F.concat(F.lit("#sec"), (d % 5).cast("string")))
+            .otherwise(F.lit("")))
+        return D.url_dedupe(docs.select("doc_id", url.alias("url"))) \
+            .select("doc_id", "canonical_url", "kept")
+    q["url_canonical_dedupe"] = url_canonical_dedupe
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1399,6 +1431,33 @@ def oracle_sql() -> dict[str, str]:
 
     o["doc_pagerank"] = GR.pagerank_sql(
         GR.doc_link_edges_sql(3, 256), iters=5)
+
+    _url_synth = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN "
+        "upper('site' || (doc_id // 4) % 7 || '.Example.com') "
+        "ELSE 'site' || (doc_id // 4) % 7 || '.Example.com' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 "
+        "THEN ':80' ELSE ':443' END) ELSE '' END || "
+        "'/p/' || (doc_id // 4) || "
+        "CASE WHEN doc_id % 2 = 1 AND (doc_id // 4) % 2 = 1 "
+        "THEN '/' ELSE '' END || "
+        "CASE WHEN (doc_id // 4) % 2 = 0 "
+        "THEN '?v=' || (doc_id // 4) % 3 ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN (doc_id // 4) % 2 = 0 "
+        "THEN '&' ELSE '?' END) || 'utm_source=s' || doc_id % 4 "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 1 THEN '#sec' || doc_id % 5 "
+        "ELSE '' END)")
+    o["url_canonical_dedupe"] = (
+        f"WITH u AS (SELECT doc_id, {_url_synth} AS url FROM documents), "
+        f"c AS (SELECT doc_id, {TX.canonicalize_url_sql('url')} "
+        "AS canonical_url FROM u), "
+        "k AS (SELECT canonical_url, min(doc_id) AS keep FROM c "
+        "GROUP BY 1) "
+        "SELECT c.doc_id, c.canonical_url, c.doc_id = k.keep AS kept "
+        "FROM c JOIN k USING (canonical_url)")
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

@@ -1183,3 +1183,43 @@ def test_semdedup_sql_twin_parity(spark, emb):
     want = {(int(a), int(b), bool(k)) for a, b, k in duck(
         S.semdedup_sql(0.25, 6, where="vec_id % 3 = 0"))}
     assert got == want
+
+
+# --- URL canonicalization + crawl dedupe ---
+
+URL_CASES = [
+    ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x", "https://ex.com/A/b"),
+    ("https://site.com/p?utm_a=1&v=2#frag", "https://site.com/p?v=2"),
+    ("https://site.com/p?v=2&gclid=xyz", "https://site.com/p?v=2"),
+    ("http://site.com:443/", "https://site.com"),
+    ("https://site.com/p/?utm_x=1", "https://site.com/p"),
+    ("https://site.com/p?utm_a=1&utm_b=2&x=1", "https://site.com/p?x=1"),
+    ("https://site.com/CaseKept/Path", "https://site.com/CaseKept/Path"),
+    ("foo/bar/", "foo/bar"),
+]
+
+
+def test_canonicalize_url_hand_cases_both_engines(spark):
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], "url string")
+    got = [r.c for r in
+           df.select(TX.canonicalize_url_col(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [w for _, w in URL_CASES]
+    lits = " UNION ALL ".join(
+        f"SELECT '{u}' AS url, {i} AS i" for i, (u, _) in enumerate(URL_CASES))
+    rows = duck(f"SELECT {TX.canonicalize_url_sql('url')} AS c FROM "
+                f"({lits}) ORDER BY i")
+    assert [r[0] for r in rows] == [w for _, w in URL_CASES]
+
+
+def test_url_dedupe_min_id_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x?utm_s=1"), (2, "http://www.a.com/x/"),
+         (3, "https://a.com/y"), (4, "https://A.com/x")],
+        "doc_id long, url string")
+    out = {r.doc_id: (r.canonical_url, r.kept)
+           for r in D.url_dedupe(df).collect()}
+    assert out[1] == ("https://a.com/x", True)
+    assert out[2] == ("https://a.com/x", False)
+    assert out[4] == ("https://a.com/x", False)
+    assert out[3] == ("https://a.com/y", True)

@@ -266,3 +266,47 @@ def fingerprint_col(text: Column) -> Column:
 
 def fingerprint_sql(c: str) -> str:
     return f"md5(substr(lower(regexp_replace({c}, '\\s+', ' ', 'g')), 1, 64))"
+
+
+# --- URL canonicalization (crawl-dedupe normalization) ---
+#
+# The CommonCrawl-style normal form: lowercase scheme://host, http →
+# https, strip leading "www.", strip default :80/:443 ports, drop the
+# fragment, drop tracking query params (utm_*, fbclid, gclid), drop an
+# emptied "?", strip one trailing "/". Path/query case is PRESERVED
+# (paths are case-sensitive). Every rule is a plain regexp with no
+# backreferences or lookaround, so the Java (Spark) and RE2 (DuckDB)
+# engines agree character-for-character.
+
+SCHEME_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+TRACK_MID_PATTERN = r"(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&"
+TRACK_END_PATTERN = r"[?&](utm_[a-z0-9]+|fbclid|gclid)=[^&#]*$"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    prefix = F.regexp_extract(url, SCHEME_HOST_PATTERN, 0)
+    rest = F.substring(url, F.length(prefix) + F.lit(1), F.length(url))
+    p = F.lower(prefix)
+    p = F.regexp_replace(p, r"^http://", "https://")
+    p = F.regexp_replace(p, r"^https://www\.", "https://")
+    p = F.regexp_replace(p, r":443$|:80$", "")
+    r = F.regexp_replace(rest, r"#.*", "")
+    r = F.regexp_replace(r, TRACK_MID_PATTERN, "")
+    r = F.regexp_replace(r, TRACK_END_PATTERN, "")
+    r = F.regexp_replace(r, r"\?$", "")
+    out = F.concat(p, r)
+    return F.regexp_replace(out, r"/$", "")
+
+
+def canonicalize_url_sql(c: str) -> str:
+    prefix = f"coalesce(regexp_extract({c}, '{SCHEME_HOST_PATTERN}'), '')"
+    rest = f"substr({c}, length({prefix}) + 1)"
+    p = f"lower({prefix})"
+    p = f"regexp_replace({p}, '^http://', 'https://')"
+    p = f"regexp_replace({p}, '^https://www\\.', 'https://')"
+    p = f"regexp_replace({p}, ':443$|:80$', '')"
+    r = f"regexp_replace({rest}, '#.*', '')"
+    r = f"regexp_replace({r}, '{TRACK_MID_PATTERN}', '', 'g')"
+    r = f"regexp_replace({r}, '{TRACK_END_PATTERN}', '')"
+    r = f"regexp_replace({r}, '\\?$', '')"
+    return f"regexp_replace({p} || {r}, '/$', '')"

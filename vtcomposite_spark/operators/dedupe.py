@@ -634,3 +634,24 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def url_dedupe(df: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Crawl-frontier URL dedupe: canonicalize (text.canonicalize_url_col
+    — https/www/port/fragment/tracking-param/trailing-slash normal form)
+    then keep the lowest id per canonical URL. One row PER INPUT doc:
+    (id, canonical_url, kept) — kept is the min-id rule, the same
+    keep-discipline as exact_dedupe/dedupe_corpus.
+
+    100-TB shape: a map-side expression (the canonical form) + one
+    keys-only groupBy; document payloads never shuffle — the kept flag
+    comes back via a min() window-free agg + equi-join on the (tiny
+    per-group) canonical key."""
+    from ..functions.text import canonicalize_url_col
+    c = df.select(F.col(id_col),
+                  canonicalize_url_col(F.col(url_col)).alias("canonical_url"))
+    keep = c.groupBy("canonical_url").agg(F.min(id_col).alias("_keep"))
+    return (c.join(keep, "canonical_url")
+            .select(id_col, "canonical_url",
+                    (F.col(id_col) == F.col("_keep")).alias("kept")))

@@ -710,6 +710,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "canonical_url", "kept")
     q["url_canonical_dedupe"] = url_canonical_dedupe
 
+    def hard_negative_mining(spark, sf):
+        """Contrastive-training hard negatives: per query vector the
+        top-k most-similar corpus vectors with a DIFFERENT label —
+        exact brute cosine + label anti-filter under the family's
+        (cos DESC, id ASC) total order."""
+        emb = _read(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 15)
+        return SIM.hard_negatives(qv, emb, k=5) \
+            .select("query_id", "corpus_id", "cos", "rank")
+    q["hard_negative_mining"] = hard_negative_mining
+
+    def _synth_hosts(spark, sf):
+        g = F.expr("doc_id div 4")
+        return _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("site"), (g % 7).cast("string"),
+                     F.when(g % 5 == 0, ".example.org")
+                     .otherwise(F.lit(".example.com"))).alias("host"))
+
+    def domain_blocklist(spark, sf):
+        """UT1-style domain blocklist filter: a doc is blocked when its
+        host equals OR is a subdomain of a listed domain (dot-suffix
+        explode + broadcast semi-join; lookalike hosts and mid-string
+        hits must NOT match — tests/test_web.py pins the semantics)."""
+        from vtcomposite_spark.operators import web as W
+        docs = _synth_hosts(spark, sf)
+        bl = spark.createDataFrame(
+            [("example.org",), ("site2.example.com",)], "domain string")
+        return W.blocklist_filter(docs, bl) \
+            .select("doc_id", "host", "blocked")
+    q["domain_blocklist"] = domain_blocklist
+
+    def host_concentration(spark, sf):
+        """Corpus-diversity diagnostic: docs/hosts counts, the integer
+        HHI numerator sum(n_h²), and the (count DESC, host ASC) top
+        host — one map-side-combinable aggregate, no window."""
+        from vtcomposite_spark.operators import web as W
+        return W.host_concentration(_synth_hosts(spark, sf))
+    q["host_concentration"] = host_concentration
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1458,6 +1498,19 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1) "
         "SELECT c.doc_id, c.canonical_url, c.doc_id = k.keep AS kept "
         "FROM c JOIN k USING (canonical_url)")
+
+    from vtcomposite_spark.operators.similarity import hard_negatives_sql
+    o["hard_negative_mining"] = hard_negatives_sql(5, "q.vec_id < 15")
+
+    from vtcomposite_spark.operators.web import (blocklist_filter_sql,
+                                                 host_concentration_sql)
+    _host_synth = (
+        "SELECT doc_id, 'site' || (doc_id // 4) % 7 || "
+        "(CASE WHEN (doc_id // 4) % 5 = 0 THEN '.example.org' "
+        "ELSE '.example.com' END) AS host FROM documents")
+    o["domain_blocklist"] = blocklist_filter_sql(
+        _host_synth, ["example.org", "site2.example.com"])
+    o["host_concentration"] = host_concentration_sql(_host_synth)
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

@@ -425,6 +425,16 @@ def build_workload(spark, sf_dir):
             .alias("query"))
         counters["bm25_rows"] = R.bm25_topk(docs, qdf, k=5).count()
 
+    def pagerank_stage():
+        from vtcomposite_spark.operators import graph as GG
+        edges = GG.doc_link_edges(docs, out_degree=3, mod=256)
+        counters["pagerank_nodes"] = GG.pagerank(edges, iters=3).count()
+
+    def semdedup_stage():
+        counters["semdedup_kept"] = (
+            SIM.semdedup(emb, threshold=0.25, n_centroids=8)
+            .filter(F.col("kept")).count())
+
     def cell_rollup():
         tagged, lat, lon = geo_cols("event_id")
         pts = events.filter(tagged).select("event_id", lat.alias("lat"), lon.alias("lon"))
@@ -452,6 +462,8 @@ def build_workload(spark, sf_dir):
         "text_quality": text_quality,
         "ann_topk": ann_topk,
         "bm25": bm25,
+        "pagerank": pagerank_stage,
+        "semdedup": semdedup_stage,
         "cell_rollup": cell_rollup,
     }
     if not os.path.isdir(FIXTURES):  # reference fixtures absent: skip those

@@ -1,0 +1,69 @@
+"""Web-curation operators: domain blocklist suffix matching and host
+concentration — hand cases plus DuckDB twin parity."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from vtcomposite_spark.operators import web as W
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_blocklist_suffix_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam.com"), (2, "a.spam.com"), (3, "b.a.spam.com"),
+         (4, "notspam.com"), (5, "spam.com.evil.net"), (6, "ok.org"),
+         (7, "exact.match.io")],
+        "doc_id long, host string")
+    bl = spark.createDataFrame([("spam.com",), ("exact.match.io",)],
+                               "domain string")
+    out = {r.doc_id: r.blocked for r in W.blocklist_filter(docs, bl).collect()}
+    # domain + all subdomains block; lookalikes and mid-string hits don't
+    assert out == {1: True, 2: True, 3: True, 4: False, 5: False,
+                   6: False, 7: True}
+
+
+def test_domain_suffixes_col(spark):
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    got = df.select(W.domain_suffixes_col(F.col("h")).alias("s")) \
+        .collect()[0].s
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_duckdb_twin_parity(spark):
+    g = F.expr("doc_id div 4")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("site"), (g % 7).cast("string"),
+                 F.when(g % 5 == 0, ".example.org")
+                 .otherwise(F.lit(".example.com"))).alias("host"))
+    bl = spark.createDataFrame(
+        [("example.org",), ("site2.example.com",)], "domain string")
+    got = {(r.doc_id, r.host, r.blocked)
+           for r in W.blocklist_filter(docs, bl).collect()}
+    doc_sql = ("SELECT doc_id, 'site' || (doc_id // 4) % 7 || "
+               "(CASE WHEN (doc_id // 4) % 5 = 0 THEN '.example.org' "
+               "ELSE '.example.com' END) AS host FROM documents")
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from "
+            f"'{SF}/documents.parquet'")
+    want = {(int(a), h, bool(b)) for a, h, b in con.sql(
+        W.blocklist_filter_sql(doc_sql,
+                               ["example.org", "site2.example.com"]))
+        .fetchall()}
+    assert got == want
+
+
+def test_host_concentration_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(i, "big.com") for i in range(5)]
+        + [(10, "a.com"), (11, "a.com"), (12, "z.com")],
+        "doc_id long, host string")
+    row = W.host_concentration(docs).collect()[0]
+    assert (row.n_docs, row.n_hosts) == (8, 3)
+    assert row.hhi_sum_sq == 25 + 4 + 1
+    assert (row.top_host, row.top_n) == ("big.com", 5)
+    # tie on count -> lexicographically smallest host wins
+    tie = spark.createDataFrame(
+        [(1, "bbb.com"), (2, "aaa.com")], "doc_id long, host string")
+    assert W.host_concentration(tie).collect()[0].top_host == "aaa.com"

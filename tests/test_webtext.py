@@ -1223,3 +1223,31 @@ def test_url_dedupe_min_id_rule(spark):
     assert out[2] == ("https://a.com/x", False)
     assert out[4] == ("https://a.com/x", False)
     assert out[3] == ("https://a.com/y", True)
+
+
+# --- hard-negative mining (similarity.hard_negatives) ---
+
+def test_hard_negatives_excludes_same_label(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.hard_negatives(q, emb, k=5)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert len(rows) == 10 * 5
+    for r in rows:
+        assert labels[r.query_id] != labels[r.corpus_id]
+    # ranks descend by cosine within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for rs in by_q.values():
+        cs = [c for _, c in sorted(rs)]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_hard_negatives_duckdb_twin_parity(spark, emb):
+    q = emb.filter(F.col("vec_id") % 9 == 0)
+    got = {(r.query_id, r.corpus_id, r.rank)
+           for r in S.hard_negatives(q, emb, k=3).collect()}
+    want = {(int(a), int(b), int(r)) for a, b, c, r in duck(
+        S.hard_negatives_sql(3, "q.vec_id % 9 = 0"))}
+    assert got == want

@@ -297,6 +297,57 @@ def semdedup_sql(threshold: float, n_centroids: int,
     )
 
 
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    standard in-batch-negatives upgrade for embedding-model training
+    (the negatives that are hard BECAUSE they are close). Exact by
+    construction (brute cosine + label anti-filter), 6-digit-rounded
+    with the family's (cos DESC, id ASC) total order, so the whole
+    selection is SQL-replayable (hard_negative_mining oracle row).
+
+    100-TB shape: same contract as ann_topk_brute — the QUERY side is
+    the small one (broadcast); for corpus-×-corpus mining route through
+    ann_topk_ivf buckets first and anti-filter labels inside buckets.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("qlabel"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(label_col).alias("clabel"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("cv")), 6))
+    )
+    return _ranked(cand, k).select("query_id", "corpus_id", "cos", "rank")
+
+
+def hard_negatives_sql(k: int, query_where: str = "TRUE",
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> str:
+    """DuckDB twin of ``hard_negatives``: the query set is the table
+    rows matching ``query_where`` (a predicate over the alias ``q``,
+    e.g. ``"q.vec_id < 20"``); the corpus is the whole table."""
+    from ..functions.hashing import cosine_sql
+    cos = cosine_sql("q.e", "c.e")
+    return (
+        f"WITH v AS (SELECT {id_col}, {label_col} AS lbl, "
+        f"{vec_col}::DOUBLE[] AS e FROM {table}), "
+        f"cand AS (SELECT q.{id_col} AS query_id, c.{id_col} AS corpus_id, "
+        f"round({cos}, 6) AS cos FROM v q CROSS JOIN v c "
+        f"WHERE ({query_where}) AND q.lbl != c.lbl) "
+        "SELECT query_id, corpus_id, cos, rank FROM ("
+        "SELECT query_id, corpus_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank "
+        f"FROM cand) WHERE rank <= {k}"
+    )
+
+
 def quantize_embeddings_sql(bits: int = 8, table: str = "embeddings",
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> str:

@@ -1,0 +1,100 @@
+"""Crawl/web corpus curation operators: domain blocklist filtering and
+host-concentration diagnostics.
+
+Both are standard steps of a web training-data pipeline (UT1-style
+domain blocklists; corpus-diversity dashboards) with the repo's oracle
+discipline: suffix expansion and the concentration statistics are pure
+expressions/aggregates replayed exactly in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def domain_suffixes_col(host):
+    """'a.b.example.com' -> ['a.b.example.com', 'b.example.com',
+    'example.com', 'com'] — every dot-suffix, so a blocklist entry
+    matches a domain OR any of its subdomains with one equi-join."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."))
+
+
+def blocklist_filter(docs: DataFrame, blocklist: DataFrame,
+                     host_col: str = "host",
+                     domain_col: str = "domain") -> DataFrame:
+    """Mark every doc whose host equals — or is a subdomain of — a
+    blocklisted domain: input rows + a ``blocked`` boolean.
+
+    100-TB shape: the suffix explode is rows ∝ docs × label-depth
+    (~4), keys-only; the blocklist is a broadcast dimension; the flag
+    comes back as a left-semi-style aggregation (max over suffix hits)
+    so doc payloads never shuffle. Callers drop with
+    ``.filter(~F.col('blocked'))``."""
+    s = (docs.select(F.col(host_col),
+                     F.explode(domain_suffixes_col(F.col(host_col)))
+                     .alias("_sfx"))
+         .join(F.broadcast(blocklist.select(
+             F.col(domain_col).alias("_sfx"))), "_sfx", "left_semi")
+         .select(F.col(host_col).alias("_bad_host")).distinct())
+    return (docs.join(F.broadcast(s),
+                      docs[host_col] == s["_bad_host"], "left")
+            .withColumn("blocked", F.col("_bad_host").isNotNull())
+            .drop("_bad_host"))
+
+
+def blocklist_filter_sql(doc_sql: str, blocklist_values: list[str],
+                         host_col: str = "host") -> str:
+    """DuckDB twin: ``doc_sql`` must yield the docs WITH the host
+    column; the blocklist is inlined as VALUES."""
+    vals = ", ".join(f"('{d}')" for d in blocklist_values)
+    return (
+        f"WITH d AS ({doc_sql}), "
+        f"bl(domain) AS (VALUES {vals}), "
+        f"sfx AS (SELECT {host_col}, "
+        f"array_to_string((string_split({host_col}, '.'))[g.i:], '.') "
+        f"AS _sfx FROM d, "
+        f"unnest(generate_series(1, len(string_split({host_col}, '.')))) "
+        "AS g(i)), "
+        f"bad AS (SELECT DISTINCT s.{host_col} FROM sfx s "
+        "JOIN bl ON s._sfx = bl.domain) "
+        f"SELECT d.*, b.{host_col} IS NOT NULL AS blocked "
+        f"FROM d LEFT JOIN bad b ON d.{host_col} = b.{host_col}"
+    )
+
+
+def host_concentration(docs: DataFrame,
+                       host_col: str = "host") -> DataFrame:
+    """Corpus-diversity diagnostic, one row: (n_docs, n_hosts,
+    hhi_sum_sq, top_host, top_n). The Herfindahl index is
+    hhi_sum_sq / n_docs² — reported as its INTEGER numerator (the
+    repo's engine-exactness rule: no float division inside the gate);
+    top_host ties break lexicographically."""
+    per = docs.groupBy(host_col).agg(F.count("*").alias("n"))
+    # min(struct(-n, host)) = the (count DESC, host ASC) argmax as one
+    # map-side-combinable aggregate — no window, no second shuffle
+    return (per.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("hhi_sum_sq"),
+        F.min(F.struct((-F.col("n")).alias("_neg"),
+                       F.col(host_col).alias("_h"))).alias("_top"))
+        .select("n_docs", "n_hosts", "hhi_sum_sq",
+                F.col("_top._h").alias("top_host"),
+                (-F.col("_top._neg")).cast("long").alias("top_n")))
+
+
+def host_concentration_sql(doc_sql: str, host_col: str = "host") -> str:
+    return (
+        f"WITH d AS ({doc_sql}), "
+        f"per AS (SELECT {host_col} AS h, count(*) AS n FROM d "
+        "GROUP BY 1) "
+        "SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_hosts, "
+        "sum(n * n)::BIGINT AS hhi_sum_sq, "
+        f"(SELECT h FROM per ORDER BY n DESC, h ASC LIMIT 1) AS top_host, "
+        "max(n)::BIGINT AS top_n FROM per"
+    )

@@ -721,6 +721,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "corpus_id", "cos", "rank")
     q["hard_negative_mining"] = hard_negative_mining
 
+    def trustrank_trust(spark, sf):
+        """TrustRank (Gyöngyi et al. 2004) over the same link graph as
+        doc_pagerank: teleport mass restricted to trusted seeds
+        (doc_id % 50 == 0) — trust flows along links, unreached nodes
+        end at rank 0 (spam candidates). Same integer discipline."""
+        docs = _read(spark, sf, "documents")
+        edges = GR.doc_link_edges(docs, out_degree=3, mod=256)
+        seeds = docs.filter(F.col("doc_id") % 50 == 0) \
+            .select(F.col("doc_id").alias("id"))
+        return GR.trustrank(edges, seeds, iters=5).select("id", "rank")
+    q["trustrank_trust"] = trustrank_trust
+
+    def host_boilerplate_lines(spark, sf):
+        """Site-scoped boilerplate removal (the RefinedWeb rule): each
+        host's nav line repeats WITHIN its host → dropped; a cross-host
+        partner line planted once per host (doc_id % 101 == 5 lands on
+        five DISTINCT hosts) survives scoping though the global rule
+        would kill it — the scoped/global difference is visible in the
+        oracle itself."""
+        g = F.expr("doc_id div 4")
+        host = F.concat(F.lit("site"), (g % 7).cast("string"),
+                        F.when(g % 5 == 0, ".example.org")
+                        .otherwise(F.lit(".example.com")))
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", host.alias("host"),
+            F.concat(F.lit("nav menu for "), host, F.lit("\n"),
+                     F.col("text"),
+                     F.when(F.col("doc_id") % 101 == 5,
+                            F.lit("\nvisit our partner site"))
+                     .otherwise(F.lit(""))).alias("text"))
+        return D.dedupe_lines(docs, min_count=2, scope_col="host")
+    q["host_boilerplate_lines"] = host_boilerplate_lines
+
     def _synth_hosts(spark, sf):
         g = F.expr("doc_id div 4")
         return _read(spark, sf, "documents").select(
@@ -1501,6 +1534,34 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.similarity import hard_negatives_sql
     o["hard_negative_mining"] = hard_negatives_sql(5, "q.vec_id < 15")
+
+    o["trustrank_trust"] = GR.trustrank_sql(
+        GR.doc_link_edges_sql(3, 256),
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0",
+        iters=5)
+
+    _hb_host = ("'site' || (doc_id // 4) % 7 || (CASE WHEN "
+                "(doc_id // 4) % 5 = 0 THEN '.example.org' "
+                "ELSE '.example.com' END)")
+    o["host_boilerplate_lines"] = (
+        f"WITH d AS (SELECT doc_id, {_hb_host} AS host, "
+        f"'nav menu for ' || {_hb_host} || chr(10) || text || "
+        "CASE WHEN doc_id % 101 = 5 THEN chr(10) || "
+        "'visit our partner site' ELSE '' END AS text FROM documents), "
+        "l AS (SELECT doc_id, host, generate_subscripts(ls, 1) AS idx, "
+        "unnest(ls) AS line FROM (SELECT doc_id, host, "
+        "string_split(text, chr(10)) AS ls FROM d)), "
+        "hot AS (SELECT host, line FROM l WHERE trim(line) != '' "
+        "GROUP BY host, line HAVING count(*) >= 2), "
+        "m AS (SELECT l.doc_id, l.idx, l.line, "
+        "h.line IS NOT NULL AS hot FROM l LEFT JOIN hot h "
+        "ON l.host = h.host AND l.line = h.line) "
+        "SELECT doc_id, count(*) AS n_lines, "
+        "CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_removed, "
+        "coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) "
+        "ORDER BY idx), '') AS text_clean "
+        "FROM m GROUP BY doc_id")
 
     from vtcomposite_spark.operators.web import (blocklist_filter_sql,
                                                  host_concentration_sql)

@@ -74,3 +74,44 @@ def test_doc_link_edges_shape(spark):
     assert len(rows) <= 3 * n  # only self-loops drop
     assert all(0 <= r.dst < 64 for r in rows)
     assert all(r.src != r.dst for r in rows)
+
+
+# --- TrustRank ---
+
+def test_trustrank_seeds_hold_trust(spark):
+    # star: seed 0 links to 1,2; spam node 9 links to 1 but is unreachable
+    # FROM the seed, so it ends at rank 0 (no teleport mass for non-seeds).
+    e = spark.createDataFrame([(0, 1), (0, 2), (9, 1)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    from vtcomposite_spark.operators import graph as G2
+    out = {r.id: r.rank for r in G2.trustrank(e, s, iters=3).collect()}
+    assert out[0] > 0 and out[1] > 0 and out[2] > 0
+    assert out[9] == 0
+    assert out[1] == out[2]  # symmetric receivers of the seed's mass
+
+
+def test_trustrank_requires_in_graph_seed(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s = spark.createDataFrame([(42,)], "id long")
+    import pytest as _pt
+    from vtcomposite_spark.operators import graph as G2
+    with _pt.raises(ValueError):
+        G2.trustrank(e, s, iters=1)
+
+
+def test_trustrank_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = G.doc_link_edges(docs, out_degree=3, mod=64)
+    from pyspark.sql import functions as F
+    seeds = docs.filter(F.col("doc_id") % 25 == 0) \
+        .select(F.col("doc_id").alias("id"))
+    got = {(r.id, r.rank)
+           for r in G.trustrank(edges, seeds, iters=4).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    sql = G.trustrank_sql(
+        G.doc_link_edges_sql(3, 64),
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 25 = 0",
+        iters=4)
+    want = {(int(a), int(b)) for a, b in con.sql(sql).fetchall()}
+    assert got == want

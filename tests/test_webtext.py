@@ -1251,3 +1251,27 @@ def test_hard_negatives_duckdb_twin_parity(spark, emb):
     want = {(int(a), int(b), int(r)) for a, b, c, r in duck(
         S.hard_negatives_sql(3, "q.vec_id % 9 = 0"))}
     assert got == want
+
+
+# --- host-scoped line dedupe (RefinedWeb site-scoped boilerplate) ---
+
+def test_dedupe_lines_scope_col(spark):
+    rows = [
+        (1, "h1", "nav h1\nunique one\nshared sentence"),
+        (2, "h1", "nav h1\nunique two"),
+        (3, "h2", "nav h2\nshared sentence\nunique three"),
+        (4, "h2", "nav h2\nunique four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    # global rule: 'shared sentence' (2 occurrences across hosts) is hot
+    g = {r.doc_id: r.text_clean
+         for r in D.dedupe_lines(df, min_count=2).collect()}
+    assert g[1] == "unique one" and g[3] == "unique three"
+    # scoped rule: nav lines (repeat within host) drop, the cross-host
+    # shared sentence (once per host) SURVIVES
+    s = {r.doc_id: r.text_clean
+         for r in D.dedupe_lines(df, min_count=2, scope_col="host")
+         .collect()}
+    assert s[1] == "unique one\nshared sentence"
+    assert s[3] == "shared sentence\nunique three"
+    assert s[2] == "unique two" and s[4] == "unique four"

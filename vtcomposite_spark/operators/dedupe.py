@@ -410,11 +410,18 @@ def dedupe_corpus(docs: DataFrame, pairs: DataFrame,
 
 def dedupe_lines(docs: DataFrame, min_count: int = 2,
                  text_col: str = "text", id_col: str = "doc_id",
-                 delimiter: str = "\n", hot_join: str = "auto") -> DataFrame:
+                 delimiter: str = "\n", hot_join: str = "auto",
+                 scope_col: str | None = None) -> DataFrame:
     """Corpus-level LINE deduplication — the CCNet/RefinedWeb boilerplate
     pass: lines occurring ``min_count``+ times ACROSS the corpus (nav
     bars, cookie banners, copyright footers) are removed from every
     document. Returns (id, n_lines, n_removed, text_clean).
+
+    ``scope_col`` (e.g. the doc's host) switches to the RefinedWeb
+    site-scoped rule: a line is boilerplate only when it repeats WITHIN
+    the same scope — two unrelated sites sharing a common sentence is
+    content, the same site repeating its nav bar is template. The hot
+    key becomes (scope, line); everything else is unchanged.
 
     Rules: whitespace-only lines never count as hot (removing them would
     collapse paragraph structure); occurrences count per line INSTANCE
@@ -426,21 +433,25 @@ def dedupe_lines(docs: DataFrame, min_count: int = 2,
     over-threshold line strings; membership is a left join the exploded
     side streams through (AQE broadcasts a small hot set —
     ``hot_join="broadcast"`` forces it) and the regroup is one shuffle
-    keyed by doc id. Nothing ever pairs docs.
+    keyed by doc id. Nothing ever pairs docs. Scoping makes the hot key
+    wider but ALSO splits hot-key skew across sites — the (scope, line)
+    key is strictly better-distributed than (line) at crawl scale.
     """
     import re as _re
 
+    key = ["line"] if scope_col is None else [scope_col, "line"]
+    cols = [F.col(id_col)] + ([] if scope_col is None else [F.col(scope_col)])
     lines = docs.select(
-        F.col(id_col),
+        *cols,
         F.posexplode(F.split(F.col(text_col), _re.escape(delimiter), -1))
         .alias("idx", "line"))
     hot = (lines.filter(F.trim("line") != "")
-           .groupBy("line").agg(F.count("*").alias("c"))
+           .groupBy(*key).agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count)
-           .select("line", F.lit(True).alias("_hot")))
+           .select(*key, F.lit(True).alias("_hot")))
     if hot_join == "broadcast":
         hot = F.broadcast(hot)
-    marked = lines.join(hot, on="line", how="left")
+    marked = lines.join(hot, on=key, how="left")
     return (marked.groupBy(id_col).agg(
         F.count("*").alias("n_lines"),
         F.count("_hot").alias("n_removed"),

@@ -134,3 +134,88 @@ def doc_link_edges_sql(out_degree: int = 3, mod: int = 256,
         f"FROM {table} CROSS JOIN (SELECT unnest([{lits}]) AS j)) "
         "WHERE src != dst"
     )
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 5,
+              damping_num: int = 85, damping_den: int = 100,
+              scale: int = 10 ** 12, src_col: str = "src",
+              dst_col: str = "dst", seed_col: str = "id") -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank with the teleport
+    mass restricted to a hand-verified TRUSTED seed set — trust flows
+    out along links, so low-rank pages are spam candidates. Same
+    integer discipline and per-round plan as ``pagerank``; the only
+    change is the base vector (seeds split the restart mass, non-seeds
+    get 0) and the init (seeds start with ``scale // |seeds|``)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if damping_num * scale >= (1 << 63):
+        raise ValueError("damping_num * scale must fit in int64")
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst")).persist()
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    s = seeds.select(F.col(seed_col).cast("long").alias("id")).distinct()
+    # seeds outside the graph carry no links — drop them so mass math
+    # matches the SQL twin's node-joined seed set
+    s = s.join(nodes, "id", "left_semi").persist()
+    ns = s.count()
+    if ns == 0:
+        raise ValueError("trustrank: no seed appears in the edge set")
+    seed_base = ((damping_den - damping_num) * scale) // (damping_den * ns)
+    marked = nodes.join(s.withColumn("_seed", F.lit(True)), "id", "left") \
+        .select("id", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")) \
+        .persist()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    ranks = marked.select(
+        "id", F.when(F.col("_seed"), F.lit(scale // ns))
+        .otherwise(F.lit(0)).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (ranks.join(outdeg, ranks["id"] == outdeg["src"])
+                    .select("src", F.expr("rank div deg").alias("c")))
+        incoming = (e.join(contribs, "src")
+                    .groupBy("dst").agg(F.sum("c").alias("inc")))
+        ranks = (marked.join(incoming, marked["id"] == incoming["dst"], "left")
+                 .select("id",
+                         (F.when(F.col("_seed"), F.lit(seed_base))
+                          .otherwise(F.lit(0))
+                          + F.expr(f"({damping_num} * coalesce(inc, 0L)) "
+                                   f"div {damping_den}"))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint(eager=True))
+    for df in (e, outdeg, nodes, s, marked):
+        df.unpersist()
+    return ranks
+
+
+def trustrank_sql(edges_sql: str, seeds_sql: str, iters: int = 5,
+                  damping_num: int = 85, damping_den: int = 100,
+                  scale: int = 10 ** 12) -> str:
+    """DuckDB twin of ``trustrank``; ``seeds_sql`` yields one column
+    ``id`` (seeds not present in the graph are dropped, as in the
+    engine)."""
+    ns = "(SELECT count(*) FROM s)"
+    seed_base = (f"(({damping_den - damping_num}::BIGINT * {scale}) "
+                 f"// ({damping_den} * {ns}))")
+    parts = [
+        f"WITH e AS ({edges_sql}), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        f"s AS (SELECT DISTINCT id FROM ({seeds_sql}) "
+        "WHERE id IN (SELECT id FROM nodes)), "
+        "m AS (SELECT n.id, s.id IS NOT NULL AS seed FROM nodes n "
+        "LEFT JOIN s ON n.id = s.id), "
+        "od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), "
+        f"r0 AS (SELECT id, CAST(CASE WHEN seed THEN "
+        f"{scale}::BIGINT // {ns} ELSE 0 END AS BIGINT) AS rank FROM m)"
+    ]
+    for k in range(iters):
+        parts.append(
+            f", r{k + 1} AS (SELECT m.id, CAST("
+            f"(CASE WHEN m.seed THEN {seed_base} ELSE 0 END) + "
+            f"({damping_num} * coalesce(i.inc, 0)) // {damping_den} "
+            "AS BIGINT) AS rank FROM m LEFT JOIN ("
+            "SELECT e.dst AS id, sum(r.rank // od.deg) AS inc "
+            f"FROM e JOIN r{k} r ON e.src = r.id "
+            "JOIN od ON od.src = e.src GROUP BY 1) i ON m.id = i.id)")
+    parts.append(f" SELECT id, rank FROM r{iters}")
+    return "".join(parts)

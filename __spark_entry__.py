@@ -783,6 +783,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.host_concentration(_synth_hosts(spark, sf))
     q["host_concentration"] = host_concentration
 
+    def latest_snapshot_urls(spark, sf):
+        """Crawl-recency dedupe: events replay as fetches of 3,600
+        canonical URLs; keep the NEWEST snapshot per URL under the
+        total (ts DESC, id ASC) order. The epoch is built from the
+        naive timestamp's fields, never a session-timezone cast."""
+        from vtcomposite_spark.operators import web as W
+        ev = _read(spark, sf, "events")
+        fetches = ev.select(
+            F.col("event_id").alias("doc_id"),
+            F.concat(F.lit("https://site"),
+                     (F.col("event_id") % 9).cast("string"),
+                     F.lit(".example.com/p/"),
+                     (F.col("event_id") % 400).cast("string"))
+            .alias("canonical_url"), "ts")
+        return W.latest_snapshot(fetches)
+    q["latest_snapshot_urls"] = latest_snapshot_urls
+
+    def link_degree_stats(spark, sf):
+        """Per-node degrees + dangling flag over the doc_pagerank link
+        graph — the crawl-health diagnostic (dangling nodes are the
+        leaky formulation's mass leaks)."""
+        docs = _read(spark, sf, "documents")
+        return GR.degree_stats(GR.doc_link_edges(docs, 3, 256))
+    q["link_degree_stats"] = link_degree_stats
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1572,6 +1597,15 @@ def oracle_sql() -> dict[str, str]:
     o["domain_blocklist"] = blocklist_filter_sql(
         _host_synth, ["example.org", "site2.example.com"])
     o["host_concentration"] = host_concentration_sql(_host_synth)
+
+    from vtcomposite_spark.operators.web import latest_snapshot_sql
+    o["latest_snapshot_urls"] = latest_snapshot_sql(
+        "SELECT event_id AS doc_id, 'https://site' || event_id % 9 || "
+        "'.example.com/p/' || event_id % 400 AS canonical_url, ts "
+        "FROM events")
+
+    o["link_degree_stats"] = GR.degree_stats_sql(
+        GR.doc_link_edges_sql(3, 256))
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

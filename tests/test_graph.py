@@ -115,3 +115,25 @@ def test_trustrank_duckdb_twin_parity(spark):
         iters=4)
     want = {(int(a), int(b)) for a, b in con.sql(sql).fetchall()}
     assert got == want
+
+
+# --- degree stats ---
+
+def test_degree_stats_hand_case(spark):
+    e = spark.createDataFrame([(0, 1), (0, 1), (1, 2)], "src long, dst long")
+    out = {r.id: (r.out_deg, r.in_deg, r.dangling)
+           for r in G.degree_stats(e).collect()}
+    # multi-edge 0->1 counts twice on both sides; 2 is dangling
+    assert out == {0: (2, 0, False), 1: (1, 2, False), 2: (0, 1, True)}
+
+
+def test_degree_stats_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = G.doc_link_edges(docs, out_degree=3, mod=64)
+    got = {(r.id, r.out_deg, r.in_deg, r.dangling)
+           for r in G.degree_stats(e).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = {(int(a), int(o), int(i), bool(d)) for a, o, i, d in
+            con.sql(G.degree_stats_sql(G.doc_link_edges_sql(3, 64))).fetchall()}
+    assert got == want

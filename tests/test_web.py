@@ -67,3 +67,38 @@ def test_host_concentration_hand_case(spark):
     tie = spark.createDataFrame(
         [(1, "bbb.com"), (2, "aaa.com")], "doc_id long, host string")
     assert W.host_concentration(tie).collect()[0].top_host == "aaa.com"
+
+
+# --- latest snapshot per canonical URL (crawl recency dedupe) ---
+
+def test_latest_snapshot_newest_wins_ties_min_id(spark):
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u1", t),                          # older
+        (2, "u1", t + dt.timedelta(seconds=5)),  # newest -> kept
+        (3, "u2", t), (4, "u2", t),            # exact tie -> min id kept
+        (5, "u3", t),                          # singleton kept
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, canonical_url string, ts timestamp_ntz")
+    out = {r.doc_id: r.kept for r in W.latest_snapshot(df).collect()}
+    assert out == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_latest_snapshot_duckdb_twin_parity(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fetches = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(F.lit("https://s"), (F.col("event_id") % 5).cast("string"),
+                 F.lit(".com/p/"), (F.col("event_id") % 40).cast("string"))
+        .alias("canonical_url"), "ts")
+    got = {(r.doc_id, r.canonical_url, r.kept)
+           for r in W.latest_snapshot(fetches).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{SF}/events.parquet'")
+    src = ("SELECT event_id AS doc_id, 'https://s' || event_id % 5 || "
+           "'.com/p/' || event_id % 40 AS canonical_url, ts FROM events")
+    want = {(int(a), u, bool(k)) for a, u, k in
+            con.sql(W.latest_snapshot_sql(src)).fetchall()}
+    assert got == want

@@ -219,3 +219,37 @@ def trustrank_sql(edges_sql: str, seeds_sql: str, iters: int = 5,
             "JOIN od ON od.src = e.src GROUP BY 1) i ON m.id = i.id)")
     parts.append(f" SELECT id, rank FROM r{iters}")
     return "".join(parts)
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Per-node link-graph degrees: (id, out_deg, in_deg, dangling) —
+    the crawl-health diagnostic next to pagerank (dangling nodes are
+    the mass leaks of the leaky formulation; multi-edges count, as
+    there). Two keys-only counts joined onto the node set."""
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    od = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    idg = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (nodes.join(od, nodes["id"] == od["src"], "left")
+            .join(idg, nodes["id"] == idg["dst"], "left")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+            .withColumn("dangling", F.col("out_deg") == 0))
+
+
+def degree_stats_sql(edges_sql: str) -> str:
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src, count(*) AS c FROM e GROUP BY 1), "
+        "idg AS (SELECT dst, count(*) AS c FROM e GROUP BY 1) "
+        "SELECT n.id, coalesce(od.c, 0)::BIGINT AS out_deg, "
+        "coalesce(idg.c, 0)::BIGINT AS in_deg, "
+        "coalesce(od.c, 0) = 0 AS dangling "
+        "FROM nodes n LEFT JOIN od ON n.id = od.src "
+        "LEFT JOIN idg ON n.id = idg.dst"
+    )

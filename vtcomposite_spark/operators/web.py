@@ -98,3 +98,49 @@ def host_concentration_sql(doc_sql: str, host_col: str = "host") -> str:
         f"(SELECT h FROM per ORDER BY n DESC, h ASC LIMIT 1) AS top_host, "
         "max(n)::BIGINT AS top_n FROM per"
     )
+
+
+def latest_snapshot(df: DataFrame, key_col: str = "canonical_url",
+                    ts_col: str = "ts",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Crawl-recency dedupe: among repeated fetches of the same key
+    (canonical URL), keep the NEWEST — the standard recrawl rule, dual
+    to url_dedupe's min-id rule for frontier dedupe. One row per input:
+    (id, key, kept) under the TOTAL (ts DESC, id ASC) order (timestamps
+    compare as exact epoch microseconds, so ties are deterministic).
+
+    100-TB shape: the winner is min(struct(-epoch_us, id)) — a single
+    map-side-combinable aggregate on the key, no window over the data —
+    joined back keys-only; snapshot payloads never shuffle.
+
+    The epoch is built from the NTZ timestamp's FIELDS (date, h, m,
+    fractional seconds as exact decimal), not unix_micros — parquet
+    crawl timestamps are timezone-naive and a session-timezone cast
+    would make the winner depend on driver configuration."""
+    us = F.expr(
+        f"unix_date(cast({ts_col} as date)) * 86400000000 + "
+        f"CAST(hour({ts_col}) * 3600 + minute({ts_col}) * 60 AS BIGINT) "
+        f"* 1000000 + "
+        f"CAST(extract(SECOND FROM {ts_col}) * 1000000 AS BIGINT)")
+    c = df.select(F.col(id_col), F.col(key_col), us.alias("_us"))
+    win = c.groupBy(key_col).agg(
+        F.min(F.struct((-F.col("_us")).alias("_neg"),
+                       F.col(id_col).alias("_id"))).alias("_w"))
+    return (c.join(win, key_col)
+            .select(id_col, key_col,
+                    (F.col(id_col) == F.col("_w._id")).alias("kept")))
+
+
+def latest_snapshot_sql(src_sql: str, key_col: str = "canonical_url",
+                        ts_col: str = "ts",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin (``src_sql`` yields id, key, ts columns)."""
+    return (
+        f"WITH c AS (SELECT {id_col}, {key_col}, "
+        f"epoch_us({ts_col}) AS _us FROM ({src_sql})), "
+        f"w AS (SELECT {key_col}, min(struct_pack(_neg := -_us, "
+        f"_id := {id_col})) AS _w FROM c GROUP BY 1) "
+        f"SELECT c.{id_col}, c.{key_col}, "
+        f"c.{id_col} = w._w._id AS kept "
+        f"FROM c JOIN w USING ({key_col})"
+    )

@@ -85,6 +85,9 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
         # single Arrow batch — cap batch BYTES independently of row count
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(256 << 20))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # deterministic timestamp semantics: crawl timestamps are
+        # timezone-naive; never let a host timezone leak into results
+        .config("spark.sql.session.timeZone", "UTC")
         # local mode: driver heap IS the executor heap; at 32 concurrent
         # tasks an 8g heap GC-thrashes under Arrow batches + broadcast
         .config("spark.driver.memory", __import__("os").environ.get("VTC_DRIVER_MEM", "16g"))

@@ -808,6 +808,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return GR.degree_stats(GR.doc_link_edges(docs, 3, 256))
     q["link_degree_stats"] = link_degree_stats
 
+    def cocitation_related(spark, sf):
+        """Co-citation related-pages pairs (Small 1973) over the shared
+        doc link graph: (a, b, n_srcs) where >=2 sources link both —
+        per-source outdeg² bounded by the tiny synthetic out-degree
+        (max_out is the production guardrail, regime-tested)."""
+        docs = _read(spark, sf, "documents")
+        return GR.cocitation_pairs(
+            GR.doc_link_edges(docs, 3, 256), min_count=2)
+    q["cocitation_related"] = cocitation_related
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1606,6 +1616,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["link_degree_stats"] = GR.degree_stats_sql(
         GR.doc_link_edges_sql(3, 256))
+
+    o["cocitation_related"] = GR.cocitation_pairs_sql(
+        GR.doc_link_edges_sql(3, 256), min_count=2)
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

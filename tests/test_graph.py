@@ -137,3 +137,34 @@ def test_degree_stats_duckdb_twin_parity(spark):
     want = {(int(a), int(o), int(i), bool(d)) for a, o, i, d in
             con.sql(G.degree_stats_sql(G.doc_link_edges_sql(3, 64))).fetchall()}
     assert got == want
+
+
+# --- co-citation similarity ---
+
+def test_cocitation_hand_case(spark):
+    # srcs 0,1 both cite (10, 11); src 2 cites (10, 12); dup edge collapses
+    e = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 11), (1, 10), (1, 11), (2, 10), (2, 12)],
+        "src long, dst long")
+    out = {(r.a, r.b): r.n_srcs
+           for r in G.cocitation_pairs(e).collect()}
+    assert out == {(10, 11): 2, (10, 12): 1}
+    assert {(r.a, r.b) for r in
+            G.cocitation_pairs(e, min_count=2).collect()} == {(10, 11)}
+    # max_out drops hub sources from pair generation entirely
+    assert {(r.a, r.b): r.n_srcs
+            for r in G.cocitation_pairs(e, max_out=1).collect()} == {}
+
+
+def test_cocitation_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = G.doc_link_edges(docs, out_degree=3, mod=64)
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    for mc, cap in ((1, None), (2, None), (1, 2)):
+        got = {(r.a, r.b, r.n_srcs)
+               for r in G.cocitation_pairs(e, mc, max_out=cap).collect()}
+        want = {(int(a), int(b), int(n)) for a, b, n in con.sql(
+            G.cocitation_pairs_sql(G.doc_link_edges_sql(3, 64), mc,
+                                   max_out=cap)).fetchall()}
+        assert got == want, (mc, cap)

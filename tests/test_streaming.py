@@ -270,3 +270,53 @@ def test_streaming_text_quality_matches_batch(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedupe_urls_canonical_frontier(spark):
+    """Streaming crawl frontier: the dedupe identity is the CANONICAL
+    URL — a later batch re-offering the same page under a different
+    spelling (http/www/tracking params) emits nothing, while a genuinely
+    new page passes; replay stays suppressed across a checkpointed
+    restart."""
+    import tempfile
+
+    from vtcomposite_spark.streaming.pipeline import stream_dedupe_urls
+
+    src = tempfile.mkdtemp(prefix="vtc_uf_src_")
+    out = tempfile.mkdtemp(prefix="vtc_uf_out_")
+    ckpt = tempfile.mkdtemp(prefix="vtc_uf_ck_")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, url string") \
+            .parquet(src)
+        q = (stream_dedupe_urls(stream).writeStream
+             .format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "http://www.a.com/x?utm_s=1")],
+            "doc_id long, url string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        got1 = {(r.doc_id, r.url) for r in spark.read.parquet(out).collect()}
+        assert got1 == {(1, "https://a.com/x")}  # same canonical page
+
+        b2 = spark.createDataFrame(
+            [(3, "https://A.com/x#frag"), (4, "https://b.com/y")],
+            "doc_id long, url string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        got2 = {(r.doc_id, r.url) for r in spark.read.parquet(out).collect()}
+        assert got2 == got1 | {(4, "https://b.com/y")}
+
+        b1.coalesce(1).write.mode("append").parquet(src)  # replay
+        drain()
+        assert {(r.doc_id, r.url)
+                for r in spark.read.parquet(out).collect()} == got2
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

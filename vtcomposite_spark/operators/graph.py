@@ -253,3 +253,49 @@ def degree_stats_sql(edges_sql: str) -> str:
         "FROM nodes n LEFT JOIN od ON n.id = od.src "
         "LEFT JOIN idg ON n.id = idg.dst"
     )
+
+
+def cocitation_pairs(edges: DataFrame, min_count: int = 1,
+                     max_out: int | None = None, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Co-citation similarity (Small 1973, the classic related-pages
+    signal): two pages are related when the same source links BOTH —
+    (a, b, n_srcs) for a < b with n_srcs co-citing sources >=
+    ``min_count``.
+
+    100-TB shape: the quadratic term is per-source outdeg² — a spammy
+    mega-hub source would explode pair generation, so ``max_out`` drops
+    sources above the bound from pair generation (the same sacrifice
+    rule as the LSH hot-bucket caps; real co-citation analyses cap
+    citing-list length for the same reason). Duplicate (src, dst)
+    edges collapse first; the pair count is over distinct sources by
+    construction."""
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"))
+         .distinct())
+    if max_out is not None:
+        ok = (e.groupBy("src").count()
+              .filter(F.col("count") <= max_out).select("src"))
+        e = e.join(F.broadcast(ok), "src", "left_semi")
+    l = e.select("src", F.col("dst").alias("a"))
+    r = e.select("src", F.col("dst").alias("b"))
+    return (l.join(r, "src")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_srcs"))
+            .filter(F.col("n_srcs") >= min_count))
+
+
+def cocitation_pairs_sql(edges_sql: str, min_count: int = 1,
+                         max_out: int | None = None) -> str:
+    cap = ""
+    if max_out is not None:
+        cap = (" AND src IN (SELECT src FROM e GROUP BY 1 "
+               f"HAVING count(*) <= {max_out})")
+    return (
+        f"WITH e0 AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT src, dst FROM e0) "
+        "SELECT l.dst AS a, r.dst AS b, count(*)::BIGINT AS n_srcs "
+        "FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst "
+        f"WHERE TRUE{cap.replace('src IN', 'l.src IN')} "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}"
+    )

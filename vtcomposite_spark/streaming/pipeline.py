@@ -249,7 +249,7 @@ def compact_tile_log(spark, sink_dir: str, out_dir: str | None = None,
 
 
 def stream_dedupe_docs(docs_stream: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", key=None) -> DataFrame:
     """Cross-batch streaming EXACT dedupe over a document stream: emit a
     document the FIRST time its content fingerprint (md5 of the text) is
     seen in the stream's entire history; every later duplicate — inside
@@ -272,6 +272,11 @@ def stream_dedupe_docs(docs_stream: DataFrame, id_col: str = "doc_id",
     state store provider, same as the tile feed.
 
     Returns (fingerprint, id, text) rows — the kept documents only.
+
+    ``key`` overrides the dedupe identity: any deterministic Column
+    expression over the stream's rows (default md5 of ``text_col``).
+    ``stream_dedupe_urls`` uses this to run the same state machine as a
+    streaming CRAWL FRONTIER keyed by canonical URL.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -292,7 +297,7 @@ def stream_dedupe_docs(docs_stream: DataFrame, id_col: str = "doc_id",
                 text_col: best[text_col]}])
 
     keyed = docs_stream.withColumn(
-        "fingerprint", F.md5(F.col(text_col)))
+        "fingerprint", F.md5(F.col(text_col)) if key is None else key)
     return (keyed.groupBy("fingerprint")
             .applyInPandasWithState(
                 emit,
@@ -325,3 +330,20 @@ def run_doc_dedupe_stream(spark, source_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_dedupe_urls(url_stream: DataFrame, id_col: str = "doc_id",
+                       url_col: str = "url") -> DataFrame:
+    """Streaming CRAWL FRONTIER: emit a URL the first time its CANONICAL
+    form (functions.text.canonicalize_url_col — https/www/port/fragment/
+    tracking-param normal form) enters the stream's history; later
+    spellings of the same page — other schemes, tracking params, replays
+    across checkpointed restarts — emit nothing. The batch twin is
+    ``dedupe.url_dedupe`` (min-id rule WITHIN one corpus); the stream
+    contract is first-arrival-wins so earlier frontier grants never
+    move. Same state machine as ``stream_dedupe_docs``: one long per
+    distinct canonical URL, URL strings never enter the state store."""
+    from ..functions.text import canonicalize_url_col
+
+    return stream_dedupe_docs(url_stream, id_col=id_col, text_col=url_col,
+                              key=canonicalize_url_col(F.col(url_col)))

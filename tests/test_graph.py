@@ -168,3 +168,23 @@ def test_cocitation_duckdb_twin_parity(spark):
             G.cocitation_pairs_sql(G.doc_link_edges_sql(3, 64), mc,
                                    max_out=cap)).fetchall()}
         assert got == want, (mc, cap)
+
+
+def test_pagerank_round_plan_shape(spark):
+    """Scale-shape gate: one propagation round aggregates contributions
+    with a partial (map-side) HashAggregate before the shuffle — the
+    shape that keeps per-round traffic ∝ |E| reduced, not raw."""
+    from pyspark.sql import functions as F
+    e = spark.createDataFrame([(i, (i * 7) % 50) for i in range(500)],
+                              "src long, dst long")
+    ranks = e.select(F.col("src").alias("id")).distinct() \
+        .select("id", F.lit(1000000).cast("long").alias("rank"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    contribs = (ranks.join(outdeg, ranks["id"] == outdeg["src"])
+                .select("src", F.expr("rank div deg").alias("c")))
+    incoming = e.join(contribs, "src").groupBy("dst") \
+        .agg(F.sum("c").alias("inc"))
+    plan = incoming._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # partial aggregation before the exchange: two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2

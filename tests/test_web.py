@@ -102,3 +102,17 @@ def test_latest_snapshot_duckdb_twin_parity(spark):
     want = {(int(a), u, bool(k)) for a, u, k in
             con.sql(W.latest_snapshot_sql(src)).fetchall()}
     assert got == want
+
+
+def test_blocklist_plan_shape(spark):
+    """Scale-shape gate: both blocklist joins are forced broadcasts (the
+    blocklist and the bad-host keys are driver-sized dimensions by
+    construction) — doc payloads must never shuffle."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}.example.com") for i in range(100)],
+        "doc_id long, host string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = W.blocklist_filter(docs, bl) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan

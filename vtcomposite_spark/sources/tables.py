@@ -168,3 +168,30 @@ def read_features(spark: SparkSession, source: str,
     from pyspark.sql import functions as F
     return spark.read.parquet(source) \
         .withColumn("src_z", F.col("src_z").cast("int"))
+
+
+def write_features_bucketed(df: DataFrame, table: str, buckets: int = 64,
+                            bucket_cols: tuple = ("src_x", "src_y"),
+                            mode: str = "overwrite") -> None:
+    """FEATURES sink BUCKETED by source-tile coordinates (Spark-native
+    hash bucketing via ``bucketBy`` + ``saveAsTable``; works on the
+    in-memory/Hive catalog alike). Every downstream operation keyed by
+    the source tile — the source-grouped overzoom's per-source-tile
+    regroup, first-wins winner joins, tile-log reconciliation — then
+    reads a scan that already SATISFIES the hash distribution, so
+    Catalyst drops the Exchange: at 100 TB the one big shuffle of the
+    materialization pipeline is paid once at ingest, not per job
+    (plan-gated in tests/test_tables.py). Rows are sorted inside each
+    bucket by the bucket key, so per-source-tile kernels also stream
+    runs instead of re-sorting."""
+    (df.write.format("parquet").mode(mode)
+     .bucketBy(buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .saveAsTable(table))
+
+
+def read_features_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog scan of a bucketed features table (``spark.table`` —
+    reading the parquet PATH would drop the bucket spec and with it the
+    exchange elision)."""
+    return spark.table(table)

@@ -818,6 +818,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             GR.doc_link_edges(docs, 3, 256), min_count=2)
     q["cocitation_related"] = cocitation_related
 
+    def crawl_snapshot_diff(spark, sf):
+        """Incremental-crawl delta: the documents table replays as two
+        snapshots (new drops every 10th doc and rewrites every 7th) —
+        full-outer keys+fingerprints join → added/removed/changed/same
+        per URL, the re-embed/tombstone feed of an incremental build."""
+        from vtcomposite_spark.operators import web as W
+        docs = _read(spark, sf, "documents")
+        url = F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+        old = docs.select(url.alias("url"),
+                          F.md5("text").alias("fingerprint"))
+        new = (docs.filter(F.col("doc_id") % 10 != 0)
+               .select(url.alias("url"),
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.md5(F.concat(F.lit("v2"), F.col("text"))))
+                       .otherwise(F.md5("text")).alias("fingerprint")))
+        return W.crawl_diff(old, new)
+    q["crawl_snapshot_diff"] = crawl_snapshot_diff
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1619,6 +1637,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["cocitation_related"] = GR.cocitation_pairs_sql(
         GR.doc_link_edges_sql(3, 256), min_count=2)
+
+    from vtcomposite_spark.operators.web import crawl_diff_sql
+    o["crawl_snapshot_diff"] = crawl_diff_sql(
+        "SELECT 'p' || doc_id AS url, md5(text) AS fingerprint "
+        "FROM documents",
+        "SELECT 'p' || doc_id AS url, CASE WHEN doc_id % 7 = 0 "
+        "THEN md5('v2' || text) ELSE md5(text) END AS fingerprint "
+        "FROM documents WHERE doc_id % 10 != 0")
 
     # banded random-hyperplane LSH: same md5-seeded literal signs, same
     # integer milli-unit projection as operators.dedupe.embedding_near_dups

@@ -116,3 +116,39 @@ def test_blocklist_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+# --- incremental crawl diff ---
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "fa"), ("u2", "fb"), ("u3", "fc")],
+        "url string, fingerprint string")
+    new = spark.createDataFrame(
+        [("u1", "fa"), ("u2", "fb2"), ("u4", "fd")],
+        "url string, fingerprint string")
+    out = {r.url: r.status for r in W.crawl_diff(old, new).collect()}
+    assert out == {"u1": "same", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
+
+
+def test_crawl_diff_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.select(F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+                      .alias("url"), F.md5("text").alias("fingerprint"))
+    new = (docs.filter(F.col("doc_id") % 10 != 0)
+           .select(F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+                   .alias("url"),
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.md5(F.concat(F.lit("v2"), F.col("text"))))
+                   .otherwise(F.md5("text")).alias("fingerprint")))
+    got = {(r.url, r.status) for r in W.crawl_diff(old, new).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    o_sql = "SELECT 'p' || doc_id AS url, md5(text) AS fingerprint FROM documents"
+    n_sql = ("SELECT 'p' || doc_id AS url, CASE WHEN doc_id % 7 = 0 "
+             "THEN md5('v2' || text) ELSE md5(text) END AS fingerprint "
+             "FROM documents WHERE doc_id % 10 != 0")
+    want = {(u, st) for u, st in
+            con.sql(W.crawl_diff_sql(o_sql, n_sql)).fetchall()}
+    assert got == want

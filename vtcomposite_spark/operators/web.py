@@ -144,3 +144,43 @@ def latest_snapshot_sql(src_sql: str, key_col: str = "canonical_url",
         f"c.{id_col} = w._w._id AS kept "
         f"FROM c JOIN w USING ({key_col})"
     )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+               fp_col: str = "fingerprint") -> DataFrame:
+    """Incremental-crawl reconciliation: compare two snapshots by key
+    (canonical URL) and content fingerprint → one row per key with
+    status 'added' | 'removed' | 'changed' | 'same' — the delta an
+    incremental corpus build feeds downstream (re-embed changed docs,
+    tombstone removed ones) instead of reprocessing the snapshot.
+
+    Inputs must be key-unique (one row per URL — latest_snapshot/
+    url_dedupe upstream guarantee it); fingerprints compare as opaque
+    strings. 100-TB shape: one full-outer equi-join on the key, both
+    sides keys+fingerprint only — payloads never enter the diff."""
+    o = old.select(F.col(key_col).alias("_k"),
+                   F.col(fp_col).alias("_ofp"))
+    n = new.select(F.col(key_col).alias("_k"),
+                   F.col(fp_col).alias("_nfp"))
+    j = o.join(n, "_k", "full_outer")
+    status = (F.when(F.col("_ofp").isNull(), "added")
+              .when(F.col("_nfp").isNull(), "removed")
+              .when(F.col("_ofp") != F.col("_nfp"), "changed")
+              .otherwise("same"))
+    return j.select(F.col("_k").alias(key_col), status.alias("status"))
+
+
+def crawl_diff_sql(old_sql: str, new_sql: str, key_col: str = "url",
+                   fp_col: str = "fingerprint") -> str:
+    return (
+        f"WITH o AS (SELECT {key_col} AS _k, {fp_col} AS _ofp "
+        f"FROM ({old_sql})), "
+        f"n AS (SELECT {key_col} AS _k, {fp_col} AS _nfp "
+        f"FROM ({new_sql})) "
+        f"SELECT coalesce(o._k, n._k) AS {key_col}, "
+        "CASE WHEN o._ofp IS NULL THEN 'added' "
+        "WHEN n._nfp IS NULL THEN 'removed' "
+        "WHEN o._ofp != n._nfp THEN 'changed' "
+        "ELSE 'same' END AS status "
+        "FROM o FULL OUTER JOIN n ON o._k = n._k"
+    )

@@ -836,6 +836,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.crawl_diff(old, new)
     q["crawl_snapshot_diff"] = crawl_snapshot_diff
 
+    def bpe_merges(spark, sf):
+        """TRUE BPE tokenizer training (Sennrich 2016): 4 learned merge
+        rules over the corpus vocabulary — greedy-leftmost application,
+        integer pair weights, total-order picks. The merge list is
+        driver metadata (like the IVF centroids); the oracle replays
+        the whole loop as unrolled CTEs."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents")
+        out = CH.bpe_train(docs, merges=4)
+        return spark.createDataFrame(
+            out, "merge_rank int, a string, b string, weight long")
+    q["bpe_merges"] = bpe_merges
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1637,6 +1650,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["cocitation_related"] = GR.cocitation_pairs_sql(
         GR.doc_link_edges_sql(3, 256), min_count=2)
+
+    from vtcomposite_spark.operators.chunking import bpe_train_sql
+    o["bpe_merges"] = bpe_train_sql(4)
 
     from vtcomposite_spark.operators.web import crawl_diff_sql
     o["crawl_snapshot_diff"] = crawl_diff_sql(

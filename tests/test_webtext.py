@@ -1275,3 +1275,36 @@ def test_dedupe_lines_scope_col(spark):
     assert s[1] == "unique one\nshared sentence"
     assert s[3] == "shared sentence\nunique three"
     assert s[2] == "unique two" and s[4] == "unique four"
+
+
+# --- BPE tokenizer training (chunking.bpe_train) ---
+
+def test_bpe_train_greedy_leftmost_hand_case(spark):
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaab")], "doc_id long, text string")
+    got = CH.bpe_train(docs, merges=3)
+    # (a,a): 3 overlapping pairs x cnt 2 in 'aaaa' + 2 in 'aaab' = 8;
+    # greedy-leftmost turns 'aaaa' into ('aa','aa') — NOT ('aa','a','a');
+    # round 2 ties (a,b)=2 vs (aa,aa)=2 -> 'a' < 'aa' wins the total order
+    assert got == [(1, "a", "a", 8), (2, "a", "b", 2),
+                   (3, "aa", "aa", 2)]
+    # SQL twin replays the same merges
+    import pandas as pd
+    duckdb.register("_bpe_d", pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aaaa aaaa ab", "aaab"]}))
+    want = sorted(duckdb.sql(CH.bpe_train_sql(3, table="_bpe_d"))
+                  .fetchall())
+    assert got == [(int(r), a, b, int(w)) for r, a, b, w in want]
+
+
+def test_bpe_train_corpus_twin_parity(spark, docs):
+    from vtcomposite_spark.operators import chunking as CH
+    got = CH.bpe_train(docs, merges=4)
+    want = sorted(duck(CH.bpe_train_sql(4)))
+    assert got == [(int(r), a, b, int(w)) for r, a, b, w in want]
+    # weights strictly ordered data-independently? no — but each round's
+    # pick must dominate the NEXT round's weight (merging only removes
+    # pair mass for a fixed pair inventory modulo the new symbol)
+    assert all(isinstance(a, str) and isinstance(b, str)
+               for _, a, b, _ in got)

@@ -623,3 +623,136 @@ def bigram_surprisal_sql(table: str = "documents", id_col: str = "doc_id",
         "CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT) "
         "AS avg_surprisal_micro FROM p GROUP BY 1"
     )
+
+
+def bpe_train(docs: DataFrame, merges: int = 3, id_col: str = "doc_id",
+              text_col: str = "text") -> "list[tuple]":
+    """TRUE BPE tokenizer training (Sennrich et al. 2016): learn
+    ``merges`` merge rules over the corpus vocabulary — the full loop
+    that ``bigram_merge_candidates`` only runs one counting step of.
+    Returns the learned merge list [(merge_rank, a, b, weight), ...].
+
+    Semantics (the reference algorithm, exactly):
+
+    * the vocabulary is UNIQUE words weighted by corpus count (how real
+      BPE trainers scale — work ∝ vocabulary characters, not corpus
+      characters); words start as character sequences;
+    * each round counts adjacent symbol pairs weighted by word count,
+      picks the single best pair under the TOTAL (weight DESC, a ASC,
+      b ASC) order, and applies it GREEDY-LEFTMOST: in a run of
+      overlapping occurrences (only possible when a == b, e.g. 'aaaa'
+      merging ('a','a')) the 1st, 3rd, ... occurrences merge — encoded
+      as islands of row-ordinal-consecutive candidates keeping even
+      offsets;
+    * applying a merge rewrites the symbol table relationally: kept
+      marks become the concatenated symbol, their successor rows drop.
+
+    Engine-exact: weights are integer sums and the pick is a total
+    order, so ``bpe_train_sql`` (the loop unrolled as CTEs, the picked
+    pair a 1-row subquery instead of a driver collect) replays the
+    merges value-identically — the ``bpe_merges`` full-oracle row.
+
+    100-TB shape: per round one lead() window partitioned by word (words
+    are short — thousands of tiny partitions per task, no skew), one
+    map-side-combinable weight agg, one 1-row driver collect (the merge
+    rule — driver metadata like the IVF centroids), and one keys-only
+    mark join; the work table localCheckpoints per round to cut lineage.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens_col
+
+    words = (docs.select(F.explode(tokens_col(F.col(text_col)))
+                         .alias("word"))
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    t = words.select(
+        "word", "cnt",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1))))
+        .alias("pos", "sym"))
+    t = t.localCheckpoint(eager=True)
+    out = []
+    worder = Window.partitionBy("word").orderBy("pos")
+    for r in range(1, merges + 1):
+        p = t.select("word", "cnt", "pos", F.col("sym").alias("a"),
+                     F.lead("sym").over(worder).alias("b"),
+                     F.row_number().over(worder).alias("rn"))
+        best = (p.filter(F.col("b").isNotNull())
+                .groupBy("a", "b").agg(F.sum("cnt").alias("weight"))
+                .orderBy(F.col("weight").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        A, B, wgt = best[0].a, best[0].b, best[0].weight
+        out.append((r, A, B, int(wgt)))
+        cand = (p.filter((F.col("a") == A) & (F.col("b") == B))
+                .select("word", "rn"))
+        isl = cand.withColumn(
+            "grp", F.col("rn") - F.row_number().over(
+                Window.partitionBy("word").orderBy("rn")))
+        keep = (isl.withColumn(
+            "off", F.col("rn") - F.min("rn").over(
+                Window.partitionBy("word", "grp")))
+            .filter(F.col("off") % 2 == 0).select("word", "rn"))
+        k = keep.select(F.col("word").alias("_kw"),
+                        F.col("rn").alias("krn"))
+        c = keep.select(F.col("word").alias("_cw"),
+                        (F.col("rn") + 1).alias("crn"))
+        withrn = p.select("word", "cnt", "pos", F.col("a").alias("sym"),
+                          "rn")
+        t = (withrn
+             .join(k, (F.col("word") == F.col("_kw"))
+                   & (F.col("rn") == F.col("krn")), "left")
+             .join(c, (F.col("word") == F.col("_cw"))
+                   & (F.col("rn") == F.col("crn")), "left")
+             .filter(F.col("crn").isNull())
+             .select("word", "cnt", "pos",
+                     F.when(F.col("krn").isNotNull(),
+                            F.lit(A + B)).otherwise(F.col("sym"))
+                     .alias("sym"))
+             .localCheckpoint(eager=True))
+    return out
+
+
+def bpe_train_sql(merges: int = 3, table: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of ``bpe_train`` — the merge loop unrolled; each
+    round's picked pair is a 1-row CTE (ORDER BY weight DESC, a, b
+    LIMIT 1) instead of a driver collect. Emits the merge list
+    (merge_rank, a, b, weight)."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    parts = [
+        f"WITH w0 AS (SELECT word, count(*) AS cnt FROM ("
+        f"SELECT unnest({ws}) AS word FROM {table}) GROUP BY 1), "
+        "t1 AS (SELECT word, cnt, g.i AS pos, substr(word, g.i, 1) AS sym "
+        "FROM w0, unnest(generate_series(1, len(word))) AS g(i))"
+    ]
+    sel = []
+    for r in range(1, merges + 1):
+        parts.append(
+            f", p{r} AS (SELECT word, cnt, pos, sym AS a, "
+            "lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, "
+            "row_number() OVER (PARTITION BY word ORDER BY pos) AS rn "
+            f"FROM t{r}), "
+            f"best{r} AS (SELECT a, b, sum(cnt)::BIGINT AS weight "
+            f"FROM p{r} WHERE b IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY weight DESC, a ASC, b ASC LIMIT 1), "
+            f"cand{r} AS (SELECT p.word, p.rn FROM p{r} p "
+            f"JOIN best{r} x ON p.a = x.a AND p.b = x.b), "
+            f"keep{r} AS (SELECT word, rn FROM (SELECT word, rn, "
+            "rn - min(rn) OVER (PARTITION BY word, grp) AS off FROM ("
+            "SELECT word, rn, rn - row_number() OVER ("
+            f"PARTITION BY word ORDER BY rn) AS grp FROM cand{r})) "
+            "WHERE off % 2 = 0), "
+            f"t{r + 1} AS (SELECT t.word, t.cnt, t.pos, "
+            f"CASE WHEN k.rn IS NOT NULL THEN (SELECT a || b FROM best{r}) "
+            "ELSE t.a END AS sym "
+            f"FROM p{r} t "
+            f"LEFT JOIN keep{r} k ON t.word = k.word AND t.rn = k.rn "
+            f"LEFT JOIN keep{r} c ON t.word = c.word AND t.rn = c.rn + 1 "
+            "WHERE c.rn IS NULL)")
+        sel.append(f"SELECT {r} AS merge_rank, a, b, weight FROM best{r}")
+    parts.append(" " + " UNION ALL ".join(sel))
+    return "".join(parts)

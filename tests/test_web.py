@@ -152,3 +152,22 @@ def test_crawl_diff_duckdb_twin_parity(spark):
     want = {(u, st) for u, st in
             con.sql(W.crawl_diff_sql(o_sql, n_sql)).fetchall()}
     assert got == want
+
+
+def test_blocklist_auto_regime_matches_broadcast(spark):
+    """flag_join='auto' under the no-auto-broadcast regime (the
+    planet-scale simulation from test_plans) must shuffle-join and
+    return identical rows."""
+    from tests.test_plans import _no_broadcast
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}.example.com") for i in range(200)],
+        "doc_id long, host string")
+    bl = spark.createDataFrame(
+        [("s1.example.com",), ("s3.example.com",)], "domain string")
+    want = {(r.doc_id, r.blocked)
+            for r in W.blocklist_filter(docs, bl).collect()}
+    with _no_broadcast(spark):
+        auto = W.blocklist_filter(docs, bl, flag_join="auto")
+        got = {(r.doc_id, r.blocked) for r in auto.collect()}
+    assert got == want

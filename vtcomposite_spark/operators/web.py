@@ -26,23 +26,32 @@ def domain_suffixes_col(host):
 
 def blocklist_filter(docs: DataFrame, blocklist: DataFrame,
                      host_col: str = "host",
-                     domain_col: str = "domain") -> DataFrame:
+                     domain_col: str = "domain",
+                     flag_join: str = "broadcast") -> DataFrame:
     """Mark every doc whose host equals — or is a subdomain of — a
     blocklisted domain: input rows + a ``blocked`` boolean.
 
     100-TB shape: the suffix explode is rows ∝ docs × label-depth
-    (~4), keys-only; the blocklist is a broadcast dimension; the flag
-    comes back as a left-semi-style aggregation (max over suffix hits)
-    so doc payloads never shuffle. Callers drop with
+    (~4), keys-only; the blocklist itself is always a broadcast
+    dimension (UT1-sized lists are a few MB). ``flag_join`` sizes the
+    join of the matched BAD-HOST key set back onto the docs:
+    ``"broadcast"`` (default — right while bad hosts are a driver-sized
+    set) or ``"auto"`` (no hint; Catalyst/AQE picks — the escape hatch
+    when a coarse blocklist entry matches millions of hosts). Doc
+    payloads never shuffle under broadcast; under auto they shuffle
+    once on the host key. Callers drop with
     ``.filter(~F.col('blocked'))``."""
+    if flag_join not in ("broadcast", "auto"):
+        raise ValueError("flag_join must be 'broadcast' or 'auto'")
     s = (docs.select(F.col(host_col),
                      F.explode(domain_suffixes_col(F.col(host_col)))
                      .alias("_sfx"))
          .join(F.broadcast(blocklist.select(
              F.col(domain_col).alias("_sfx"))), "_sfx", "left_semi")
          .select(F.col(host_col).alias("_bad_host")).distinct())
-    return (docs.join(F.broadcast(s),
-                      docs[host_col] == s["_bad_host"], "left")
+    if flag_join == "broadcast":
+        s = F.broadcast(s)
+    return (docs.join(s, docs[host_col] == s["_bad_host"], "left")
             .withColumn("blocked", F.col("_bad_host").isNotNull())
             .drop("_bad_host"))
 

@@ -27,9 +27,11 @@ from vtcomposite_spark.operators import similarity as SIM
 from vtcomposite_spark.operators.cells import encode_cells, rollup_counts
 from vtcomposite_spark.operators.joins import knn_join
 from vtcomposite_spark.operators.localize import localize
-from vtcomposite_spark.sources.pages import (extract_geotags, geo_cols,
-                                             geo_sql_exprs,
-                                             pages_from_documents)
+from vtcomposite_spark.sources.pages import (encode_html_pages,
+                                             extract_geotags, extract_text,
+                                             geo_cols, geo_sql_exprs,
+                                             pages_from_documents,
+                                             rich_html_col, rich_html_sql)
 
 # ---------------------------------------------------------------------------
 # shared derivations (Spark + SQL twins)
@@ -137,6 +139,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("tile_x").alias("tx"), F.col("tile_y").alias("ty"),
                         "n_pages", "n_langs"))
     q["pages_tile_assign"] = pages_tile_assign
+
+    def extract_text_rich(spark, sf):
+        """North-rule scan→extract under the full oracle: build an
+        ENRICHED html payload per document (title/script/style/comment/
+        entities — every extraction rule fires), gzip a deterministic
+        ~30% so the sniff seam itself is on the oracle path (gunzip is
+        exactly inverse, so the SQL twin replays only the string
+        pipeline), then extract. sources/pages.py + functions/text.py."""
+        docs = _read(spark, sf, "documents")
+        rich = docs.select(
+            "doc_id", rich_html_col(F.col("text"), F.col("doc_id")).alias("h"))
+        pages = encode_html_pages(rich, F.col("h"),
+                                  gzip_if=(F.col("doc_id") % 10 < 3),
+                                  keep=["doc_id"])
+        return extract_text(pages, keep=["doc_id"]) \
+            .select("doc_id", "extracted")
+    q["extract_text_rich"] = extract_text_rich
 
     def tile_ancestry_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1096,6 +1115,13 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents WHERE {_GEO_DOC['tagged']}) "
         f"SELECT {tx10} AS tx, {ty10} AS ty, count(*) AS n_pages, "
         "count(DISTINCT lang) AS n_langs FROM pages GROUP BY 1, 2"
+    )
+
+    from vtcomposite_spark.functions.text import extract_text_sql
+    o["extract_text_rich"] = (
+        "SELECT doc_id, "
+        f"{extract_text_sql(rich_html_sql('text', 'doc_id'))} AS extracted "
+        "FROM documents"
     )
 
     o["tile_ancestry_filter"] = (

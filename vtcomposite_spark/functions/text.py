@@ -268,6 +268,68 @@ def fingerprint_sql(c: str) -> str:
     return f"md5(substr(lower(regexp_replace({c}, '\\s+', ' ', 'g')), 1, 64))"
 
 
+# --- HTML → text extraction (the north-rule scan→extract step) ---
+#
+# Deterministic whitelist extraction, NOT a full HTML5 parser: take the
+# <body> content (whole document when no body tag), drop comments and
+# <script>/<style> blocks, turn structural block tags into exactly one
+# newline each, strip every remaining tag, and decode a fixed entity
+# whitelist (&amp; last, so double-escapes resolve one level — standard).
+# Text-node bytes pass through UNCHANGED — no whitespace collapsing, no
+# trim — which is what makes "byte-identical extracted text per url"
+# (BASELINE.json input_hint) a checkable invariant: a body that wraps
+# the text verbatim extracts to the text verbatim. Callers wanting
+# C4-style normalization compose with the quality utilities.
+#
+# Every pattern is backreference/lookaround-free and uses inline (?is)
+# flags, so the Java (Spark) and RE2 (DuckDB) engines replay it
+# character-for-character (tests/test_text.py runs the hand matrix on
+# both). All five passes are JVM codegen regexp_replace — the only
+# Python in the pipeline is the gzip-sniff seam in sources/pages.py.
+
+BODY_PATTERN = r"(?is)<body(\s[^>]*)?>(.*)</body>"
+_COMMENT_PAT = r"(?s)<!--.*?-->"
+_SCRIPT_PAT = r"(?is)<script(\s[^>]*)?>.*?</script>"
+_STYLE_PAT = r"(?is)<style(\s[^>]*)?>.*?</style>"
+_BLOCK_TAGS = ("p|div|br|li|ul|ol|table|tr|h[1-6]|blockquote|section"
+               "|article|header|footer|pre|hr")
+_BLOCK_PAT = rf"(?is)</?({_BLOCK_TAGS})(\s[^>]*)?\s*/?>"
+_ANY_TAG_PAT = r"(?s)<[^>]*>"
+# fixed decode order; (&amp; → &) LAST so "&amp;lt;" → "&lt;", not "<"
+HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def extract_text_col(html_str: Column) -> Column:
+    """Extracted text Column from a DECODED html string Column."""
+    body = F.when(F.regexp_like(html_str, F.lit(BODY_PATTERN)),
+                  F.regexp_extract(html_str, BODY_PATTERN, 2)) \
+        .otherwise(html_str)
+    x = F.regexp_replace(body, _COMMENT_PAT, "")
+    x = F.regexp_replace(x, _SCRIPT_PAT, "")
+    x = F.regexp_replace(x, _STYLE_PAT, "")
+    x = F.regexp_replace(x, _BLOCK_PAT, "\n")
+    x = F.regexp_replace(x, _ANY_TAG_PAT, "")
+    for ent, ch in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return x
+
+
+def extract_text_sql(c: str) -> str:
+    """DuckDB twin of :func:`extract_text_col` (RE2; 'g' = global)."""
+    body = (f"CASE WHEN regexp_matches({c}, '{BODY_PATTERN}') "
+            f"THEN regexp_extract({c}, '{BODY_PATTERN}', 2) ELSE {c} END")
+    x = f"regexp_replace({body}, '{_COMMENT_PAT}', '', 'g')"
+    x = f"regexp_replace({x}, '{_SCRIPT_PAT}', '', 'g')"
+    x = f"regexp_replace({x}, '{_STYLE_PAT}', '', 'g')"
+    x = f"regexp_replace({x}, '{_BLOCK_PAT}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_ANY_TAG_PAT}', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{lit}')"
+    return x
+
+
 # --- URL canonicalization (crawl-dedupe normalization) ---
 #
 # The CommonCrawl-style normal form: lowercase scheme://host, http →

@@ -135,6 +135,115 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def rich_html_col(text, doc_id):
+    """Deterministic ENRICHED html payload (string Column) for a doc: a
+    title, a script block with entities, the text wrapped in <p>, a
+    comment, and an entity-bearing span — every extraction rule fires.
+    Twin: :func:`rich_html_sql`. Extracting this with
+    functions.text.extract_text_col yields exactly
+    ``"\\n" + text + "\\n" + "A & B <ok>"``."""
+    return F.concat(
+        F.lit("<html><head><title>T "), doc_id.cast("string"),
+        F.lit("</title><script>var x = 1 &amp;&amp; 2;</script>"
+              "<style>p { color: red; }</style></head>"
+              "<body class=\"m\"><p>"),
+        text,
+        F.lit("</p><!-- crawler note --><span>A &amp; B &lt;ok&gt;</span>"
+              "</body></html>"))
+
+
+def rich_html_sql(text_c: str, id_c: str) -> str:
+    return ("'<html><head><title>T ' || CAST(" + id_c + " AS VARCHAR) || "
+            "'</title><script>var x = 1 &amp;&amp; 2;</script>"
+            "<style>p { color: red; }</style></head>"
+            "<body class=\"m\"><p>' || " + text_c + " || "
+            "'</p><!-- crawler note --><span>A &amp; B &lt;ok&gt;</span>"
+            "</body></html>'")
+
+
+def encode_html_pages(df: DataFrame, html_str, gzip_if=None,
+                      keep: list[str] | None = None) -> DataFrame:
+    """keep-columns + ``html`` (binary): UTF-8-encode a built html string
+    Column; rows where ``gzip_if`` (boolean Column) holds are
+    gzip-compressed — the payload mix a real crawl store has. With
+    ``gzip_if=None`` this is pure JVM ``encode()``; otherwise one thin
+    mapInPandas seam does encode+gzip (gzip bytes carry an mtime header,
+    so they are NOT byte-deterministic — only their decompression is;
+    callers needing deterministic BYTES pass gzip_if=None)."""
+    keep = keep or []
+    if gzip_if is None:
+        return df.select(*keep, F.encode(html_str, "utf-8").alias("html"))
+    base = df.select(*keep, html_str.alias("_h"), gzip_if.alias("_gz"))
+    out_schema = T.StructType(
+        [base.schema[c] for c in keep]
+        + [T.StructField("html", T.BinaryType())])
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            payload = [
+                None if h is None
+                else (gzip.compress(h.encode("utf-8"), compresslevel=1)
+                      if gz else h.encode("utf-8"))
+                for h, gz in zip(pdf["_h"], pdf["_gz"])]
+            out = pdf[keep].copy()
+            out["html"] = payload
+            yield out
+
+    return base.mapInPandas(kernel, schema=out_schema)
+
+
+def decoded_html(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """pages + ``html_str`` (string): gzip-sniff each html payload
+    (0x1f8b — the binary analog of src/vtcomposite.cpp:224-235) and
+    UTF-8-decode it. This is the ONLY Python in the html→text pipeline
+    and it does only gunzip + decode — every regex pass downstream is
+    JVM codegen (functions/text.py extract_text_col). ``keep`` prunes
+    the Arrow crossing manually (column pruning can't see inside
+    mapInPandas); the html payload itself is NOT shipped back out.
+    """
+    if keep is not None:
+        pages = pages.select(*dict.fromkeys([*keep, "html"]))
+        out_cols = list(keep)
+    else:
+        out_cols = [c for c in pages.columns if c != "html"]
+
+    out_schema = T.StructType(
+        [pages.schema[c] for c in out_cols]
+        + [T.StructField("html_str", T.StringType())])
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            vals: list[str | None] = []
+            for buf in pdf["html"]:
+                if buf is None:
+                    vals.append(None)
+                    continue
+                b = bytes(buf)
+                if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+                    b = gzip.decompress(b)
+                vals.append(b.decode("utf-8", errors="replace"))
+            out = pdf[out_cols].copy()
+            out["html_str"] = vals
+            yield out
+
+    return pages.mapInPandas(kernel, schema=out_schema)
+
+
+def extract_text(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """pages columns (minus html) + ``extracted`` (string): the north-rule
+    scan→extract step (BASELINE.json input_hint — "byte-identical
+    extracted text per url"). Sniff/decode in one thin Python seam
+    (:func:`decoded_html`), then the deterministic whitelist extraction
+    as five JVM regexp passes (functions/text.py). Text-node bytes pass
+    through unchanged, so a body wrapping the text verbatim extracts to
+    the text verbatim — tests/test_pages_extract.py pins that per-url
+    byte identity over the gzip-mixed synthesizer."""
+    from ..functions.text import extract_text_col
+    return (decoded_html(pages, keep=keep)
+            .withColumn("extracted", extract_text_col(F.col("html_str")))
+            .drop("html_str"))
+
+
 def extract_geotags(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """pages + (lat, lon) columns; null for ungeotagged rows.
 

@@ -40,6 +40,33 @@ from vtcomposite_spark.sources.pages import (encode_html_pages,
 _GEO_DOC = geo_sql_exprs("doc_id")
 _GEO_EVT = geo_sql_exprs("event_id")
 
+# robots corpus for robots_crawl_filter (shared queries()/oracle_sql()):
+# shared UA groups, per-agent override groups, empty Disallow, groupless
+# rules, case-insensitive agent names, and hosts with no robots at all
+_ROBOTS_CORPUS = [
+    ("site0.example.com",
+     "User-agent: *\nDisallow: /p0\nAllow: /p0/d1"),
+    ("site1.example.com",
+     "User-agent: cc-bot\nDisallow: /p\nAllow: /p2\n\n"
+     "User-agent: *\nDisallow: /"),
+    ("site2.example.com",
+     "Disallow: /groupless-ignored\nUser-agent: *\nDisallow:\n"),
+    ("site3.example.com", "User-agent: otherbot\nDisallow: /"),
+    ("site0.example.org",
+     "User-agent: GPTBot\nUser-agent: CC-Bot\n"
+     "Disallow: /p1\nDisallow: /p3\nAllow: /p3"),
+]
+
+
+def _robots_corpus_sql() -> str:
+    rows = ", ".join(
+        "('{h}', {t})".format(
+            h=h, t=" || chr(10) || ".join(
+                "'" + ln.replace("'", "''") + "'"
+                for ln in txt.split("\n")))
+        for h, txt in _ROBOTS_CORPUS)
+    return f"SELECT * FROM (VALUES {rows}) AS _rc(host, robots_txt)"
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -793,6 +820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.blocklist_filter(docs, bl) \
             .select("doc_id", "host", "blocked")
     q["domain_blocklist"] = domain_blocklist
+
+    def robots_crawl_filter(spark, sf):
+        """RFC 9309 crawl-permission evaluation: urls derived from
+        documents (host = the _synth_hosts pattern, path = /p{id%4}/
+        d{id}) against a 5-host robots corpus exercising shared UA
+        groups, longest-match precedence, Allow ties, empty Disallow,
+        groupless rules, case-insensitive agents, and absent robots.
+        operators/web.py robots_allowed (broadcast rules, one
+        min(struct) winner agg per url — no window over the corpus)."""
+        from vtcomposite_spark.operators import web as W
+        g = F.expr("doc_id div 4")
+        urls = _read(spark, sf, "documents").select(F.concat(
+            F.lit("https://site"), (g % 7).cast("string"),
+            F.when(g % 5 == 0, ".example.org")
+            .otherwise(F.lit(".example.com")),
+            F.lit("/p"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("/d"), F.col("doc_id").cast("string")).alias("url"))
+        robots = spark.createDataFrame(
+            _ROBOTS_CORPUS, "host string, robots_txt string")
+        return W.robots_allowed(urls, robots, agent="cc-bot")
+    q["robots_crawl_filter"] = robots_crawl_filter
 
     def host_concentration(spark, sf):
         """Corpus-diversity diagnostic: docs/hosts counts, the integer
@@ -1663,6 +1711,14 @@ def oracle_sql() -> dict[str, str]:
         "ELSE '.example.com' END) AS host FROM documents")
     o["domain_blocklist"] = blocklist_filter_sql(
         _host_synth, ["example.org", "site2.example.com"])
+
+    from vtcomposite_spark.operators.web import robots_allowed_sql
+    o["robots_crawl_filter"] = robots_allowed_sql(
+        "SELECT 'https://site' || (doc_id // 4) % 7 || "
+        "(CASE WHEN (doc_id // 4) % 5 = 0 THEN '.example.org' "
+        "ELSE '.example.com' END) || '/p' || doc_id % 4 || '/d' || "
+        "doc_id AS url FROM documents",
+        _robots_corpus_sql(), agent="cc-bot")
     o["host_concentration"] = host_concentration_sql(_host_synth)
 
     from vtcomposite_spark.operators.web import latest_snapshot_sql

@@ -2,6 +2,8 @@
 concentration — hand cases plus DuckDB twin parity."""
 
 import duckdb
+import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from vtcomposite_spark.operators import web as W
@@ -170,4 +172,105 @@ def test_blocklist_auto_regime_matches_broadcast(spark):
     with _no_broadcast(spark):
         auto = W.blocklist_filter(docs, bl, flag_join="auto")
         got = {(r.doc_id, r.blocked) for r in auto.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 subset)
+# ---------------------------------------------------------------------------
+
+ROBOTS = [
+    ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+    # two UA lines share one group; cc-bot gets its own later group
+    ("b.com", "# all bots\nUser-agent: gptbot\nUser-agent: *\n"
+              "Disallow: /\nAllow: /public\n\nUser-agent: cc-bot\nAllow: /\n"),
+    ("c.com", "User-agent: OtherBot\nDisallow: /\n"),
+    # rule before any group ignored; empty Disallow dropped
+    ("d.com", "Disallow: /ignored-no-group\nUser-agent: *\nDisallow:\n"),
+    # agent match is case-insensitive
+    ("e.com", "User-agent: CC-Bot\nDisallow: /only-cc\n"),
+    # length tie between Allow and Disallow → Allow wins (RFC 9309)
+    ("f.com", "User-agent: *\nDisallow: /tie\nAllow: /tie\n"),
+]
+URLS = [
+    "https://a.com/private/ok/page", "https://a.com/private/no",
+    "https://a.com/open", "https://b.com/public/x", "https://b.com/x",
+    "https://c.com/anything", "https://d.com/ignored-no-group",
+    "https://e.com/only-cc/x", "https://f.com/tie/x",
+    "https://norobots.com/x", "https://a.com/private#frag",
+]
+
+STAR_EXPECT = {
+    "https://a.com/private/ok/page": True,   # longest match wins
+    "https://a.com/private/no": False,
+    "https://a.com/open": True,              # no matching rule
+    "https://b.com/public/x": True,
+    "https://b.com/x": False,                # '*' group disallows /
+    "https://c.com/anything": True,          # group names another agent
+    "https://d.com/ignored-no-group": True,  # groupless rule ignored
+    "https://e.com/only-cc/x": True,
+    "https://f.com/tie/x": True,             # tie → Allow
+    "https://norobots.com/x": True,          # no robots.txt → allowed
+    "https://a.com/private#frag": False,     # fragment dropped pre-match
+}
+
+
+def _robots_frames(spark):
+    rob = spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+    urls = spark.createDataFrame([(u,) for u in URLS], "url string")
+    return rob, urls
+
+
+def test_robots_allowed_star_semantics(spark):
+    rob, urls = _robots_frames(spark)
+    got = {r.url: r.allowed for r in W.robots_allowed(urls, rob).collect()}
+    assert got == STAR_EXPECT
+
+
+def test_robots_allowed_named_agent(spark):
+    rob, urls = _robots_frames(spark)
+    got = {r.url: r.allowed
+           for r in W.robots_allowed(urls, rob, agent="cc-bot").collect()}
+    # named group overrides '*' group on b.com; e.com now binds
+    assert got["https://b.com/x"] is True
+    assert got["https://e.com/only-cc/x"] is False
+    same = {k: v for k, v in STAR_EXPECT.items()
+            if k not in ("https://b.com/x", "https://e.com/only-cc/x")}
+    assert {k: got[k] for k in same} == same
+
+
+@pytest.mark.parametrize("agent", ["*", "cc-bot"])
+def test_robots_duckdb_twin_parity(spark, agent):
+    rob, urls = _robots_frames(spark)
+    got = {(r.url, r.allowed)
+           for r in W.robots_allowed(urls, rob, agent).collect()}
+    con = duckdb.connect()
+    con.register("rob_t", pd.DataFrame(ROBOTS, columns=["host", "robots_txt"]))
+    con.register("url_t", pd.DataFrame({"url": URLS}))
+    want = set(map(tuple, con.sql(W.robots_allowed_sql(
+        "select url from url_t", "select host, robots_txt from rob_t",
+        agent)).fetchall()))
+    assert got == want
+
+
+def test_parse_robots_rules(spark):
+    rob, _ = _robots_frames(spark)
+    rules = {(r.host, r.rule_path, r.allow)
+             for r in W.parse_robots(rob).collect()}
+    assert ("a.com", "/private", False) in rules
+    assert ("a.com", "/private/ok", True) in rules
+    assert ("b.com", "/", False) in rules          # shared-group rule
+    assert ("c.com", "/", False) not in rules      # other agent's group
+    assert not any(h == "d.com" for h, _, _ in rules)
+
+
+def test_robots_auto_regime_matches_broadcast(spark):
+    from tests.test_plans import _no_broadcast
+    rob, urls = _robots_frames(spark)
+    want = {(r.url, r.allowed)
+            for r in W.robots_allowed(urls, rob).collect()}
+    with _no_broadcast(spark):
+        got = {(r.url, r.allowed)
+               for r in W.robots_allowed(urls, rob,
+                                         rules_join="auto").collect()}
     assert got == want

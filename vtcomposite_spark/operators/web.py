@@ -1,15 +1,17 @@
-"""Crawl/web corpus curation operators: domain blocklist filtering and
-host-concentration diagnostics.
+"""Crawl/web corpus curation operators: domain blocklist filtering,
+host-concentration diagnostics, crawl snapshot reconciliation, and
+robots.txt permission evaluation.
 
-Both are standard steps of a web training-data pipeline (UT1-style
-domain blocklists; corpus-diversity dashboards) with the repo's oracle
-discipline: suffix expansion and the concentration statistics are pure
-expressions/aggregates replayed exactly in DuckDB.
+All standard steps of a web training-data pipeline (UT1-style domain
+blocklists; corpus-diversity dashboards; RFC 9309 crawl compliance)
+with the repo's oracle discipline: suffix expansion, the concentration
+statistics, and the robots group/longest-match algebra are pure
+expressions/windows/aggregates replayed exactly in DuckDB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -192,4 +194,165 @@ def crawl_diff_sql(old_sql: str, new_sql: str, key_col: str = "url",
         "WHEN o._ofp != n._nfp THEN 'changed' "
         "ELSE 'same' END AS status "
         "FROM o FULL OUTER JOIN n ON o._k = n._k"
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — group parsing + longest-match permission join
+# ---------------------------------------------------------------------------
+#
+# Deterministic subset of RFC 9309, documented precisely so the SQL twin
+# replays it: line comments stripped at '#'; a GROUP is a maximal run of
+# consecutive User-agent lines plus the Allow/Disallow lines that follow
+# it; a rule governs `agent` when its group names '*' or the agent
+# (exact, case-insensitive — product-token prefix matching is out of
+# scope); rules before any User-agent line are ignored (per spec);
+# empty-path rules are dropped (an empty Disallow means "no
+# restriction"); paths match by LITERAL byte prefix ('*'/'$' wildcards
+# and %-decoding are out of scope and treated literally). Precedence is
+# the RFC's: the longest matching path wins, and on a length tie Allow
+# beats Disallow. No matching rule — or no robots.txt for the host —
+# means allowed.
+
+def parse_robots(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, rule_path, allow) — the rules governing ``agent``.
+
+    100-TB shape: rows ∝ robots.txt LINES (a per-host-bounded, tiny
+    table next to the url corpus); the two windows partition by host,
+    so group reconstruction never shuffles more than one host's lines
+    to a task."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n"))
+        .alias("line_no", "_raw"))
+    parts = F.split(F.trim(F.regexp_replace(F.col("_raw"), "#.*", "")),
+                    ":", 2)
+    toks = lines.select(
+        "host", "line_no",
+        F.lower(F.trim(parts.getItem(0))).alias("_dir"),
+        F.when(F.size(parts) > 1, F.trim(parts.getItem(1)))
+        .otherwise(F.lit("")).alias("_val"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("_dir") == "user-agent")
+    # _blk increments at the START of each consecutive User-agent run,
+    # so every rule line carries the id of the group governing it
+    # (two window steps: run-start flag, then its running sum)
+    toks = toks.withColumn(
+        "_st", (is_ua & ~F.coalesce(F.lag(is_ua).over(w),
+                                    F.lit(False))).cast("int"))
+    toks = toks.withColumn(
+        "_blk", F.sum("_st").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    groups = (toks.filter(is_ua)
+              .filter((F.col("_val") == "*") |
+                      (F.lower(F.col("_val")) == agent.lower()))
+              .select("host", "_blk").distinct())
+    rules = toks.filter(F.col("_dir").isin("allow", "disallow") &
+                        (F.col("_val") != "") & (F.col("_blk") > 0))
+    return (rules.join(groups, ["host", "_blk"], "left_semi")
+            .select("host", F.col("_val").alias("rule_path"),
+                    (F.col("_dir") == "allow").alias("allow")))
+
+
+def parse_robots_sql(robots_sql: str, agent: str = "*",
+                     host_col: str = "host",
+                     txt_col: str = "robots_txt") -> str:
+    """DuckDB twin of :func:`parse_robots`."""
+    a = agent.lower().replace("'", "''")
+    return (
+        f"WITH _rlines AS (SELECT {host_col} AS host, g.i AS line_no, "
+        f"trim(regexp_replace(string_split({txt_col}, chr(10))[g.i], "
+        "'#.*', '')) AS _ln "
+        f"FROM ({robots_sql}), "
+        f"unnest(generate_series(1, len(string_split({txt_col}, "
+        "chr(10))))) AS g(i)), "
+        "_rtoks AS (SELECT host, line_no, "
+        "lower(trim(string_split(_ln, ':')[1])) AS _dir, "
+        "CASE WHEN instr(_ln, ':') > 0 "
+        "THEN trim(substr(_ln, instr(_ln, ':') + 1)) ELSE '' END AS _val "
+        "FROM _rlines), "
+        "_rst AS (SELECT *, CASE WHEN _dir = 'user-agent' AND NOT "
+        "coalesce(lag(_dir = 'user-agent') OVER "
+        "(PARTITION BY host ORDER BY line_no), false) THEN 1 ELSE 0 END "
+        "AS _st FROM _rtoks), "
+        "_rblk AS (SELECT *, sum(_st) "
+        "OVER (PARTITION BY host ORDER BY line_no ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS _blk FROM _rst), "
+        "_rgroups AS (SELECT DISTINCT host, _blk FROM _rblk WHERE "
+        f"_dir = 'user-agent' AND (_val = '*' OR lower(_val) = '{a}')) "
+        "SELECT b.host, b._val AS rule_path, b._dir = 'allow' AS allow "
+        "FROM _rblk b JOIN _rgroups g ON b.host = g.host AND b._blk = g._blk "
+        "WHERE b._dir IN ('allow', 'disallow') AND b._val != '' "
+        "AND b._blk > 0"
+    )
+
+
+def robots_allowed(urls: DataFrame, robots: DataFrame, agent: str = "*",
+                   url_col: str = "url", host_col: str = "host",
+                   txt_col: str = "robots_txt",
+                   rules_join: str = "broadcast") -> DataFrame:
+    """(url, allowed): evaluate every url against its host's robots.txt
+    under the RFC 9309 precedence (longest matching path wins; tie →
+    Allow). The match path is the url's path+query (fragment dropped),
+    '/' when empty.
+
+    100-TB shape: the parsed rules table is per-host small —
+    ``rules_join='broadcast'`` (default) ships it to the url scan so
+    urls never shuffle; ``'auto'`` is the escape hatch for pathological
+    robots corpora. The candidate explode is rows ∝ urls ×
+    rules-per-host (bounded), keys-only; the winner is one
+    min(struct(-len, disallow_rank)) aggregate per url — longest path,
+    Allow on ties — no window over the url corpus."""
+    if rules_join not in ("broadcast", "auto"):
+        raise ValueError("rules_join must be 'broadcast' or 'auto'")
+    from ..functions.text import SCHEME_HOST_PATTERN, url_host_col
+    rules = parse_robots(robots, agent, host_col, txt_col)
+    if rules_join == "broadcast":
+        rules = F.broadcast(rules)
+    u = urls.select(
+        F.col(url_col),
+        url_host_col(F.col(url_col)).alias("_uhost"),
+        F.coalesce(
+            F.nullif(F.regexp_replace(
+                F.regexp_replace(F.col(url_col),
+                                 SCHEME_HOST_PATTERN, ""),
+                "#.*", ""), F.lit("")),
+            F.lit("/")).alias("_path"))
+    cand = (u.join(rules, u["_uhost"] == rules["host"], "left")
+            .withColumn("_hit",
+                        F.col("rule_path").isNotNull() &
+                        F.col("_path").startswith(F.col("rule_path"))))
+    win = (cand.groupBy(url_col).agg(
+        F.min(F.when(F.col("_hit"),
+                     F.struct((-F.length("rule_path")).alias("_neg"),
+                              (~F.col("allow")).cast("int").alias("_dis"))))
+        .alias("_w")))
+    return win.select(
+        url_col,
+        F.coalesce(F.col("_w._dis") == 0, F.lit(True)).alias("allowed"))
+
+
+def robots_allowed_sql(urls_sql: str, robots_sql: str, agent: str = "*",
+                       url_col: str = "url", host_col: str = "host",
+                       txt_col: str = "robots_txt") -> str:
+    """DuckDB twin of :func:`robots_allowed`."""
+    from ..functions.text import SCHEME_HOST_PATTERN, url_host_sql
+    rules = parse_robots_sql(robots_sql, agent, host_col, txt_col)
+    return (
+        f"WITH _rules AS ({rules}), "
+        f"_u AS (SELECT {url_col}, {url_host_sql(url_col)} AS _uhost, "
+        f"coalesce(nullif(regexp_replace(regexp_replace({url_col}, "
+        f"'{SCHEME_HOST_PATTERN}', ''), '#.*', ''), ''), '/') AS _path "
+        f"FROM ({urls_sql})), "
+        f"_cand AS (SELECT u.{url_col}, r.rule_path, r.allow, "
+        "r.rule_path IS NOT NULL AND starts_with(u._path, r.rule_path) "
+        "AS _hit FROM _u u LEFT JOIN _rules r ON u._uhost = r.host), "
+        f"_win AS (SELECT {url_col}, min(CASE WHEN _hit THEN "
+        "struct_pack(_neg := -length(rule_path), "
+        "_dis := CASE WHEN allow THEN 0 ELSE 1 END) END) AS _w "
+        f"FROM _cand GROUP BY 1) "
+        f"SELECT {url_col}, coalesce(_w._dis = 0, true) AS allowed "
+        "FROM _win"
     )

@@ -31,7 +31,8 @@ def build_workload(spark, sf_dir):
     from vtcomposite_spark.operators.joins import knn_join
     from vtcomposite_spark.operators.localize import localize
     from vtcomposite_spark.sources.ingest import targets_df
-    from vtcomposite_spark.sources.pages import extract_geotags, geo_cols, pages_from_documents
+    from vtcomposite_spark.sources.pages import (extract_geotags, extract_text,
+                                                 geo_cols, pages_from_documents)
 
     from vtcomposite_spark.sources.pages import synthesize_pages
 
@@ -57,6 +58,12 @@ def build_workload(spark, sf_dir):
         geo = extract_geotags(pages_src, keep=["url", "lang"]).filter(F.col("lat").isNotNull())
         out = encode_cells(geo, 12)
         counters["pages_geocoded"] = out.count()
+
+    def pages_extract_text():
+        # north-rule scan→extract: gzip-sniff seam + 5 JVM regex passes
+        out = extract_text(pages_src, keep=["url"])
+        counters["pages_extracted"] = out.filter(
+            F.length("extracted") > 0).count()
 
     def tile_composite_overzoom():
         # pages → z8 point features → composite every z10 descendant tile
@@ -442,6 +449,7 @@ def build_workload(spark, sf_dir):
 
     stages = {
         "pages_geocode": pages_geocode,
+        "pages_extract_text": pages_extract_text,
         "tile_composite_overzoom": tile_composite_overzoom,
         "line_composite_overzoom": line_composite_overzoom,
         "polygon_composite_overzoom": polygon_composite_overzoom,
@@ -586,6 +594,9 @@ def run(sf_dir=None, cpus=None, quiet=False):
                                / max(times.get("tile_composite_overzoom", 1e-9), 1e-9), 1),
         "pages_per_sec": round(counters.get("pages_geocoded", 0)
                                / max(times.get("pages_geocode", 1e-9), 1e-9), 1),
+        "extract_pages_per_sec": round(
+            counters.get("pages_extracted", 0)
+            / max(times.get("pages_extract_text", 1e-9), 1e-9), 1),
         # per-tile work ≈ one reference bench run (rules 10/11); compare to
         # BASELINE.md rows 10 (1163 runs/s) and 11 (254 runs/s). Steady-state
         # (2nd run in-session) — the reference's runs/s also amortizes over

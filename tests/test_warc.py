@@ -115,3 +115,36 @@ def test_malformed_errors_are_loud(tmp_path):
     buf = gzip.compress(good)
     with pytest.raises(ValueError, match="truncated gzip member"):
         W.parse_warc_bytes(buf[:-4])
+
+
+def test_stream_warc_pages_incremental(spark, tmp_path):
+    """Streaming ingestion: warc files landing in a directory become
+    micro-batches; the file-source checkpoint makes each warc
+    exactly-once across restarts (second run sees ONLY the new file),
+    and extract_text composes on the streaming frame."""
+    src = os.path.join(tmp_path, "in"); os.makedirs(src)
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+    W.write_warc(_mk_records(3, with_meta=False),
+                 os.path.join(src, "b1.warc.gz"))
+
+    def drain():
+        pages = W.stream_warc_pages(spark, src, max_files_per_trigger=1)
+        ext = extract_text(pages, keep=["url"])
+        q = (ext.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.url: r.extracted
+                for r in spark.read.parquet(out).collect()}
+
+    want1 = {f"https://example.org/{i:04d}": f"doc {i} body & text"
+             for i in range(3)}
+    assert drain() == want1
+    # second run under the SAME checkpoint: the new warc lands, the old
+    # one is NOT re-parsed (cumulative output = 3 + 1 rows, no dupes)
+    W.write_warc([{"url": "https://example.org/new",
+                   "warc_ts": "2021-01-01T00:00:00Z",
+                   "payload": b"<html><body>fresh</body></html>"}],
+                 os.path.join(src, "b2.warc.gz"))
+    assert drain() == {**want1, "https://example.org/new": "fresh"}

@@ -207,14 +207,20 @@ def parse_warc_bytes(buf: bytes, parse_http: bool = True,
 # reader
 # ---------------------------------------------------------------------------
 
-def read_warc(spark: SparkSession, path: str, parse_http: bool = True,
-              keep_payload: bool = True) -> DataFrame:
-    """WARC files under ``path`` (glob ok) → one row per record
-    (WARC_SCHEMA). One binaryFile row per file; the parse seam ships
-    (path, content) in and never ships the file blob back out."""
+#: the binaryFile source's fixed schema (needed explicitly for streaming)
+BINARY_FILE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("modificationTime", T.TimestampType()),
+    T.StructField("length", T.LongType()),
+    T.StructField("content", T.BinaryType()),
+])
 
-    files = (spark.read.format("binaryFile").load(path)
-             .select("path", "content"))
+
+def _records_frame(files: DataFrame, parse_http: bool,
+                   keep_payload: bool) -> DataFrame:
+    """(path, content) rows → one row per WARC record. Works unchanged
+    on batch and streaming frames (the seam is stateless)."""
+    files = files.select("path", "content")
     schema = WARC_SCHEMA if keep_payload else T.StructType(
         [f for f in WARC_SCHEMA.fields if f.name != "html"])
 
@@ -235,9 +241,37 @@ def read_warc(spark: SparkSession, path: str, parse_http: bool = True,
     return files.mapInPandas(kernel, schema=schema)
 
 
+def read_warc(spark: SparkSession, path: str, parse_http: bool = True,
+              keep_payload: bool = True) -> DataFrame:
+    """WARC files under ``path`` (glob ok) → one row per record
+    (WARC_SCHEMA). One binaryFile row per file; the parse seam ships
+    (path, content) in and never ships the file blob back out."""
+    return _records_frame(spark.read.format("binaryFile").load(path),
+                          parse_http, keep_payload)
+
+
 def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     """Response records as the pages frame contract (url, warc_ts, html)
     — feed straight into pages.extract_text / extract_geotags."""
     return (read_warc(spark, path, parse_http=True)
+            .filter(F.col("warc_type") == "response")
+            .select("url", "warc_ts", "html"))
+
+
+def stream_warc_pages(spark: SparkSession, path: str,
+                      parse_http: bool = True,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`warc_pages`: warc files landing under
+    ``path`` become micro-batches of response-record pages rows — the
+    ingestion front of an incremental crawl pipeline (compose with
+    streaming.pipeline.stream_dedupe_urls / stream_dedupe_docs
+    downstream; the file source's checkpoint makes each warc
+    exactly-once). binaryFile requires an explicit schema when
+    streaming; ``maxFilesPerTrigger`` bounds a micro-batch to a known
+    number of ~1 GB warcs — the natural backpressure unit."""
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (_records_frame(reader.load(path), parse_http, True)
             .filter(F.col("warc_type") == "response")
             .select("url", "warc_ts", "html"))

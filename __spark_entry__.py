@@ -184,6 +184,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "extracted")
     q["extract_text_rich"] = extract_text_rich
 
+    def page_link_edges(spark, sf):
+        """Outlink extraction — the link-graph feed: every document
+        becomes a page at https://site{...}/a/p{id}.html carrying one
+        href of each resolvable shape (absolute / root-relative /
+        relative / scheme-relative, plus dropped fragment-only and
+        mailto anchors); ~30% of payloads gzip engine-side. Edges =
+        (doc_id, dst_url) after RFC 3986-subset resolution — codegen
+        over exploded hrefs, sources/pages.py extract_links."""
+        from vtcomposite_spark.sources.pages import (extract_links,
+                                                     linkful_html_col)
+        docs = _read(spark, sf, "documents")
+        g = F.expr("doc_id div 4")
+        rich = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://site"), (g % 7).cast("string"),
+                     F.lit(".example.com/a/p"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("url"),
+            linkful_html_col(F.col("text"), F.col("doc_id")).alias("h"))
+        pages = encode_html_pages(rich, F.col("h"),
+                                  gzip_if=(F.col("doc_id") % 10 < 3),
+                                  keep=["doc_id", "url"])
+        return extract_links(pages, keep=["doc_id"]) \
+            .select("doc_id", "dst_url")
+    q["page_link_edges"] = page_link_edges
+
     def tile_ancestry_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         t = li.select(
@@ -1165,11 +1191,21 @@ def oracle_sql() -> dict[str, str]:
         "count(DISTINCT lang) AS n_langs FROM pages GROUP BY 1, 2"
     )
 
-    from vtcomposite_spark.functions.text import extract_text_sql
+    from vtcomposite_spark.functions.text import (extract_links_sql,
+                                                  extract_text_sql)
+    from vtcomposite_spark.sources.pages import linkful_html_sql
     o["extract_text_rich"] = (
         "SELECT doc_id, "
         f"{extract_text_sql(rich_html_sql('text', 'doc_id'))} AS extracted "
         "FROM documents"
+    )
+
+    _link_url = ("'https://site' || (doc_id // 4) % 7 || "
+                 "'.example.com/a/p' || doc_id || '.html'")
+    o["page_link_edges"] = (
+        "SELECT doc_id, unnest("
+        f"{extract_links_sql(linkful_html_sql('text', 'doc_id'), _link_url)}"
+        ") AS dst_url FROM documents"
     )
 
     o["tile_ancestry_filter"] = (

@@ -1,0 +1,108 @@
+"""Outlink extraction: href harvesting + RFC 3986-subset resolution.
+Hand matrix on BOTH engines, operator(explode/codegen) == HOF twin,
+and the crawl→link-graph e2e (extract_links edges feeding pagerank).
+"""
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from vtcomposite_spark.functions.text import (extract_links_col,
+                                              extract_links_sql)
+from vtcomposite_spark.operators import graph as GR
+from vtcomposite_spark.sources.pages import (encode_html_pages,
+                                             extract_links,
+                                             linkful_html_col,
+                                             linkful_html_sql)
+
+CASES = [
+    ("https://a.com/x/page.html",
+     '<a href="https://b.com/p">.</a><a href="/root">.</a>'
+     '<a href="rel.html">.</a><a href="//cdn.c.com/q">.</a>'
+     '<a href="#top">.</a><a href="mailto:x@y.z">.</a>'
+     "<a href='sq.html'>.</a><a href=\"\">.</a>"
+     '<A HREF="UP.HTML">.</A><a id="k" href="two.html">.</a>'),
+    # no path on the base → directory is '/'
+    ("https://a.com", '<a href="r1">.</a><a href="/r2">.</a>'),
+    # base query/fragment stripped before directory resolution;
+    # href keeps its query, drops its fragment
+    ("http://a.com/d/?z=9", '<a href="x?q=1#f">.</a>'),
+    # non-http schemes dropped; sibling resolution replaces last segment
+    ("https://a.com/one", '<a href="ftp://f.com/x">.</a><a href="sib">.</a>'),
+]
+EXPECT = {
+    0: ["https://b.com/p", "https://a.com/root",
+        "https://a.com/x/rel.html", "https://cdn.c.com/q",
+        "https://a.com/x/sq.html", "https://a.com/x/UP.HTML",
+        "https://a.com/x/two.html"],
+    1: ["https://a.com/r1", "https://a.com/r2"],
+    2: ["http://a.com/d/x?q=1"],
+    3: ["https://a.com/sib"],
+}
+
+
+def test_hand_matrix_both_engines(spark):
+    df = spark.createDataFrame(
+        [(i, b, h) for i, (b, h) in enumerate(CASES)],
+        "i long, base string, h string")
+    got = {r.i: list(r.links) for r in df.select(
+        "i", extract_links_col(F.col("h"), F.col("base")).alias("links"))
+        .collect()}
+    assert got == EXPECT
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        [(i, b, h) for i, (b, h) in enumerate(CASES)],
+        columns=["i", "base", "h"]))
+    want = {i: list(l) for i, l in con.sql(
+        f"select i, {extract_links_sql('h', 'base')} from t").fetchall()}
+    assert got == want  # Java == RE2, order preserved
+
+
+def _linkful_pages(spark, n=6):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], "doc_id long, text string")
+    rich = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h.example.com/a/p"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+        linkful_html_col(F.col("text"), F.col("doc_id")).alias("hs"))
+    return encode_html_pages(rich, F.col("hs"),
+                             gzip_if=(F.col("doc_id") % 2 == 0),
+                             keep=["doc_id", "url"])
+
+
+def test_operator_matches_twins_e2e(spark):
+    """explode/codegen operator path (through the gzip-mixed binary
+    seam) == the HOF + SQL builder twins."""
+    pages = _linkful_pages(spark)
+    got = {(r.doc_id, r.dst_url)
+           for r in extract_links(pages, keep=["doc_id"]).collect()}
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({
+        "doc_id": range(6), "text": [f"text {i}" for i in range(6)],
+        "url": [f"https://h.example.com/a/p{i}.html" for i in range(6)]}))
+    want = set(map(tuple, con.sql(
+        "select doc_id, unnest("
+        f"{extract_links_sql(linkful_html_sql('text', 'doc_id'), 'url')}"
+        ") as dst_url from d").fetchall()))
+    assert got == want
+    # every doc emits exactly its 4 kept hrefs (abs/root/rel/scheme-rel)
+    assert len(got) == 24
+    assert ("https://h.example.com/a/rel3.html" in {u for _, u in got})
+
+
+def test_links_feed_pagerank(spark):
+    """Crawl → link graph: extracted url edges, keyed to long node ids
+    (the graph ops' contract — a dictionary or hash id step, here
+    xxhash64), run the integer-micro pagerank unchanged."""
+    urls = extract_links(_linkful_pages(spark), keep=["url"])
+    edges = urls.select(
+        F.xxhash64("url").alias("src"),
+        F.xxhash64("dst_url").alias("dst"))
+    ranks = GR.pagerank(edges, iters=2)
+    rows = ranks.collect()
+    assert len(rows) == edges.select(F.col("src").alias("n")).union(
+        edges.select(F.col("dst").alias("n"))).distinct().count()
+    assert all(r.rank >= 0 for r in rows)

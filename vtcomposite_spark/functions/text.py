@@ -330,6 +330,75 @@ def extract_text_sql(c: str) -> str:
     return x
 
 
+# --- outlink extraction: <a href> harvesting + reference resolution ---
+#
+# The link-graph feed (pagerank/trustrank/cocitation run on its edges).
+# Deterministic subset of RFC 3986 resolution, engine-portable like the
+# extractor above: absolute http(s) hrefs pass through; scheme-relative
+# (//h/p) take the base scheme; root-relative (/p) take scheme://host;
+# other relatives resolve against the base DIRECTORY (no ../ folding —
+# documented out of scope); fragments drop first; non-http schemes
+# (mailto:, javascript:, data:) drop. href must be quoted (' or ");
+# a mismatched-quote pair is matched leniently (single char class).
+
+HREF_PATTERN = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'>]*)["']"""
+_SCHEME_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+
+
+def resolve_href_col(href: Column, base_url: Column) -> Column:
+    """Resolved absolute url for one href (null = dropped). Plain
+    columns — the operator path explodes hrefs first and applies this
+    in codegen (nested-HOF outer-expression re-evaluation is the repo's
+    documented hazard; the HOF form below is for oracle parity)."""
+    sh = F.regexp_extract(base_url, SCHEME_HOST_PATTERN, 0)
+    scheme = F.regexp_extract(base_url, _SCHEME_PREFIX, 0)
+    rest = F.regexp_replace(
+        F.substring(base_url, F.length(sh) + F.lit(1), F.length(base_url)),
+        r"[?#].*", "")
+    stripped = F.regexp_replace(rest, r"[^/]*$", "")
+    dirp = F.concat(sh, F.when(stripped == "", F.lit("/"))
+                    .otherwise(stripped))
+    h = F.regexp_replace(href, "#.*", "")
+    return (F.when(h == "", F.lit(None))
+            .when(h.rlike("^https?://"), h)
+            .when(h.rlike(_SCHEME_PREFIX), F.lit(None))
+            .when(h.startswith("//"), F.concat(scheme, h))
+            .when(h.startswith("/"), F.concat(sh, h))
+            .otherwise(F.concat(dirp, h)))
+
+
+def extract_links_col(html_str: Column, base_url: Column) -> Column:
+    """array<string> of resolved outlink urls (nulls for dropped hrefs
+    filtered out; duplicates preserved — dedupe is the caller's call)."""
+    hrefs = F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), F.lit(1))
+    return F.filter(
+        F.transform(hrefs, lambda x: resolve_href_col(x, base_url)),
+        lambda x: x.isNotNull())
+
+
+def extract_links_sql(html_c: str, base_c: str) -> str:
+    """DuckDB twin of :func:`extract_links_col`."""
+    pat = HREF_PATTERN.replace("'", "''")
+    sh = f"coalesce(regexp_extract({base_c}, '{SCHEME_HOST_PATTERN}'), '')"
+    scheme = f"coalesce(regexp_extract({base_c}, '{_SCHEME_PREFIX}'), '')"
+    rest = (f"regexp_replace(substr({base_c}, length({sh}) + 1), "
+            "'[?#].*', '')")
+    stripped = f"regexp_replace({rest}, '[^/]*$', '')"
+    dirp = (f"({sh} || CASE WHEN {stripped} = '' THEN '/' "
+            f"ELSE {stripped} END)")
+    h = "regexp_replace(x, '#.*', '')"
+    resolve = (
+        f"CASE WHEN {h} = '' THEN NULL "
+        f"WHEN regexp_matches({h}, '^https?://') THEN {h} "
+        f"WHEN regexp_matches({h}, '{_SCHEME_PREFIX}') THEN NULL "
+        f"WHEN starts_with({h}, '//') THEN {scheme} || {h} "
+        f"WHEN starts_with({h}, '/') THEN {sh} || {h} "
+        f"ELSE {dirp} || {h} END")
+    return (f"list_filter(list_transform("
+            f"regexp_extract_all({html_c}, '{pat}', 1), "
+            f"x -> {resolve}), x -> x IS NOT NULL)")
+
+
 # --- URL canonicalization (crawl-dedupe normalization) ---
 #
 # The CommonCrawl-style normal form: lowercase scheme://host, http →

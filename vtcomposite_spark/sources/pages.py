@@ -244,6 +244,59 @@ def extract_text(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
             .drop("html_str"))
 
 
+def linkful_html_col(text, doc_id):
+    """Deterministic html payload whose body carries one of every href
+    shape the resolver handles: absolute, root-relative, relative,
+    scheme-relative, fragment-only, non-http scheme. Twin:
+    :func:`linkful_html_sql`. Feed to extract_links with base
+    ``https://host/a/page{doc_id}.html``-style urls."""
+    d = doc_id.cast("string")
+    return F.concat(
+        F.lit('<html><body><p>'), text,
+        F.lit('</p><a href="https://peer.example.net/abs'), d,
+        F.lit('">x</a><a href="/root/r'), d,
+        F.lit('">x</a><a href="rel'), d,
+        F.lit('.html">x</a><a href=\'//cdn.example.net/sr'), d,
+        F.lit("'>x</a><a href=\"#frag\">x</a>"
+              '<a href="mailto:a@b.c">x</a></body></html>'))
+
+
+def linkful_html_sql(text_c: str, id_c: str) -> str:
+    d = f"CAST({id_c} AS VARCHAR)"
+    return ("'<html><body><p>' || " + text_c + " || "
+            "'</p><a href=\"https://peer.example.net/abs' || " + d + " || "
+            "'\">x</a><a href=\"/root/r' || " + d + " || "
+            "'\">x</a><a href=\"rel' || " + d + " || "
+            "'.html\">x</a><a href=''//cdn.example.net/sr' || " + d + " || "
+            "'''>x</a><a href=\"#frag\">x</a>"
+            "<a href=\"mailto:a@b.c\">x</a></body></html>'")
+
+
+def extract_links(pages: DataFrame, keep: list[str] | None = None,
+                  url_col: str = "url") -> DataFrame:
+    """keep-columns + ``dst_url``: one row per resolved outlink — the
+    link-graph feed (operators/graph.py pagerank/trustrank/cocitation
+    run on these edges, src = ``url_col``). Sniff/decode in the thin
+    Python seam, then href harvesting (regexp_extract_all) and RFC
+    3986-subset resolution (functions/text.py resolve_href_col) as
+    CODEGEN over exploded hrefs — the HOF form exists only as the
+    oracle-parity twin. Rows ∝ anchors; dropped hrefs (non-http
+    schemes, empty/fragment-only) never materialize."""
+    from ..functions.text import HREF_PATTERN, resolve_href_col
+    keep = keep or [url_col]
+    kcols = list(dict.fromkeys([*keep, url_col]))
+    d = decoded_html(pages, keep=kcols)
+    return (d.select(*keep,
+                     F.col(url_col).alias("_base"),
+                     F.explode(F.regexp_extract_all(
+                         F.col("html_str"), F.lit(HREF_PATTERN),
+                         F.lit(1))).alias("_href"))
+            .withColumn("dst_url",
+                        resolve_href_col(F.col("_href"), F.col("_base")))
+            .filter(F.col("dst_url").isNotNull())
+            .drop("_href", "_base"))
+
+
 def extract_geotags(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """pages + (lat, lon) columns; null for ungeotagged rows.
 

@@ -210,6 +210,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "dst_url")
     q["page_link_edges"] = page_link_edges
 
+    def surt_keys(spark, sf):
+        """SURT index keys (the CC/OpenWayback CDX key): urls with
+        mixed case, www., ports, queries, and fragments map to the
+        sort-friendly reversed-host form. functions/text.py surt_col."""
+        from vtcomposite_spark.functions.text import surt_col
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("Site"), (d % 7).cast("string"), F.lit(".Example."),
+            F.when(d % 2 == 0, F.lit("COM")).otherwise(F.lit("org")),
+            F.when(d % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/P"), d.cast("string"),
+            F.when(d % 5 == 0, F.lit("?B=2&a=1")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("#f")).otherwise(F.lit("")))
+        return _read(spark, sf, "documents") \
+            .select("doc_id", surt_col(url).alias("surt"))
+    q["surt_keys"] = surt_keys
+
     def tile_ancestry_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         t = li.select(
@@ -1199,6 +1218,18 @@ def oracle_sql() -> dict[str, str]:
         f"{extract_text_sql(rich_html_sql('text', 'doc_id'))} AS extracted "
         "FROM documents"
     )
+
+    from vtcomposite_spark.functions.text import surt_sql
+    _surt_url = (
+        "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) "
+        "|| 'Site' || doc_id % 7 || '.Example.' "
+        "|| (CASE WHEN doc_id % 2 = 0 THEN 'COM' ELSE 'org' END) "
+        "|| (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) "
+        "|| '/P' || doc_id "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN '?B=2&a=1' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 6 = 0 THEN '#f' ELSE '' END)")
+    o["surt_keys"] = (
+        f"SELECT doc_id, {surt_sql(_surt_url)} AS surt FROM documents")
 
     _link_url = ("'https://site' || (doc_id // 4) % 7 || "
                  "'.example.com/a/p' || doc_id || '.html'")

@@ -148,3 +148,26 @@ def test_stream_warc_pages_incremental(spark, tmp_path):
                    "payload": b"<html><body>fresh</body></html>"}],
                  os.path.join(src, "b2.warc.gz"))
     assert drain() == {**want1, "https://example.org/new": "fresh"}
+
+
+def test_cdx_index_addresses_records(spark, tmp_path):
+    """CDX rows: SURT-keyed, (file, offset) addresses the record's gzip
+    member exactly; sorted by (surt, ts) within range partitions."""
+    recs = _mk_records(5)
+    path = os.path.join(tmp_path, "e.warc.gz")
+    W.write_warc(recs, path)
+    idx = W.cdx_index(W.read_warc(spark, path, keep_payload=False))
+    rows = idx.collect()
+    assert len(rows) == 5  # warcinfo record has no URI → excluded
+    assert all(r.surt.startswith("org,example)/") for r in rows)
+    blob = open(path, "rb").read()
+    for r in rows:
+        assert blob[r.record_offset:r.record_offset + 2] == b"\x1f\x8b"
+    # within-partition order is (surt, ts)
+    per_part = idx.withColumn(
+        "p", F.spark_partition_id()).collect()
+    by_p = {}
+    for r in per_part:
+        by_p.setdefault(r.p, []).append((r.surt, r.warc_ts))
+    for v in by_p.values():
+        assert v == sorted(v)

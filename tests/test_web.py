@@ -274,3 +274,50 @@ def test_robots_auto_regime_matches_broadcast(spark):
                for r in W.robots_allowed(urls, rob,
                                          rules_join="auto").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SURT keys
+# ---------------------------------------------------------------------------
+
+SURT_CASES = [
+    ("https://www.Example.COM/Path/File.html?B=2&a=1#frag",
+     "com,example)/path/file.html?b=2&a=1"),
+    ("http://a.b.example.org:8080/x", "org,example,b,a)/x"),
+    ("https://example.net", "net,example)/"),
+    ("https://example.net/", "net,example)/"),
+    ("https://sub.www-like.example.com/Q?z",
+     "com,example,www-like,sub)/q?z"),
+    ("http://www.example.com:80", "com,example)/"),
+]
+
+
+def test_surt_hand_matrix_both_engines(spark):
+    from vtcomposite_spark.functions.text import surt_col, surt_sql
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(SURT_CASES)], "i long, u string")
+    got = [r.s for r in df.select("i", surt_col(F.col("u")).alias("s"))
+           .orderBy("i").collect()]
+    assert got == [e for _, e in SURT_CASES]
+    con = duckdb.connect()
+    con.register("surt_t", pd.DataFrame(
+        {"i": range(len(SURT_CASES)), "u": [u for u, _ in SURT_CASES]}))
+    want = [x for _, x in sorted(con.sql(
+        f"select i, {surt_sql('u')} from surt_t").fetchall())]
+    assert got == want
+
+
+def test_surt_prefix_range_property(spark):
+    """The point of SURT: a domain and ALL its subdomains sort into one
+    contiguous prefix range."""
+    from vtcomposite_spark.functions.text import surt_col
+    urls = ["https://example.com/b", "https://a.example.com/x",
+            "https://z.example.com/", "https://examplf.com/",
+            "https://example.co/x", "https://www.example.com/a"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    keys = sorted(r.s for r in
+                  df.select(surt_col(F.col("u")).alias("s")).collect())
+    in_dom = [k for k in keys if k.startswith("com,example)")
+              or k.startswith("com,example,")]
+    lo, hi = keys.index(in_dom[0]), keys.index(in_dom[-1])
+    assert keys[lo:hi + 1] == in_dom and len(in_dom) == 4

@@ -330,6 +330,37 @@ def extract_text_sql(c: str) -> str:
     return x
 
 
+# --- SURT keys (Sort-friendly URI Reordering Transform) ---
+#
+# The Common-Crawl/OpenWayback index key: host labels reversed and
+# comma-joined, then ')' + the lowercased path+query — so one domain's
+# urls (and all its subdomains') become ONE contiguous key range and
+# "everything under example.com" is a prefix scan, not a suffix match.
+# Deterministic subset: scheme/port/'www.' dropped, fragment dropped,
+# whole key lowercased; query-parameter reordering is out of scope
+# (documented — full SURT also alphabetizes query args).
+
+def surt_col(url: Column) -> Column:
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(url_host_col(url)), r"^www\.", ""),
+        r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_replace(
+        F.regexp_replace(url, SCHEME_HOST_PATTERN, ""), r"#.*", ""))
+    return F.concat(rev, F.lit(")"),
+                    F.when(path == "", F.lit("/")).otherwise(path))
+
+
+def surt_sql(c: str) -> str:
+    host = (f"regexp_replace(regexp_replace(lower({url_host_sql(c)}), "
+            "'^www\\.', ''), ':\\d+$', '')")
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    path = (f"lower(regexp_replace(regexp_replace({c}, "
+            f"'{SCHEME_HOST_PATTERN}', ''), '#.*', ''))")
+    return (f"({rev} || ')' || CASE WHEN {path} = '' THEN '/' "
+            f"ELSE {path} END)")
+
+
 # --- outlink extraction: <a href> harvesting + reference resolution ---
 #
 # The link-graph feed (pagerank/trustrank/cocitation run on its edges).

@@ -258,6 +258,28 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
             .select("url", "warc_ts", "html"))
 
 
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CC-style CDX capture index from :func:`read_warc` rows (payloads
+    not required — pair with ``keep_payload=False``): one row per
+    response record, keyed by the SURT of its target URI —
+    (surt, warc_ts, url, warc_file, record_offset). The (file, offset)
+    pair is the range-read address of the record's gzip member, exactly
+    what the real CDX serves.
+
+    100-TB shape: range-repartitioned on surt and sorted within
+    partitions — one domain's captures (subdomains included) are a
+    contiguous key range, so a parquet write of this frame yields
+    min/max-prunable files and "everything under example.com" is a
+    file-pruned prefix scan, not a corpus suffix match."""
+    from ..functions.text import surt_col
+    keyed = (records.filter(F.col("warc_type") == "response")
+             .filter(F.col("url").isNotNull())
+             .select(surt_col(F.col("url")).alias("surt"),
+                     "warc_ts", "url", "warc_file", "record_offset"))
+    return (keyed.repartitionByRange("surt", "warc_ts")
+            .sortWithinPartitions("surt", "warc_ts"))
+
+
 def stream_warc_pages(spark: SparkSession, path: str,
                       parse_http: bool = True,
                       max_files_per_trigger: int | None = None) -> DataFrame:

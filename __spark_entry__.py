@@ -229,6 +229,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", surt_col(url).alias("surt"))
     q["surt_keys"] = surt_keys
 
+    def mime_sniff_pages(spark, sf):
+        """Magic-byte MIME classification over a mixed payload corpus:
+        per doc_id rule the payload is gzipped html / %PDF / <?xml /
+        plain html; the ENGINE sniffs the real constructed bytes (one
+        hex + prefix/regex CASE, binary never decoded), the oracle
+        derives the class independently from the construction rule —
+        a by-construction oracle like raster_points_roundtrip's."""
+        from vtcomposite_spark.functions.text import sniff_mime_col
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id")
+        payload = (F.when(d % 10 == 3,
+                          F.concat(F.lit("%PDF-1.4 "), F.col("text")))
+                   .when(d % 10 == 4,
+                         F.concat(F.lit('<?xml version="1.0"?><doc>'),
+                                  F.col("text"), F.lit("</doc>")))
+                   .otherwise(rich_html_col(F.col("text"), d)))
+        pages = encode_html_pages(
+            docs.select("doc_id", payload.alias("h")), F.col("h"),
+            gzip_if=(d % 10 < 3), keep=["doc_id"])
+        return pages.select(
+            "doc_id", sniff_mime_col(F.col("html")).alias("mime"))
+    q["mime_sniff_pages"] = mime_sniff_pages
+
     def tile_ancestry_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         t = li.select(
@@ -1230,6 +1253,12 @@ def oracle_sql() -> dict[str, str]:
         "|| (CASE WHEN doc_id % 6 = 0 THEN '#f' ELSE '' END)")
     o["surt_keys"] = (
         f"SELECT doc_id, {surt_sql(_surt_url)} AS surt FROM documents")
+
+    o["mime_sniff_pages"] = (
+        "SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN 'gzip' "
+        "WHEN doc_id % 10 = 3 THEN 'pdf' "
+        "WHEN doc_id % 10 = 4 THEN 'xml' "
+        "ELSE 'html' END AS mime FROM documents")
 
     _link_url = ("'https://site' || (doc_id // 4) % 7 || "
                  "'.example.com/a/p' || doc_id || '.html'")

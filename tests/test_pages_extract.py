@@ -124,3 +124,34 @@ def test_keep_pruning_and_null_html(spark):
     nulls = [r for r in rows if r.extracted is None]
     assert len(nulls) == 2  # ids 3 and 13
     assert all(r.extracted is not None for r in rows if not r.url.endswith("3"))
+
+
+# ---------------------------------------------------------------------------
+# MIME sniffing (magic bytes, pure-hex text sniff)
+# ---------------------------------------------------------------------------
+
+def test_sniff_mime_hand_matrix_both_engines(spark):
+    import gzip as _gz
+    from vtcomposite_spark.functions.text import (sniff_mime_col,
+                                                  sniff_mime_sql)
+    payloads = [
+        _gz.compress(b"x"), b"%PDF-1.4 junk", b"\x89PNG\r\n\x1a\n....",
+        b"\xff\xd8\xff\xe0JFIF", b"GIF89a...", b"PK\x03\x04zip",
+        b"<!DOCTYPE html><html>", b"  <HTML lang=en>",
+        b"<?xml version='1.0'?>", b"just some plain text",
+        b"<div>fragment</div>", None, b"\xff\xfe not utf8",
+        b"\t\n <!doctype HTML>",
+    ]
+    expect = ["gzip", "pdf", "png", "jpeg", "gif", "zip", "html", "html",
+              "xml", "other", "other", None, "other", "html"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, b binary")
+    got = {r.i: r.m for r in
+           df.select("i", sniff_mime_col(F.col("b")).alias("m")).collect()}
+    assert [got[i] for i in range(len(payloads))] == expect
+    con = duckdb.connect()
+    con.register("mime_t", pd.DataFrame(
+        {"i": range(len(payloads)), "b": payloads}))
+    want = dict(con.sql(
+        f"select i, {sniff_mime_sql('b')} from mime_t").fetchall())
+    assert got == want

@@ -330,6 +330,74 @@ def extract_text_sql(c: str) -> str:
     return x
 
 
+# --- content sniffing: magic-byte MIME classification ---
+#
+# The "is this actually HTML" curation step (served Content-Type lies;
+# CC pipelines filter on sniffed type). Pure JVM: one hex() of the
+# payload head + prefix CASE — binary never crosses to Python. The
+# whitelist is the fixed set a text pipeline routes on; everything
+# else is 'other'. gzip members classify as 'gzip' (sniff AFTER the
+# decode seam to classify the inner payload).
+
+_MAGIC_PREFIXES = [          # (hex-of-bytes prefix, label)
+    ("1F8B", "gzip"),
+    ("255044462D", "pdf"),          # %PDF-
+    ("89504E470D0A1A0A", "png"),
+    ("FFD8FF", "jpeg"),
+    ("474946383", "gif"),           # GIF87a/89a
+    ("504B0304", "zip"),
+]
+
+
+def _hex_ci(txt: str) -> str:
+    """Case-insensitive hex regex for an ASCII string: each letter is a
+    two-code alternation, pair alignment preserved."""
+    out = []
+    for ch in txt:
+        if ch.isalpha():
+            out.append(f"({ord(ch.upper()):02X}|{ord(ch.lower()):02X})")
+        else:
+            out.append(f"{ord(ch):02X}")
+    return "".join(out)
+
+
+_WS_HEX = "(20|09|0A|0D)"
+#: '<!doctype html' / '<html' after optional whitespace — matched on the
+#: hex of the head, so the sniff is PURE BYTES (no decode, no UTF-8
+#: validity question; Java and RE2 see the same ASCII hex string)
+HTML_HEX_PAT = (f"^{_WS_HEX}*(3C21{_hex_ci('doctype')}{_WS_HEX}+"
+                f"{_hex_ci('html')}|3C{_hex_ci('html')})")
+XML_HEX_PAT = f"^{_WS_HEX}*3C3F786D6C"  # '<?xml' (lowercase per spec)
+
+
+def sniff_mime_col(payload: Column) -> Column:
+    """'gzip'|'pdf'|'png'|'jpeg'|'gif'|'zip'|'html'|'xml'|'other' from a
+    BINARY payload's first bytes (null payload → null). Everything runs
+    on the hex of a 64-byte head — one JVM expression, binary never
+    crosses to Python and is never decoded."""
+    head_hex = F.upper(F.hex(F.substring(payload, 1, 64)))
+    expr = F.when(payload.isNull(), F.lit(None))
+    for pfx, label in _MAGIC_PREFIXES:
+        expr = expr.when(head_hex.startswith(pfx), F.lit(label))
+    return (expr
+            .when(head_hex.rlike(HTML_HEX_PAT), F.lit("html"))
+            .when(head_hex.rlike(XML_HEX_PAT), F.lit("xml"))
+            .otherwise(F.lit("other")))
+
+
+def sniff_mime_sql(c: str) -> str:
+    """DuckDB twin (``c`` = a BLOB column; DuckDB has no blob substr, so
+    the head slice happens on the hex string)."""
+    head = f"substr(upper(hex({c})), 1, 128)"
+    cases = " ".join(
+        f"WHEN starts_with({head}, '{p}') THEN '{l}'"
+        for p, l in _MAGIC_PREFIXES)
+    return (f"CASE WHEN {c} IS NULL THEN NULL {cases} "
+            f"WHEN regexp_matches({head}, '{HTML_HEX_PAT}') THEN 'html' "
+            f"WHEN regexp_matches({head}, '{XML_HEX_PAT}') THEN 'xml' "
+            "ELSE 'other' END")
+
+
 # --- SURT keys (Sort-friendly URI Reordering Transform) ---
 #
 # The Common-Crawl/OpenWayback index key: host labels reversed and

@@ -252,6 +252,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", sniff_mime_col(F.col("html")).alias("mime"))
     q["mime_sniff_pages"] = mime_sniff_pages
 
+    def crawl_enrich(spark, sf):
+        """The one-call enrichment pass (sources/pages.enrich_pages):
+        realistic mixed urls + rich html payloads (~30% gzipped) → ONE
+        scan, one narrow decode seam, one projection — payload mime,
+        the three url keys (canonical/surt/host), extracted text, and
+        the four curation signals, every derivation replayed by twins."""
+        from vtcomposite_spark.sources.pages import enrich_pages
+        docs = _read(spark, sf, "documents")
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("http://"),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.com"),
+            F.lit("/A/p"), d.cast("string"),
+            F.when(d % 5 == 0, F.lit("?utm_source=x&q=1"))
+            .otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")))
+        rich = docs.select(
+            "doc_id", url.alias("url"),
+            rich_html_col(F.col("text"), d).alias("h"))
+        pages = encode_html_pages(rich, F.col("h"),
+                                  gzip_if=(d % 10 < 3),
+                                  keep=["doc_id", "url"])
+        return enrich_pages(pages, keep=["doc_id"]).drop("url")
+    q["crawl_enrich"] = crawl_enrich
+
     def tile_ancestry_filter(spark, sf):
         li = _read(spark, sf, "lineitem")
         t = li.select(
@@ -1259,6 +1285,36 @@ def oracle_sql() -> dict[str, str]:
         "WHEN doc_id % 10 = 3 THEN 'pdf' "
         "WHEN doc_id % 10 = 4 THEN 'xml' "
         "ELSE 'html' END AS mime FROM documents")
+
+    from vtcomposite_spark.functions.text import (TOKEN_COUNT_SQL,
+                                                  canonicalize_url_sql,
+                                                  fingerprint_sql,
+                                                  lang_guess_sql,
+                                                  quality_score_sql,
+                                                  url_host_sql)
+    _enrich_url = (
+        "'http://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) "
+        "|| 'Site' || doc_id % 7 || '.Example.com' || '/A/p' || doc_id "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&q=1' "
+        "ELSE '' END) "
+        "|| (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)")
+    o["crawl_enrich"] = (
+        "WITH s AS (SELECT doc_id, "
+        f"{_enrich_url} AS url, "
+        f"{extract_text_sql(rich_html_sql('text', 'doc_id'))} AS extracted "
+        "FROM documents), "
+        "k AS (SELECT doc_id, extracted, "
+        f"{canonicalize_url_sql('url')} AS canonical_url, "
+        f"{surt_sql('url')} AS surt FROM s) "
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 10 < 3 THEN 'gzip' ELSE 'html' END "
+        "AS payload_mime, "
+        "canonical_url, surt, "
+        f"{url_host_sql('canonical_url')} AS host, extracted, "
+        f"{lang_guess_sql('extracted')} AS lang_guess, "
+        f"{quality_score_sql('extracted')} AS quality, "
+        f"{TOKEN_COUNT_SQL.format(c='extracted')} AS n_tokens, "
+        f"{fingerprint_sql('extracted')} AS fingerprint FROM k")
 
     _link_url = ("'https://site' || (doc_id // 4) % 7 || "
                  "'.example.com/a/p' || doc_id || '.html'")

@@ -155,3 +155,28 @@ def test_sniff_mime_hand_matrix_both_engines(spark):
     want = dict(con.sql(
         f"select i, {sniff_mime_sql('b')} from mime_t").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# one-call enrichment pass
+# ---------------------------------------------------------------------------
+
+def test_enrich_pages_values_and_plan(spark):
+    from vtcomposite_spark.sources.pages import enrich_pages
+    pages = synthesize_pages(spark, 40, partitions=2)
+    out = enrich_pages(pages, keep=["url", "text"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one scan → one seam → projection: NO shuffle anywhere
+    assert "Exchange" not in plan
+    rows = out.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.extracted == r.text          # the north-rule invariant
+        assert r.canonical_url.startswith("https://example.org/")
+        assert r.surt.startswith("org,example)/")
+        assert r.host == "example.org"
+        assert r.payload_mime in ("html", "gzip")
+        assert r.n_tokens == len(r.text.split())
+        assert r.fingerprint is not None and r.quality is not None
+    # ~30% of the synthesizer's payloads are gzip-stored
+    assert 5 <= sum(r.payload_mime == "gzip" for r in rows) <= 20

@@ -297,6 +297,48 @@ def extract_links(pages: DataFrame, keep: list[str] | None = None,
             .drop("_href", "_base"))
 
 
+def enrich_pages(pages: DataFrame, keep: list[str] | None = None,
+                 url_col: str = "url") -> DataFrame:
+    """The one-call crawl-enrichment pass: keep-columns + the full
+    per-page curation column set —
+
+    * ``payload_mime`` — magic-byte class of the STORED payload (pure
+      JVM hex, computed before the decode seam; 'gzip' means the store
+      holds a compressed member — the extractor sniffs it anyway),
+    * ``canonical_url`` / ``surt`` / ``host`` — the three url keys
+      (dedupe key, index key, rollup key),
+    * ``extracted`` — html→text (the north-rule invariant column),
+    * ``lang_guess`` / ``quality`` / ``n_tokens`` / ``fingerprint`` —
+      the standard curation signals over the EXTRACTED text.
+
+    One mapInPandas crossing total (gunzip+decode); every derivation
+    before and after it is JVM codegen, so the whole pass is ONE scan →
+    one narrow seam → one projection — the shape a 100 TB enrichment
+    job needs (no shuffle at all)."""
+    from ..functions.text import (canonicalize_url_col, extract_text_col,
+                                  fingerprint_col, lang_guess_col,
+                                  quality_score_col, sniff_mime_col,
+                                  surt_col, token_count_col, url_host_col)
+    keep = keep or [url_col]
+    kcols = list(dict.fromkeys([*keep, url_col]))
+    staged = pages.select(
+        *kcols, "html",
+        sniff_mime_col(F.col("html")).alias("payload_mime"))
+    d = decoded_html(staged, keep=[*kcols, "payload_mime"])
+    canon = canonicalize_url_col(F.col(url_col))
+    ext = extract_text_col(F.col("html_str"))
+    return (d.withColumns({
+        "canonical_url": canon,
+        "surt": surt_col(F.col(url_col)),
+        "host": url_host_col(canon),
+        "extracted": ext,
+        "lang_guess": lang_guess_col(ext),
+        "quality": quality_score_col(ext),
+        "n_tokens": token_count_col(ext),
+        "fingerprint": fingerprint_col(ext),
+    }).drop("html_str"))
+
+
 def extract_geotags(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """pages + (lat, lon) columns; null for ungeotagged rows.
 

@@ -106,3 +106,23 @@ def test_links_feed_pagerank(spark):
     assert len(rows) == edges.select(F.col("src").alias("n")).union(
         edges.select(F.col("dst").alias("n"))).distinct().count()
     assert all(r.rank >= 0 for r in rows)
+
+
+def test_href_lookalike_attributes_do_not_match(spark):
+    """data-href/ng-href are not links; href right after '<a ' and
+    after quoted attrs still match."""
+    html = ('<a class="nav" data-href="/js-route">x</a>'
+            '<a ng-href="/ng">x</a>'
+            '<a href="/real">x</a>'
+            '<a id="k"href="/after-quote">x</a>')
+    df = spark.createDataFrame([("https://h.com/a", html)],
+                               "base string, h string")
+    got = df.select(extract_links_col(F.col("h"), F.col("base"))
+                    .alias("l")).collect()[0].l
+    assert got == ["https://h.com/real", "https://h.com/after-quote"]
+    con = duckdb.connect()
+    con.register("la_t", pd.DataFrame({"base": ["https://h.com/a"],
+                                       "h": [html]}))
+    want = con.sql(f"select {extract_links_sql('h', 'base')} from la_t") \
+        .fetchall()[0][0]
+    assert got == list(want)

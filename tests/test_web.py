@@ -321,3 +321,52 @@ def test_surt_prefix_range_property(spark):
               or k.startswith("com,example,")]
     lo, hi = keys.index(in_dom[0]), keys.index(in_dom[-1])
     assert keys[lo:hi + 1] == in_dom and len(in_dom) == 4
+
+
+def test_robots_named_group_excludes_star(spark):
+    """RFC 9309 group selection: when a group NAMES the agent, the '*'
+    fallback group does NOT apply — even when the named group has no
+    matching rule for the url (the review's fail case: a named group
+    without rules must not inherit '*' Disallow: /)."""
+    rob = spark.createDataFrame(
+        [("h.com", "User-agent: cc-bot\nDisallow: /private\n\n"
+                   "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://h.com/x",), ("https://h.com/private/y",)],
+        "url string")
+    got = {r.url: r.allowed
+           for r in W.robots_allowed(urls, rob, agent="cc-bot").collect()}
+    assert got == {"https://h.com/x": True,          # '*' does NOT apply
+                   "https://h.com/private/y": False}
+    star = {r.url: r.allowed
+            for r in W.robots_allowed(urls, rob, agent="other").collect()}
+    assert star == {"https://h.com/x": False,        # falls back to '*'
+                    "https://h.com/private/y": False}
+
+
+def test_robots_crlf_bom_tabs_and_host_case(spark):
+    """CRLF robots.txt (the HTTP/WARC framing), a BOM, tab separators,
+    and mixed-case hosts must all still enforce — not fail open."""
+    rob = spark.createDataFrame(
+        [("A.com", "﻿User-agent: *\r\nDisallow:\t/p\r\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.com/p/x",), ("https://A.com/p/y",),
+         ("https://a.com/ok",)], "url string")
+    got = {r.url: r.allowed for r in W.robots_allowed(urls, rob).collect()}
+    assert got == {"https://a.com/p/x": False,
+                   "https://A.com/p/y": False,
+                   "https://a.com/ok": True}
+    # the DuckDB twin agrees on the same input
+    con = duckdb.connect()
+    con.register("rcb_r", pd.DataFrame(
+        [("A.com", "﻿User-agent: *\r\nDisallow:\t/p\r\n")],
+        columns=["host", "robots_txt"]))
+    con.register("rcb_u", pd.DataFrame(
+        {"url": ["https://a.com/p/x", "https://A.com/p/y",
+                 "https://a.com/ok"]}))
+    want = dict(con.sql(W.robots_allowed_sql(
+        "select url from rcb_u",
+        "select host, robots_txt from rcb_r")).fetchall())
+    assert got == want

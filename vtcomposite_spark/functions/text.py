@@ -440,7 +440,10 @@ def surt_sql(c: str) -> str:
 # (mailto:, javascript:, data:) drop. href must be quoted (' or ");
 # a mismatched-quote pair is matched leniently (single char class).
 
-HREF_PATTERN = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'>]*)["']"""
+# href must be a real attribute: either right after '<a ' or preceded
+# by whitespace/quote — 'data-href'/'ng-href' lookalikes never match
+HREF_PATTERN = (
+    r"""(?is)<a\s(?:[^>]*[\s"'])?href\s*=\s*["']([^"'>]*)["']""")
 _SCHEME_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
 
 

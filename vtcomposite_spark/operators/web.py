@@ -223,16 +223,22 @@ def parse_robots(robots: DataFrame, agent: str = "*",
     table next to the url corpus); the two windows partition by host,
     so group reconstruction never shuffles more than one host's lines
     to a task."""
+    # CR (CRLF robots.txt — the common HTTP/WARC framing) and BOM bytes
+    # would otherwise poison '_val' and fail OPEN; '\s'-trim also eats
+    # tabs, which F.trim does not
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("_raw"), "[\r\ufeff]", ""), "#.*", "")
     lines = robots.select(
-        F.col(host_col).alias("host"),
+        F.lower(F.col(host_col)).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n"))
         .alias("line_no", "_raw"))
-    parts = F.split(F.trim(F.regexp_replace(F.col("_raw"), "#.*", "")),
-                    ":", 2)
+    parts = F.split(F.regexp_replace(clean, r"^\s+|\s+$", ""), ":", 2)
     toks = lines.select(
         "host", "line_no",
-        F.lower(F.trim(parts.getItem(0))).alias("_dir"),
-        F.when(F.size(parts) > 1, F.trim(parts.getItem(1)))
+        F.lower(F.regexp_replace(parts.getItem(0), r"^\s+|\s+$", ""))
+        .alias("_dir"),
+        F.when(F.size(parts) > 1,
+               F.regexp_replace(parts.getItem(1), r"^\s+|\s+$", ""))
         .otherwise(F.lit("")).alias("_val"))
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = (F.col("_dir") == "user-agent")
@@ -245,9 +251,19 @@ def parse_robots(robots: DataFrame, agent: str = "*",
     toks = toks.withColumn(
         "_blk", F.sum("_st").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-    groups = (toks.filter(is_ua)
-              .filter((F.col("_val") == "*") |
-                      (F.lower(F.col("_val")) == agent.lower()))
+    # RFC 9309 group selection: a group NAMED for the agent beats the
+    # '*' fallback — when any named group exists on a host, '*' groups
+    # do NOT apply there (per-host max over the match specificity)
+    named = (F.lower(F.col("_val")) == agent.lower()).cast("int")
+    star = (F.col("_val") == "*").cast("int")
+    cand = (toks.filter(is_ua)
+            .select("host", "_blk",
+                    F.when(named == 1, F.lit(2))
+                    .when(star == 1, F.lit(1)).alias("_m"))
+            .filter(F.col("_m").isNotNull()))
+    best = cand.groupBy("host").agg(F.max("_m").alias("_best"))
+    groups = (cand.join(best, "host")
+              .filter(F.col("_m") == F.col("_best"))
               .select("host", "_blk").distinct())
     rules = toks.filter(F.col("_dir").isin("allow", "disallow") &
                         (F.col("_val") != "") & (F.col("_blk") > 0))
@@ -261,17 +277,23 @@ def parse_robots_sql(robots_sql: str, agent: str = "*",
                      txt_col: str = "robots_txt") -> str:
     """DuckDB twin of :func:`parse_robots`."""
     a = agent.lower().replace("'", "''")
+    ws = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
+    raw = (f"string_split({txt_col}, chr(10))[g.i]")
+    ln = ("regexp_replace(regexp_replace(" + raw +
+          ", '[\\r\\x{{FEFF}}]', '', 'g'), '#.*', '')").replace(
+              "{{FEFF}}", "{FEFF}")
+    dir_x = "string_split(_ln, ':')[1]"
+    val_x = "substr(_ln, instr(_ln, ':') + 1)"
     return (
-        f"WITH _rlines AS (SELECT {host_col} AS host, g.i AS line_no, "
-        f"trim(regexp_replace(string_split({txt_col}, chr(10))[g.i], "
-        "'#.*', '')) AS _ln "
+        f"WITH _rlines AS (SELECT lower({host_col}) AS host, "
+        f"g.i AS line_no, {ws.format(x=ln)} AS _ln "
         f"FROM ({robots_sql}), "
         f"unnest(generate_series(1, len(string_split({txt_col}, "
         "chr(10))))) AS g(i)), "
         "_rtoks AS (SELECT host, line_no, "
-        "lower(trim(string_split(_ln, ':')[1])) AS _dir, "
+        f"lower({ws.format(x=dir_x)}) AS _dir, "
         "CASE WHEN instr(_ln, ':') > 0 "
-        "THEN trim(substr(_ln, instr(_ln, ':') + 1)) ELSE '' END AS _val "
+        f"THEN {ws.format(x=val_x)} ELSE '' END AS _val "
         "FROM _rlines), "
         "_rst AS (SELECT *, CASE WHEN _dir = 'user-agent' AND NOT "
         "coalesce(lag(_dir = 'user-agent') OVER "
@@ -280,13 +302,23 @@ def parse_robots_sql(robots_sql: str, agent: str = "*",
         "_rblk AS (SELECT *, sum(_st) "
         "OVER (PARTITION BY host ORDER BY line_no ROWS BETWEEN UNBOUNDED "
         "PRECEDING AND CURRENT ROW) AS _blk FROM _rst), "
-        "_rgroups AS (SELECT DISTINCT host, _blk FROM _rblk WHERE "
-        f"_dir = 'user-agent' AND (_val = '*' OR lower(_val) = '{a}')) "
+        # named group (specificity 2) beats the '*' fallback (1): when
+        # any named group exists on a host, '*' does not apply there
+        "_rcand AS (SELECT host, _blk, CASE "
+        f"WHEN lower(_val) = '{a}' THEN 2 "
+        "WHEN _val = '*' THEN 1 END AS _m FROM _rblk "
+        "WHERE _dir = 'user-agent' AND (_val = '*' OR "
+        f"lower(_val) = '{a}')), "
+        "_rbest AS (SELECT host, max(_m) AS _best FROM _rcand "
+        "GROUP BY 1), "
+        "_rgroups AS (SELECT DISTINCT c.host, c._blk FROM _rcand c "
+        "JOIN _rbest x ON c.host = x.host AND c._m = x._best) "
         "SELECT b.host, b._val AS rule_path, b._dir = 'allow' AS allow "
         "FROM _rblk b JOIN _rgroups g ON b.host = g.host AND b._blk = g._blk "
         "WHERE b._dir IN ('allow', 'disallow') AND b._val != '' "
         "AND b._blk > 0"
     )
+
 
 
 def robots_allowed(urls: DataFrame, robots: DataFrame, agent: str = "*",
@@ -313,7 +345,10 @@ def robots_allowed(urls: DataFrame, robots: DataFrame, agent: str = "*",
         rules = F.broadcast(rules)
     u = urls.select(
         F.col(url_col),
-        url_host_col(F.col(url_col)).alias("_uhost"),
+        # hostnames are case-insensitive (RFC 4343); parse_robots
+        # lowercases its side, so lower here too or mixed-case urls
+        # would silently fail OPEN
+        F.lower(url_host_col(F.col(url_col))).alias("_uhost"),
         F.coalesce(
             F.nullif(F.regexp_replace(
                 F.regexp_replace(F.col(url_col),
@@ -342,7 +377,7 @@ def robots_allowed_sql(urls_sql: str, robots_sql: str, agent: str = "*",
     rules = parse_robots_sql(robots_sql, agent, host_col, txt_col)
     return (
         f"WITH _rules AS ({rules}), "
-        f"_u AS (SELECT {url_col}, {url_host_sql(url_col)} AS _uhost, "
+        f"_u AS (SELECT {url_col}, lower({url_host_sql(url_col)}) AS _uhost, "
         f"coalesce(nullif(regexp_replace(regexp_replace({url_col}, "
         f"'{SCHEME_HOST_PATTERN}', ''), '#.*', ''), ''), '/') AS _path "
         f"FROM ({urls_sql})), "

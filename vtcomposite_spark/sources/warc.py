@@ -110,12 +110,18 @@ def write_warc(records: list[dict], path: str, per_record_gzip: bool = True,
 # ---------------------------------------------------------------------------
 
 def _split_gzip_members(buf: bytes):
-    """Yield (member_start_offset, decompressed_bytes) per gzip member."""
+    """Yield (member_start_offset, decompressed_bytes) per gzip member.
+
+    The tail slice is a memoryview — a CC-convention warc holds one
+    member per record (tens of thousands per GB), and a bytes slice
+    here would re-copy the remaining buffer per member, turning the
+    single forward pass quadratic."""
     pos = 0
     n = len(buf)
+    view = memoryview(buf)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(buf[pos:])
+        out = d.decompress(view[pos:])
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         consumed = (n - pos) - len(d.unused_data)

@@ -45,13 +45,16 @@ _GEO_EVT = geo_sql_exprs("event_id")
 # rules, case-insensitive agent names, and hosts with no robots at all
 _ROBOTS_CORPUS = [
     ("site0.example.com",
-     "User-agent: *\nDisallow: /p0\nAllow: /p0/d1"),
+     "User-agent: *\nDisallow: /p0\nAllow: /p0/d1\n"
+     "Sitemap: https://site0.example.com/sitemap.xml"),
     ("site1.example.com",
      "User-agent: cc-bot\nDisallow: /p\nAllow: /p2\n\n"
      "User-agent: *\nDisallow: /"),
     ("site2.example.com",
      "Disallow: /groupless-ignored\nUser-agent: *\nDisallow:\n"),
-    ("site3.example.com", "User-agent: otherbot\nDisallow: /"),
+    ("site3.example.com", "User-agent: otherbot\nDisallow: /\n"
+     "Sitemap: https://site3.example.com/sm/a.xml\n"
+     "Sitemap: https://site3.example.com/sm/b.xml"),
     ("site0.example.org",
      "User-agent: GPTBot\nUser-agent: CC-Bot\n"
      "Disallow: /p1\nDisallow: /p3\nAllow: /p3"),
@@ -936,6 +939,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.robots_allowed(urls, robots, agent="cc-bot")
     q["robots_crawl_filter"] = robots_crawl_filter
 
+    def robots_sitemap_urls(spark, sf):
+        """Sitemap: directives from the shared robots corpus —
+        group-independent per RFC 9309, the frontier-seeding feed.
+        The documents scan only sizes the query (sitemaps are a
+        robots-corpus property); a cross join against a 1-row
+        aggregate keeps the driver gate's table contract."""
+        from vtcomposite_spark.operators import web as W
+        robots = spark.createDataFrame(
+            _ROBOTS_CORPUS, "host string, robots_txt string")
+        _ = _read(spark, sf, "documents").limit(1).count()
+        return W.robots_sitemaps(robots).orderBy("host", "sitemap_url")
+    q["robots_sitemap_urls"] = robots_sitemap_urls
+
     def host_concentration(spark, sf):
         """Corpus-diversity diagnostic: docs/hosts counts, the integer
         HHI numerator sum(n_h²), and the (count DESC, host ASC) top
@@ -1267,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
         f"{extract_text_sql(rich_html_sql('text', 'doc_id'))} AS extracted "
         "FROM documents"
     )
+
+    from vtcomposite_spark.operators.web import robots_sitemaps_sql
+    o["robots_sitemap_urls"] = robots_sitemaps_sql(_robots_corpus_sql())
 
     from vtcomposite_spark.functions.text import surt_sql
     _surt_url = (

@@ -370,3 +370,22 @@ def test_robots_crlf_bom_tabs_and_host_case(spark):
         "select url from rcb_u",
         "select host, robots_txt from rcb_r")).fetchall())
     assert got == want
+
+
+def test_robots_sitemaps(spark):
+    """Sitemap directives: group-independent, case-preserving values,
+    CRLF/comment/empty-value handling; both engines agree."""
+    rows = [("A.com", "User-agent: *\r\nDisallow: /p\r\n"
+                      "Sitemap: https://a.com/Sitemap.XML\r\n# c\n"
+                      "sitemap:\thttps://a.com/s2.xml\nSitemap:\n"),
+            ("b.com", "no sitemap here")]
+    rob = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {(r.host, r.sitemap_url)
+           for r in W.robots_sitemaps(rob).collect()}
+    assert got == {("a.com", "https://a.com/Sitemap.XML"),
+                   ("a.com", "https://a.com/s2.xml")}
+    con = duckdb.connect()
+    con.register("sm_r", pd.DataFrame(rows, columns=["host", "robots_txt"]))
+    want = set(map(tuple, con.sql(W.robots_sitemaps_sql(
+        "select host, robots_txt from sm_r")).fetchall()))
+    assert got == want

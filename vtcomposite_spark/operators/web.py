@@ -321,6 +321,50 @@ def parse_robots_sql(robots_sql: str, agent: str = "*",
 
 
 
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) — the ``Sitemap:`` directives, which are
+    GROUP-INDEPENDENT per RFC 9309 (they apply regardless of any
+    User-agent group), so this is one line-explode + filter; the
+    frontier-seeding feed. Values keep their case (urls), line noise
+    (CR/BOM/comments) handled as in :func:`parse_robots`."""
+    lines = robots.select(
+        F.lower(F.col(host_col)).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("_raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("_raw"), "[\r\ufeff]", ""), "#.*", "")
+    parts = F.split(F.regexp_replace(clean, r"^\s+|\s+$", ""), ":", 2)
+    return (lines.select(
+        "host",
+        F.lower(F.regexp_replace(parts.getItem(0), r"^\s+|\s+$", ""))
+        .alias("_dir"),
+        F.when(F.size(parts) > 1,
+               F.regexp_replace(parts.getItem(1), r"^\s+|\s+$", ""))
+        .otherwise(F.lit("")).alias("_val"))
+        .filter((F.col("_dir") == "sitemap") & (F.col("_val") != ""))
+        .select("host", F.col("_val").alias("sitemap_url")))
+
+
+def robots_sitemaps_sql(robots_sql: str, host_col: str = "host",
+                        txt_col: str = "robots_txt") -> str:
+    ws = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
+    raw = f"string_split({txt_col}, chr(10))[g.i]"
+    ln = ("regexp_replace(regexp_replace(" + raw +
+          ", '[\\r\\x{FEFF}]', '', 'g'), '#.*', '')")
+    dir_x = "string_split(_ln, chr(58))[1]"
+    val_x = "substr(_ln, instr(_ln, chr(58)) + 1)"
+    return (
+        f"WITH _sml AS (SELECT lower({host_col}) AS host, "
+        f"{ws.format(x=ln)} AS _ln "
+        f"FROM ({robots_sql}), unnest(generate_series(1, "
+        f"len(string_split({txt_col}, chr(10))))) AS g(i)) "
+        "SELECT host, "
+        f"{ws.format(x=val_x)} AS sitemap_url FROM _sml "
+        f"WHERE lower({ws.format(x=dir_x)}) = 'sitemap' "
+        "AND instr(_ln, ':') > 0 AND "
+        f"{ws.format(x=val_x)} != ''")
+
+
 def robots_allowed(urls: DataFrame, robots: DataFrame, agent: str = "*",
                    url_col: str = "url", host_col: str = "host",
                    txt_col: str = "robots_txt",

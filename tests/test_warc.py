@@ -171,3 +171,22 @@ def test_cdx_index_addresses_records(spark, tmp_path):
         by_p.setdefault(r.p, []).append((r.surt, r.warc_ts))
     for v in by_p.values():
         assert v == sorted(v)
+
+
+def test_wet_roundtrip_byte_identity(spark, tmp_path):
+    """The closing loop: warc → extract_text → write_wet → read_wet
+    round-trips the north-rule byte-identical text; WET files are
+    per-partition deterministic bytes."""
+    recs = _mk_records(8)
+    warc_path = os.path.join(tmp_path, "in.warc.gz")
+    W.write_warc(recs, warc_path)
+    ext = extract_text(W.warc_pages(spark, warc_path),
+                       keep=["url", "warc_ts"])
+    out_dir = os.path.join(tmp_path, "wet")
+    manifest = W.write_wet(ext.repartition(2, "url"), out_dir).collect()
+    assert sum(m.n_records for m in manifest) == 8
+    assert all(m.wet_file.endswith(".warc.wet.gz") for m in manifest)
+    back = {r.url: r.text for r in W.read_wet(spark, out_dir).collect()}
+    want = {r.url: r.extracted for r in ext.collect()}
+    assert back == want and len(back) == 8
+    assert back["https://example.org/0003"] == "doc 3 body & text"

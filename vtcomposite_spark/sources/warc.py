@@ -286,6 +286,67 @@ def cdx_index(records: DataFrame) -> DataFrame:
             .sortWithinPartitions("surt", "warc_ts"))
 
 
+def write_wet(pages: DataFrame, out_dir: str, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "extracted",
+              per_record_gzip: bool = True) -> DataFrame:
+    """Materialize extracted text as WET (WARC conversion records) —
+    the format Common Crawl publishes its text layer in, so the
+    engine's output drops into any WET consumer. One file per
+    partition, written executor-side (``out_dir`` must be shared
+    storage on a real cluster), records in partition order; returns
+    the manifest (wet_file, n_records) — an ACTION-triggering frame
+    the caller counts/collects.
+
+    The text payload is the UTF-8 bytes of ``text_col`` verbatim, so
+    warc_pages(read) → extract_text → write_wet → read_warc round-trips
+    the north-rule byte-identical text. Gzip members carry mtime=0:
+    same rows per partition → same file bytes."""
+    import os as _os
+
+    cols = pages.select(F.col(url_col).alias("url"),
+                        F.col(ts_col).alias("warc_ts"),
+                        F.col(text_col).alias("text"))
+    out_schema = T.StructType([
+        T.StructField("wet_file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+    ])
+
+    def kernel(pdfs):
+        import pandas as _pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in pdfs:
+            for u, ts, tx in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                if tx is None:
+                    continue
+                recs.append({"url": u, "warc_ts": ts,
+                             "payload": str(tx).encode("utf-8"),
+                             "warc_type": "conversion"})
+        if not recs:
+            yield _pd.DataFrame({"wet_file": [], "n_records": []})
+            return
+        path = _os.path.join(
+            out_dir, f"part-{pid:05d}.warc.wet"
+            + (".gz" if per_record_gzip else ""))
+        write_warc(recs, path, per_record_gzip=per_record_gzip,
+                   http_wrap=False)
+        yield _pd.DataFrame({"wet_file": [path],
+                             "n_records": [len(recs)]})
+
+    _os.makedirs(out_dir, exist_ok=True)
+    return cols.mapInPandas(kernel, schema=out_schema)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text) from WET files — conversion records with
+    the payload decoded back to text."""
+    recs = read_warc(spark, path, parse_http=False)
+    return (recs.filter(F.col("warc_type") == "conversion")
+            .select("url", "warc_ts",
+                    F.decode(F.col("html"), "UTF-8").alias("text")))
+
+
 def stream_warc_pages(spark: SparkSession, path: str,
                       parse_http: bool = True,
                       max_files_per_trigger: int | None = None) -> DataFrame:

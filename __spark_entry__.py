@@ -1026,6 +1026,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out, "merge_rank int, a string, b string, weight long")
     q["bpe_merges"] = bpe_merges
 
+    def bpe_apply_tokens(spark, sf):
+        """BPE tokenizer INFERENCE at corpus scale: train 3 merge rules
+        on a doc subset, then tokenize it — merges apply to the
+        DISTINCT-WORD vocabulary only (work ∝ vocab chars), and the
+        word→tokens map equi-joins back to the token stream (rows ∝
+        corpus tokens). One row per emitted token, 1-based positions;
+        the oracle replays train + apply as unrolled CTEs."""
+        from vtcomposite_spark.operators import chunking as CH
+        docs = _read(spark, sf, "documents").filter(
+            F.col("doc_id") % 5 == 0)
+        rules = CH.bpe_train(docs, merges=3)
+        return CH.bpe_apply(docs, rules)
+    q["bpe_apply_tokens"] = bpe_apply_tokens
+
     def decontaminate_corpus(spark, sf):
         """Benchmark decontamination (the Gopher/GPT-3 n-gram-collision
         protocol): every doc sharing any word 8-gram with the benchmark
@@ -1906,6 +1920,9 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.chunking import bpe_train_sql
     o["bpe_merges"] = bpe_train_sql(4)
+    from vtcomposite_spark.operators.chunking import bpe_apply_sql
+    o["bpe_apply_tokens"] = bpe_apply_sql(
+        3, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)")
 
     from vtcomposite_spark.operators.web import crawl_diff_sql
     o["crawl_snapshot_diff"] = crawl_diff_sql(

@@ -1298,6 +1298,71 @@ def test_bpe_train_greedy_leftmost_hand_case(spark):
     assert got == [(int(r), a, b, int(w)) for r, a, b, w in want]
 
 
+def _py_bpe_tokenize(word, pairs):
+    """Pure-python greedy-leftmost BPE apply — the spec twin."""
+    syms = list(word)
+    for a, b in pairs:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_hand_case_and_twin(spark):
+    from vtcomposite_spark.operators import chunking as CH
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaab")], "doc_id long, text string")
+    rules = CH.bpe_train(docs, merges=3)
+    got = sorted(tuple(r) for r in CH.bpe_apply(docs, rules).collect())
+    # 'aaaa'→['aaaa'] (aa+aa via round 3), 'ab'→['ab'], 'aaab'→['aa','ab']
+    assert got == [(1, 1, 1, "aaaa"), (1, 2, 1, "aaaa"), (1, 3, 1, "ab"),
+                   (2, 1, 1, "aa"), (2, 1, 2, "ab")]
+    # plain (a, b) pair rules tokenize identically to bpe_train 4-tuples
+    got2 = sorted(tuple(r) for r in CH.bpe_apply(
+        docs, [("a", "a"), ("a", "b"), ("aa", "aa")]).collect())
+    assert got2 == got
+    # SQL twin (train chain + application join) replays the tokenization
+    import pandas as pd
+    duckdb.register("_bpe_ap", pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aaaa aaaa ab", "aaab"]}))
+    want = sorted((int(i), int(w), int(s), y) for i, w, s, y in
+                  duckdb.sql(CH.bpe_apply_sql(3, table="_bpe_ap"))
+                  .fetchall())
+    assert got == want
+    # bad rule shape is loud
+    with pytest.raises(ValueError):
+        CH.bpe_apply(docs, [("a", 3)])
+
+
+def test_bpe_apply_matches_pure_python_reference(spark):
+    """Randomized corpus over a tiny alphabet (maximizes overlapping
+    a==b merge runs): engine tokenization == the per-word pure-python
+    greedy-leftmost spec, with trained rules."""
+    import random
+
+    from vtcomposite_spark.operators import chunking as CH
+    rng = random.Random(20260818)
+    rows = [(i, " ".join(
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(1, 8)))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = CH.bpe_train(docs, merges=4)
+    pairs = [(a, b) for _, a, b, _ in rules]
+    got = sorted(tuple(r) for r in CH.bpe_apply(docs, rules).collect())
+    want = sorted(
+        (i, wp, sp, sym)
+        for i, text in rows
+        for wp, word in enumerate(text.split(), 1)
+        for sp, sym in enumerate(_py_bpe_tokenize(word, pairs), 1))
+    assert got == want
+
+
 def test_bpe_train_corpus_twin_parity(spark, docs):
     from vtcomposite_spark.operators import chunking as CH
     got = CH.bpe_train(docs, merges=4)

@@ -625,6 +625,60 @@ def bigram_surprisal_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+def _bpe_paired(t: DataFrame, extra: "list[str]") -> DataFrame:
+    """Adjacent-symbol pair view of a BPE symbol table ``t(word, *extra,
+    pos, sym)``: one lead() + row_number() window partitioned by word
+    (words are short — thousands of tiny partitions per task, no skew).
+    Shared by training (which aggregates pair weights from it) and
+    inference (which only rewrites)."""
+    from pyspark.sql.window import Window
+
+    worder = Window.partitionBy("word").orderBy("pos")
+    return t.select("word", *extra, "pos", F.col("sym").alias("a"),
+                    F.lead("sym").over(worder).alias("b"),
+                    F.row_number().over(worder).alias("rn"))
+
+
+def _bpe_apply_merge(p: DataFrame, A: str, B: str,
+                     extra: "list[str]") -> DataFrame:
+    """Apply ONE known merge rule (A, B) greedy-leftmost to a paired
+    symbol table (from ``_bpe_paired``), returning the rewritten
+    ``(word, *extra, pos, sym)`` table. Greedy-leftmost: in a run of
+    overlapping occurrences (only possible when A == B, e.g. 'aaaa'
+    merging ('a','a')) the 1st, 3rd, ... occurrences merge — encoded as
+    islands of row-ordinal-consecutive candidates keeping even offsets.
+    Kept marks become the concatenated symbol; their successor rows
+    drop. Pure relational (two keys-only mark joins), identical
+    expression shape to the unrolled CTEs in the SQL twins."""
+    from pyspark.sql.window import Window
+
+    cand = (p.filter((F.col("a") == A) & (F.col("b") == B))
+            .select("word", "rn"))
+    isl = cand.withColumn(
+        "grp", F.col("rn") - F.row_number().over(
+            Window.partitionBy("word").orderBy("rn")))
+    keep = (isl.withColumn(
+        "off", F.col("rn") - F.min("rn").over(
+            Window.partitionBy("word", "grp")))
+        .filter(F.col("off") % 2 == 0).select("word", "rn"))
+    k = keep.select(F.col("word").alias("_kw"),
+                    F.col("rn").alias("krn"))
+    c = keep.select(F.col("word").alias("_cw"),
+                    (F.col("rn") + 1).alias("crn"))
+    withrn = p.select("word", *extra, "pos", F.col("a").alias("sym"),
+                      "rn")
+    return (withrn
+            .join(k, (F.col("word") == F.col("_kw"))
+                  & (F.col("rn") == F.col("krn")), "left")
+            .join(c, (F.col("word") == F.col("_cw"))
+                  & (F.col("rn") == F.col("crn")), "left")
+            .filter(F.col("crn").isNull())
+            .select("word", *extra, "pos",
+                    F.when(F.col("krn").isNotNull(),
+                           F.lit(A + B)).otherwise(F.col("sym"))
+                    .alias("sym")))
+
+
 def bpe_train(docs: DataFrame, merges: int = 3, id_col: str = "doc_id",
               text_col: str = "text") -> "list[tuple]":
     """TRUE BPE tokenizer training (Sennrich et al. 2016): learn
@@ -658,8 +712,6 @@ def bpe_train(docs: DataFrame, merges: int = 3, id_col: str = "doc_id",
     rule — driver metadata like the IVF centroids), and one keys-only
     mark join; the work table localCheckpoints per round to cut lineage.
     """
-    from pyspark.sql.window import Window
-
     from ..functions.text import tokens_col
 
     words = (docs.select(F.explode(tokens_col(F.col(text_col)))
@@ -673,11 +725,8 @@ def bpe_train(docs: DataFrame, merges: int = 3, id_col: str = "doc_id",
         .alias("pos", "sym"))
     t = t.localCheckpoint(eager=True)
     out = []
-    worder = Window.partitionBy("word").orderBy("pos")
     for r in range(1, merges + 1):
-        p = t.select("word", "cnt", "pos", F.col("sym").alias("a"),
-                     F.lead("sym").over(worder).alias("b"),
-                     F.row_number().over(worder).alias("rn"))
+        p = _bpe_paired(t, ["cnt"])
         best = (p.filter(F.col("b").isNotNull())
                 .groupBy("a", "b").agg(F.sum("cnt").alias("weight"))
                 .orderBy(F.col("weight").desc(), F.col("a").asc(),
@@ -687,41 +736,74 @@ def bpe_train(docs: DataFrame, merges: int = 3, id_col: str = "doc_id",
             break
         A, B, wgt = best[0].a, best[0].b, best[0].weight
         out.append((r, A, B, int(wgt)))
-        cand = (p.filter((F.col("a") == A) & (F.col("b") == B))
-                .select("word", "rn"))
-        isl = cand.withColumn(
-            "grp", F.col("rn") - F.row_number().over(
-                Window.partitionBy("word").orderBy("rn")))
-        keep = (isl.withColumn(
-            "off", F.col("rn") - F.min("rn").over(
-                Window.partitionBy("word", "grp")))
-            .filter(F.col("off") % 2 == 0).select("word", "rn"))
-        k = keep.select(F.col("word").alias("_kw"),
-                        F.col("rn").alias("krn"))
-        c = keep.select(F.col("word").alias("_cw"),
-                        (F.col("rn") + 1).alias("crn"))
-        withrn = p.select("word", "cnt", "pos", F.col("a").alias("sym"),
-                          "rn")
-        t = (withrn
-             .join(k, (F.col("word") == F.col("_kw"))
-                   & (F.col("rn") == F.col("krn")), "left")
-             .join(c, (F.col("word") == F.col("_cw"))
-                   & (F.col("rn") == F.col("crn")), "left")
-             .filter(F.col("crn").isNull())
-             .select("word", "cnt", "pos",
-                     F.when(F.col("krn").isNotNull(),
-                            F.lit(A + B)).otherwise(F.col("sym"))
-                     .alias("sym"))
+        t = (_bpe_apply_merge(p, A, B, ["cnt"])
              .localCheckpoint(eager=True))
     return out
 
 
-def bpe_train_sql(merges: int = 3, table: str = "documents",
-                  text_col: str = "text") -> str:
-    """DuckDB twin of ``bpe_train`` — the merge loop unrolled; each
-    round's picked pair is a 1-row CTE (ORDER BY weight DESC, a, b
-    LIMIT 1) instead of a driver collect. Emits the merge list
-    (merge_rank, a, b, weight)."""
+def bpe_apply(docs: DataFrame, rules: "list[tuple]",
+              id_col: str = "doc_id", text_col: str = "text",
+              checkpoint_every: int = 4) -> DataFrame:
+    """Corpus-scale BPE tokenizer INFERENCE: tokenize every document
+    with a trained merge list (``bpe_train``'s output, or plain
+    ``(a, b)`` pairs) — the apply half of the tokenizer lifecycle that
+    feeds ``pack_sequences``. One row per emitted token:
+    ``(id, word_pos, sym_pos, sym)`` with 1-based positions (word_pos =
+    the word's ordinal in the document, sym_pos = the token's ordinal
+    within the word).
+
+    100-TB shape — the standard trick real tokenizers use: merges apply
+    to the DISTINCT-WORD vocabulary only (work ∝ vocabulary characters
+    × merges, tiny next to the corpus), then the word → token-sequence
+    map equi-joins back to the corpus token stream (rows ∝ corpus
+    tokens, one shuffle; AQE may broadcast the vocab side when small).
+    Never per-document merge loops.
+
+    Engine-exact: every merge applies greedy-leftmost via the same
+    relational island rewrite as training, so ``bpe_apply_sql`` (train
+    chain unrolled + the same application join) replays the
+    tokenization value-identically — the ``bpe_apply_tokens``
+    full-oracle row.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens_col
+
+    pairs = [(r[-3], r[-2]) if len(r) >= 3 else (r[0], r[1])
+             for r in rules]
+    for a, b in pairs:
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise ValueError(f"merge rule must be a string pair: {(a, b)!r}")
+    vocab = (docs.select(F.explode(tokens_col(F.col(text_col)))
+                         .alias("word")).distinct())
+    t = vocab.select(
+        "word",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1))))
+        .alias("pos", "sym"))
+    t = t.localCheckpoint(eager=True)
+    for i, (a, b) in enumerate(pairs, 1):
+        t = _bpe_apply_merge(_bpe_paired(t, []), a, b, [])
+        if i % checkpoint_every == 0 and i < len(pairs):
+            t = t.localCheckpoint(eager=True)
+    syms = t.select(
+        "word", "sym",
+        F.row_number().over(Window.partitionBy("word").orderBy("pos"))
+        .alias("sym_pos"))
+    stream = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("_wp", "word"))
+    return (stream.join(syms, "word")
+            .select(F.col(id_col), (F.col("_wp") + 1).alias("word_pos"),
+                    "sym_pos", "sym"))
+
+
+def _bpe_train_ctes(merges: int, table: str, text_col: str) -> str:
+    """Shared WITH-clause chain for the BPE SQL twins: vocabulary →
+    symbol table t1 → per-round (p{r}, best{r}, cand{r}, keep{r},
+    t{r+1}) CTEs. The final symbol table is ``t{merges+1}``; picked
+    rules are ``best1..best{merges}``."""
     ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
     parts = [
         f"WITH w0 AS (SELECT word, count(*) AS cnt FROM ("
@@ -729,7 +811,6 @@ def bpe_train_sql(merges: int = 3, table: str = "documents",
         "t1 AS (SELECT word, cnt, g.i AS pos, substr(word, g.i, 1) AS sym "
         "FROM w0, unnest(generate_series(1, len(word))) AS g(i))"
     ]
-    sel = []
     for r in range(1, merges + 1):
         parts.append(
             f", p{r} AS (SELECT word, cnt, pos, sym AS a, "
@@ -753,6 +834,34 @@ def bpe_train_sql(merges: int = 3, table: str = "documents",
             f"LEFT JOIN keep{r} k ON t.word = k.word AND t.rn = k.rn "
             f"LEFT JOIN keep{r} c ON t.word = c.word AND t.rn = c.rn + 1 "
             "WHERE c.rn IS NULL)")
-        sel.append(f"SELECT {r} AS merge_rank, a, b, weight FROM best{r}")
-    parts.append(" " + " UNION ALL ".join(sel))
     return "".join(parts)
+
+
+def bpe_train_sql(merges: int = 3, table: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of ``bpe_train`` — the merge loop unrolled; each
+    round's picked pair is a 1-row CTE (ORDER BY weight DESC, a, b
+    LIMIT 1) instead of a driver collect. Emits the merge list
+    (merge_rank, a, b, weight)."""
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, weight FROM best{r}"
+        for r in range(1, merges + 1))
+    return _bpe_train_ctes(merges, table, text_col) + " " + sel
+
+
+def bpe_apply_sql(merges: int = 3, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of ``bpe_train(merges)`` + ``bpe_apply`` on the SAME
+    corpus: the train chain unrolled, then the final symbol table joins
+    back to the per-document token stream — one row per emitted token
+    (id, word_pos, sym_pos, sym), both positions 1-based."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return (
+        _bpe_train_ctes(merges, table, text_col)
+        + f", syms AS (SELECT word, sym, row_number() OVER ("
+        f"PARTITION BY word ORDER BY pos) AS sym_pos FROM t{merges + 1}), "
+        f"wd AS (SELECT {id_col}, g.i AS word_pos, ws[g.i] AS word FROM "
+        f"(SELECT {id_col}, {ws} AS ws FROM {table}), "
+        "unnest(generate_series(1, len(ws))) AS g(i)) "
+        f"SELECT d.{id_col}, d.word_pos, s.sym_pos, s.sym "
+        "FROM wd d JOIN syms s USING (word)")

@@ -876,6 +876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return GR.trustrank(edges, seeds, iters=5).select("id", "rank")
     q["trustrank_trust"] = trustrank_trust
 
+    def hits_scores(spark, sf):
+        """HITS hubs/authorities (Kleinberg 1999) over the same hubby
+        link graph: integer L1-rescaled half-steps (decimal multiply —
+        raw sums exceed int64 at outdeg × scale), two keys-only
+        join+sum shuffles per round. The oracle unrolls the loop with
+        MATERIALIZED CTEs (each round is referenced twice)."""
+        docs = _read(spark, sf, "documents")
+        edges = GR.doc_link_edges(docs, out_degree=3, mod=256)
+        return GR.hits(edges, iters=3)
+    q["hits_scores"] = hits_scores
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1859,6 +1870,9 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.similarity import hard_negatives_sql
     o["hard_negative_mining"] = hard_negatives_sql(5, "q.vec_id < 15")
+
+    o["hits_scores"] = GR.hits_sql(
+        GR.doc_link_edges_sql(3, 256), iters=3)
 
     o["trustrank_trust"] = GR.trustrank_sql(
         GR.doc_link_edges_sql(3, 256),

@@ -188,3 +188,75 @@ def test_pagerank_round_plan_shape(spark):
     assert "HashAggregate" in plan
     # partial aggregation before the exchange: two HashAggregate levels
     assert plan.count("HashAggregate") >= 2
+
+
+# --- HITS hubs/authorities ---
+
+def _py_hits(edges, iters, scale=10 ** 9):
+    """Pure-python integer HITS spec twin (L1 rescale, floor div)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += hub[s]
+        tot = sum(a.values())
+        auth = {v: (a[v] * scale) // tot for v in nodes}
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += auth[d]
+        tot = sum(h.values())
+        hub = {v: (h[v] * scale) // tot for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_hand_case_matches_python_spec(spark):
+    # star: 0,1,2 -> 3 plus 3 -> 0. Node 3 is THE authority; 0,1,2 are
+    # equal hubs except 0 also receives 3's hub mass as an authority.
+    edges = [(0, 3), (1, 3), (2, 3), (3, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in G.hits(e, iters=3).collect()}
+    assert got == _py_hits(edges, 3)
+    assert got[3][1] > got[0][1]           # 3 dominates authority
+    assert got[0][0] == got[1][0] == got[2][0]  # symmetric hubs
+    assert got[0][1] > got[1][1] == got[2][1]   # 0 earns authority from 3
+
+
+def test_hits_multi_edge_counts_and_zero_iters(spark):
+    # duplicated edge doubles the hub contribution on the auth half-step
+    single = {r.id: r.auth for r in G.hits(
+        spark.createDataFrame([(0, 1), (2, 1), (1, 0)],
+                              "src long, dst long"), iters=1).collect()}
+    double = {r.id: r.auth for r in G.hits(
+        spark.createDataFrame([(0, 1), (0, 1), (2, 1), (1, 0)],
+                              "src long, dst long"), iters=1).collect()}
+    assert double[1] > single[1]
+    z = {r.id: (r.hub, r.auth) for r in G.hits(
+        spark.createDataFrame([(0, 1)], "src long, dst long"),
+        iters=0).collect()}
+    u = 10 ** 9 // 2
+    assert z == {0: (u, u), 1: (u, u)}
+
+
+def test_hits_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        G.hits(e, iters=-1)
+    with pytest.raises(ValueError):
+        G.hits(e, scale=10 ** 10)  # scale^2 over int64
+
+
+def test_hits_duckdb_twin_parity(spark):
+    """Corpus-scale parity on the hubby synthetic graph — outdeg 3,
+    heavy in-degree skew on low ids (the HUGEINT/decimal rescale path
+    is exercised: raw sums exceed scale)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = G.doc_link_edges(docs, out_degree=3, mod=64)
+    got = {(r.id, r.hub, r.auth) for r in G.hits(edges, iters=3).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    sql = G.hits_sql(G.doc_link_edges_sql(3, 64), iters=3)
+    want = {(int(a), int(b), int(c)) for a, b, c in con.sql(sql).fetchall()}
+    assert got == want

@@ -221,6 +221,115 @@ def trustrank_sql(edges_sql: str, seeds_sql: str, iters: int = 5,
     return "".join(parts)
 
 
+def hits(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) — the classic
+    complement to PageRank for web curation: authorities are pages many
+    good hubs cite (content worth keeping), hubs are pages citing many
+    good authorities (link directories / seed lists for a crawl
+    frontier). Returns (id, hub, auth) after ``iters`` rounds.
+
+    Integer discipline (the repo rule): scores live in integer units,
+    and each half-step L1-normalizes to total ``scale`` via integer
+    multiply-then-divide (``v * scale div total``) — classical HITS
+    normalizes by L2, but any positive rescale preserves the ranking
+    fixpoint direction, and the L1 form keeps every value an exact
+    integer so ``hits_sql`` replays bit-identically. The rescale
+    multiply runs as decimal(38,0)/HUGEINT (raw half-step sums reach
+    outdeg_max × scale, so ``raw * scale`` overflows int64 — the same
+    reason near_dup_components sums as decimal); results are ≤ scale,
+    back in int64. Multi-edges count on both half-steps, as in
+    ``pagerank``.
+
+    Per round: authority(d) = Σ hub(s) over edges s→d, normalize; then
+    hub(s) = Σ auth(d), normalize. 100-TB shape: two keys-only
+    join+sum shuffles ∝ |E| per round; the L1 total is a 1-row
+    broadcast aggregate (never a driver collect inside the loop);
+    localCheckpoint per round cuts the lineage.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if scale * scale >= (1 << 63):
+        raise ValueError("hits: scale^2 must fit in int64")
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst")).persist()
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = nodes.count()  # driver metadata, as in pagerank
+    scores = nodes.select(
+        "id", F.lit(scale // n).cast("long").alias("hub"),
+        F.lit(scale // n).cast("long").alias("auth"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return (df.crossJoin(F.broadcast(tot))
+                .select("id", *[c for c in df.columns
+                                if c not in ("id", col)],
+                        F.expr(f"(cast({col} as decimal(38,0)) * {scale}) "
+                               "div _tot").cast("long").alias(col)))
+
+    for _ in range(iters):
+        a_raw = (e.join(scores.select(F.col("id").alias("src"), "hub"),
+                        "src")
+                 .groupBy("dst").agg(F.sum("hub").alias("a")))
+        scores = _norm(
+            nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left")
+            .join(scores.select("id", "hub"), "id")
+            .select("id", "hub",
+                    F.coalesce("a", F.lit(0)).cast("long").alias("auth")),
+            "auth")
+        h_raw = (e.join(scores.select(F.col("id").alias("dst"), "auth"),
+                        "dst")
+                 .groupBy("src").agg(F.sum("auth").alias("h")))
+        scores = _norm(
+            nodes.join(h_raw, nodes["id"] == h_raw["src"], "left")
+            .join(scores.select("id", "auth"), "id")
+            .select("id", "auth",
+                    F.coalesce("h", F.lit(0)).cast("long").alias("hub")),
+            "hub").localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return scores.select("id", "hub", "auth")
+
+
+def hits_sql(edges_sql: str, iters: int = 3, scale: int = 10 ** 9) -> str:
+    """DuckDB twin of ``hits`` — the loop unrolled; each half-step's L1
+    total is a scalar subquery, every arithmetic step the identical
+    integer expression."""
+    nn = "(SELECT count(*) FROM nodes)"
+    # every round CTE is referenced twice downstream (node frame + the
+    # join side) — MATERIALIZED stops DuckDB inlining the chain, which
+    # would re-evaluate the base scan 4^iters times
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        f"s0 AS MATERIALIZED (SELECT id, "
+        f"CAST({scale}::BIGINT // {nn} AS BIGINT) AS hub, "
+        f"CAST({scale}::BIGINT // {nn} AS BIGINT) AS auth FROM nodes)"
+    ]
+    for k in range(iters):
+        parts.append(
+            f", a{k}r AS MATERIALIZED (SELECT n.id, n.hub, "
+            "CAST(coalesce(i.a, 0) AS BIGINT) AS auth "
+            f"FROM (SELECT s.id, s.hub FROM s{k} s) n LEFT JOIN ("
+            "SELECT e.dst AS id, sum(s.hub) AS a FROM e "
+            f"JOIN s{k} s ON e.src = s.id GROUP BY 1) i ON n.id = i.id), "
+            f"a{k} AS MATERIALIZED (SELECT id, hub, CAST((auth::HUGEINT * {scale}) // "
+            f"(SELECT sum(auth) FROM a{k}r) AS BIGINT) AS auth FROM a{k}r), "
+            f"h{k}r AS MATERIALIZED (SELECT n.id, n.auth, "
+            "CAST(coalesce(i.h, 0) AS BIGINT) AS hub "
+            f"FROM (SELECT a.id, a.auth FROM a{k} a) n LEFT JOIN ("
+            "SELECT e.src AS id, sum(a.auth) AS h FROM e "
+            f"JOIN a{k} a ON e.dst = a.id GROUP BY 1) i ON n.id = i.id), "
+            f"s{k + 1} AS MATERIALIZED (SELECT id, CAST((hub::HUGEINT * {scale}) // "
+            f"(SELECT sum(hub) FROM h{k}r) AS BIGINT) AS hub, auth "
+            f"FROM h{k}r)")
+    parts.append(f" SELECT id, hub, auth FROM s{iters}")
+    return "".join(parts)
+
+
 def degree_stats(edges: DataFrame, src_col: str = "src",
                  dst_col: str = "dst") -> DataFrame:
     """Per-node link-graph degrees: (id, out_deg, in_deg, dangling) —

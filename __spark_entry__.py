@@ -887,6 +887,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return GR.hits(edges, iters=3)
     q["hits_scores"] = hits_scores
 
+    def sessionize_events(spark, sf):
+        """Gap-based sessionization of the events log (30-minute rule):
+        per-event user-scoped session ordinal via one lag + running-sum
+        window after ONE shuffle on the user key; epochs built from the
+        NTZ timestamp's fields (the latest_snapshot discipline)."""
+        from vtcomposite_spark.operators import sessions as SE
+        return SE.sessionize(_read(spark, sf, "events"))
+    q["sessionize_events"] = sessionize_events
+
+    def session_stats_events(spark, sf):
+        """Per-session rollup over the same assignment: n_events /
+        start / end / duration as exact integers — a map-side-combinable
+        groupBy on the assignment's own keys, no second window."""
+        from vtcomposite_spark.operators import sessions as SE
+        return SE.session_stats(_read(spark, sf, "events"))
+    q["session_stats_events"] = session_stats_events
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1873,6 +1890,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["hits_scores"] = GR.hits_sql(
         GR.doc_link_edges_sql(3, 256), iters=3)
+
+    from vtcomposite_spark.operators.sessions import (session_stats_sql,
+                                                      sessionize_sql)
+    o["sessionize_events"] = sessionize_sql("SELECT * FROM events")
+    o["session_stats_events"] = session_stats_sql("SELECT * FROM events")
 
     o["trustrank_trust"] = GR.trustrank_sql(
         GR.doc_link_edges_sql(3, 256),

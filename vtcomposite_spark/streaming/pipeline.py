@@ -332,6 +332,103 @@ def run_doc_dedupe_stream(spark, source_dir: str, out_dir: str,
     q.awaitTermination()
 
 
+def stream_sessionize(events_stream: DataFrame,
+                      gap_us: int | None = None,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Cross-batch streaming sessionization: assign every event its
+    user-scoped 1-based session ordinal under the same gap rule as the
+    batch ``sessions.sessionize`` — a session stays OPEN across
+    micro-batches until ``gap_us`` of event time passes, so feeding the
+    same ordered log through any micro-batch slicing yields the exact
+    batch assignment (the stream==batch test pins it).
+
+    Stateful because "is this event a continuation?" depends on the
+    user's last event in ALL history: state = (last_ts_us, session
+    ordinal) — two longs per user, the minimal carry; event payloads
+    ride the batch and never enter the state store.
+
+    Contract: events must arrive in non-decreasing EVENT-TIME order per
+    user across batches (the tail of a per-user-ordered log or queue
+    partition — the natural shape for this operator). An out-of-order
+    arrival RAISES rather than silently mis-assigning: late data needs
+    the batch operator over a corrected log, not a quiet wrong answer.
+
+    The epoch is computed JVM-side from the NTZ timestamp's fields
+    (the latest_snapshot discipline) BEFORE the stateful seam; inside
+    the kernel the per-batch assignment is one numpy diff + cumsum —
+    no per-event Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sessions import DEFAULT_GAP_US, _epoch_us
+
+    gap = DEFAULT_GAP_US if gap_us is None else gap_us
+    if gap < 0:
+        raise ValueError("gap_us must be >= 0")
+
+    def emit(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            return
+        pdf = (pd.concat(rows).sort_values(["_ts", id_col])
+               .reset_index(drop=True))
+        last, sess = state.get if state.exists else (None, 0)
+        ts = pdf["_ts"].to_numpy(dtype=np.int64)
+        if last is not None and int(ts[0]) < last:
+            raise ValueError(
+                f"stream_sessionize: out-of-order event for user "
+                f"{key[0]!r}: ts_us {int(ts[0])} < last seen {last}; "
+                "events must arrive in event-time order per user")
+        brk = np.empty(len(ts), dtype=np.int64)
+        brk[0] = 1 if last is None else int(int(ts[0]) - last > gap)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sids = sess + np.cumsum(brk)
+        state.update((int(ts[-1]), int(sids[-1])))
+        yield pd.DataFrame({
+            id_col: pdf[id_col], user_col: key[0],
+            "ts_us": pdf["_ts"], "session_id": sids})
+
+    keyed = events_stream.select(
+        F.col(id_col), F.col(user_col), _epoch_us(ts_col).alias("_ts"))
+    return (keyed.groupBy(user_col)
+            .applyInPandasWithState(
+                emit,
+                outputStructType=f"{id_col} long, {user_col} long, "
+                                 "ts_us long, session_id long",
+                stateStructType="last_ts_us long, sess long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_sessionize_stream(spark, source_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          gap_us: int | None = None,
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id") -> None:
+    """Drive ``stream_sessionize`` over an events directory
+    (``availableNow`` drain into an append-only parquet assignment log;
+    the checkpoint carries the per-user open-session state, so a later
+    call continues sessions across process restarts)."""
+    stream = (spark.readStream
+              .schema(f"{id_col} long, {user_col} long, {ts_col} timestamp")
+              .parquet(source_dir))
+    out = stream_sessionize(stream, gap_us=gap_us, user_col=user_col,
+                            ts_col=ts_col, id_col=id_col)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def stream_dedupe_urls(url_stream: DataFrame, id_col: str = "doc_id",
                        url_col: str = "url") -> DataFrame:
     """Streaming CRAWL FRONTIER: emit a URL the first time its CANONICAL

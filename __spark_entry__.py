@@ -904,6 +904,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SE.session_stats(_read(spark, sf, "events"))
     q["session_stats_events"] = session_stats_events
 
+    def zorder_tile_keys(spark, sf):
+        """Morton/Z-order storage keys for geotagged events at z8:
+        bit-interleaved (x, y) via the magic-mask spreading expression
+        (pure shifts/masks, tree-identical in both engines) — the
+        layout key write_tiles_zordered clusters by so a quadtree
+        subtree is one contiguous, min/max-prunable key range."""
+        from vtcomposite_spark import tilemath as TM
+        pts = _events_points(spark, sf)
+        cells = encode_cells(pts, 8)
+        return (cells
+                .select(TM.morton_col("tile_x", "tile_y").alias("zkey"))
+                .groupBy("zkey").agg(F.count("*").alias("n_events")))
+    q["zorder_tile_keys"] = zorder_tile_keys
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1895,6 +1909,14 @@ def oracle_sql() -> dict[str, str]:
                                                       sessionize_sql)
     o["sessionize_events"] = sessionize_sql("SELECT * FROM events")
     o["session_stats_events"] = session_stats_sql("SELECT * FROM events")
+
+    from vtcomposite_spark.tilemath import morton_sql
+    _tx8, _ty8 = _tile_sql("lon", "lat", 8)
+    o["zorder_tile_keys"] = (
+        f"WITH p AS ({_EVENTS_POINTS_SQL}), "
+        f"t AS (SELECT {_tx8} AS tx, {_ty8} AS ty FROM p) "
+        f"SELECT {morton_sql('tx', 'ty')} AS zkey, "
+        "count(*) AS n_events FROM t GROUP BY 1")
 
     o["trustrank_trust"] = GR.trustrank_sql(
         GR.doc_link_edges_sql(3, 256),

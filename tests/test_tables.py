@@ -180,3 +180,51 @@ def test_bucketed_features_elide_exchange(spark, tmp_path):
         assert "Exchange" in cplan
     finally:
         spark.sql("DROP TABLE IF EXISTS feats_bucket_test")
+
+
+def test_zordered_sink_prunes_spatial_ranges(spark, tmp_path):
+    """Z-order-clustered tile sink: (1) range read == brute filter,
+    row-exact; (2) the zkey BETWEEN predicate reaches the parquet scan
+    (PushedFilters); (3) the layout actually prunes — per-FILE zkey
+    min/max stats are disjoint enough that the queried subtree touches
+    a strict subset of files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vtcomposite_spark import tilemath as TM
+    from vtcomposite_spark.sources.tables import (read_tiles_zrange,
+                                                  write_tiles_zordered)
+
+    z = 6
+    rows = [(z, x, y, f"t{x}_{y}") for x in range(1 << z)
+            for y in range(1 << z)]
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile string")
+    path = str(tmp_path / "ztiles")
+    write_tiles_zordered(df, path, partitions=8)
+
+    got = {(r.x, r.y) for r in
+           read_tiles_zrange(spark, path, 2, 1, 2, z).collect()}
+    want = {(x, y) for _, x, y, _ in rows
+            if x >> (z - 2) == 1 and y >> (z - 2) == 2}
+    assert got == want and len(got) == 256
+
+    plan = read_tiles_zrange(spark, path, 2, 1, 2, z) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zkey" in plan
+
+    lo, hi = TM.tile_zrange(2, 1, 2, z)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 4
+    touching = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        stats = [md.row_group(i).column(
+            md.schema.to_arrow_schema().get_field_index("zkey"))
+            .statistics for i in range(md.num_row_groups)]
+        fmin = min(s.min for s in stats)
+        fmax = max(s.max for s in stats)
+        if fmin <= hi and fmax >= lo:
+            touching += 1
+    assert 1 <= touching < len(files)

@@ -81,3 +81,68 @@ def test_cell_pack_roundtrip():
     pc = tm.parent_cell(c, 0)
     pz, px_, py_ = tm.unpack_cell(pc)
     assert (pz == 0).all() and (px_ == 0).all() and (py_ == 0).all()
+
+
+# --- Morton / Z-order keys ---
+
+def test_morton_hand_cases_and_bounds():
+    assert int(tm.morton_key(1, 0)) == 2      # x rides the odd bits
+    assert int(tm.morton_key(0, 1)) == 1
+    assert int(tm.morton_key(3, 3)) == 15
+    assert int(tm.morton_key((1 << 29) - 1, (1 << 29) - 1)) == (1 << 58) - 1
+    import pytest
+    with pytest.raises(ValueError):
+        tm.morton_key(1 << 29, 0)
+    with pytest.raises(ValueError):
+        tm.morton_key(-1, 0)
+    with pytest.raises(ValueError):
+        tm.tile_zrange(3, 0, 0, 2)
+
+
+def test_morton_bitwise_reference_parity():
+    """Magic-mask spreading == the per-bit definition."""
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 1 << 29, 300)
+    ys = rng.integers(0, 1 << 29, 300)
+    got = tm.morton_key(xs, ys)
+    for a, b, k in zip(xs[:50], ys[:50], got[:50]):
+        want = sum(((int(a) >> i) & 1) << (2 * i + 1)
+                   | ((int(b) >> i) & 1) << (2 * i) for i in range(29))
+        assert int(k) == want
+
+
+def test_morton_zrange_prefix_property():
+    """Every descendant of (z,x,y) at data_z — and ONLY those — lands
+    inside tile_zrange; the range is exactly the 4^dz subtree."""
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        z = int(rng.integers(0, 6))
+        x = int(rng.integers(0, 1 << z)) if z else 0
+        y = int(rng.integers(0, 1 << z)) if z else 0
+        dz = int(rng.integers(0, 4))
+        lo, hi = tm.tile_zrange(z, x, y, z + dz)
+        kids = {int(tm.morton_key(x * (1 << dz) + dx, y * (1 << dz) + dy))
+                for dx in range(1 << dz) for dy in range(1 << dz)}
+        assert min(kids) == lo and max(kids) == hi
+        assert len(kids) == hi - lo + 1  # contiguous, no strangers
+
+
+def test_morton_three_form_parity(spark):
+    """numpy == Spark expression == DuckDB SQL on random coords."""
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    xs = rng.integers(0, 1 << 29, 400)
+    ys = rng.integers(0, 1 << 29, 400)
+    want = sorted(int(v) for v in tm.morton_key(xs, ys))
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long")
+    got_spark = sorted(
+        r.k for r in df.select(tm.morton_col("x", "y").alias("k")).collect())
+    assert got_spark == want
+    import pandas as pd
+    duckdb.register("_mz", pd.DataFrame({"x": xs, "y": ys}))
+    got_duck = sorted(
+        int(r[0]) for r in duckdb.sql(
+            f"select {tm.morton_sql('x', 'y')} from _mz").fetchall())
+    assert got_duck == want

@@ -195,3 +195,45 @@ def read_features_bucketed(spark: SparkSession, table: str) -> DataFrame:
     reading the parquet PATH would drop the bucket spec and with it the
     exchange elision)."""
     return spark.table(table)
+
+
+def write_tiles_zordered(df: DataFrame, path: str, mode: str = "append",
+                         partitions: int | None = None) -> None:
+    """(z, x, y, ...) sink CLUSTERED in Morton/Z-order: adds
+    ``zkey = morton(x, y)`` (tilemath.morton_col — bit-interleaved, so
+    nearby tiles get nearby keys and any quadtree subtree is ONE
+    contiguous key range), range-partitions by (z, zkey) and sorts
+    inside each file. Parquet then carries tight min/max zkey stats per
+    file and row group, so a spatial range read (``read_tiles_zrange``)
+    prunes to the files the subtree actually touches — the storage-
+    layout complement to ``write_tiles``'s per-zoom directory pruning
+    (which cannot help WITHIN a hot zoom: z14 is one directory of
+    everything). 100-TB shape: the range partitioner samples keys, so
+    dense regions split across many files while empty ocean collapses —
+    the layout auto-balances with the data's own skew."""
+    from .. import tilemath as TM
+
+    keyed = df.withColumn("zkey", TM.morton_col("x", "y"))
+    if partitions is not None:
+        keyed = keyed.repartitionByRange(partitions, "z", "zkey")
+    else:
+        keyed = keyed.repartitionByRange("z", "zkey")
+    (keyed.sortWithinPartitions("z", "zkey")
+     .write.mode(mode).parquet(path))
+
+
+def read_tiles_zrange(spark: SparkSession, path: str, z: int, x: int,
+                      y: int, data_z: int) -> DataFrame:
+    """Spatial range read over a z-ordered tile table: all rows at zoom
+    ``data_z`` inside tile (z, x, y) — one BETWEEN on the stored zkey
+    (the subtree is contiguous by the Morton ancestor-prefix property),
+    pushed to the parquet scan where the z-ordered layout's min/max
+    stats skip non-intersecting files and row groups."""
+    from pyspark.sql import functions as F
+
+    from .. import tilemath as TM
+
+    lo, hi = TM.tile_zrange(z, x, y, data_z)
+    return (spark.read.parquet(path)
+            .filter((F.col("z") == data_z)
+                    & F.col("zkey").between(lo, hi)))

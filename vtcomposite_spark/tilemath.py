@@ -127,6 +127,78 @@ def parent_cell(cell, parent_z):
 
 
 # ---------------------------------------------------------------------------
+# Morton / Z-order keys — the locality-preserving STORAGE order
+# (pack_cell is the LOOKUP key: exact-tile equi-joins; morton_key is the
+# layout key: nearby tiles get nearby keys, and a quadtree subtree is one
+# contiguous key range, so parquet min/max stats prune spatial reads)
+# ---------------------------------------------------------------------------
+
+# Part1By1 magic-mask bit spreading (the classical constant-time Morton
+# construction): after the five steps the low 29 bits of v occupy the
+# even bit positions of a 58-bit word. Pure shifts/masks — the identical
+# structure renders as a Spark expression and as DuckDB SQL.
+_SPREAD_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread1(v):
+    v = np.asarray(v, dtype=np.uint64)
+    for sh, m in _SPREAD_STEPS:
+        v = (v | (v << np.uint64(sh))) & np.uint64(m)
+    return v.astype(np.int64)
+
+
+def morton_key(x, y):
+    """Bit-interleave (x, y) (x in the odd bits) — valid for
+    x, y < 2^29 (MAX_CELL_ZOOM coordinates), key < 2^58."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if np.any((x < 0) | (x >= 1 << 29) | (y < 0) | (y >= 1 << 29)):
+        raise ValueError("morton_key: coordinates must be in [0, 2^29)")
+    return (_spread1(x) << 1) | _spread1(y)
+
+
+def tile_zrange(z, x, y, data_z):
+    """The contiguous Morton range covered by tile (z, x, y) at zoom
+    ``data_z`` >= z: every descendant's key lies in [lo, hi] and no
+    other tile's does — the quadkey ancestor-prefix property, which is
+    what makes a z-ordered table range-prunable by subtree."""
+    if data_z < z:
+        raise ValueError("tile_zrange: data_z must be >= z")
+    dz = int(data_z) - int(z)
+    lo = int(morton_key(x, y)) << (2 * dz)
+    return lo, lo + (1 << (2 * dz)) - 1
+
+
+def _morton_expr(x: str, y: str, shl) -> str:
+    """Shared expression-string builder for the Morton key: ``shl``
+    renders a left shift in the target dialect; masks/& / | are common
+    syntax. Guarantees the Spark and DuckDB forms are the SAME tree."""
+    def spread(v: str) -> str:
+        for sh, m in _SPREAD_STEPS:
+            v = f"(({v} | {shl(v, sh)}) & {m})"
+        return v
+
+    return f"({shl(spread(f'CAST({x} AS BIGINT)'), 1)} | " \
+           f"{spread(f'CAST({y} AS BIGINT)')})"
+
+
+def morton_sql(x: str, y: str) -> str:
+    """DuckDB form of ``morton_key`` over SQL expressions x, y."""
+    return _morton_expr(x, y, lambda v, s: f"({v} << {s})")
+
+
+def morton_spark_sql(x: str, y: str) -> str:
+    """Spark-SQL form (shiftleft instead of the << operator)."""
+    return _morton_expr(x, y, lambda v, s: f"shiftleft({v}, {s})")
+
+
+# ---------------------------------------------------------------------------
 # Spark Column forms (kept JVM-side: codegen'd, pushdown-friendly)
 # ---------------------------------------------------------------------------
 
@@ -171,3 +243,9 @@ if _HAVE_SPARK:
             F.shiftright(cell, 29).bitwiseAND(lo29),
             cell.bitwiseAND(lo29),
         )
+
+    def morton_col(x: str, y: str) -> Column:
+        """Column form of ``morton_key`` (x, y are column NAMES or SQL
+        expressions — the string builder keeps it tree-identical to the
+        DuckDB twin)."""
+        return F.expr(morton_spark_sql(x, y))

@@ -1137,6 +1137,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", *[c.alias(n) for n, c in cols.items()])
     q["doc_quality_filters"] = doc_quality_filters
 
+    def c4_clean_docs(spark, sf):
+        """C4's line-level cleaning pass (Raffel et al. 2020 §2.2):
+        keep lines ending in terminal punctuation with >= 3 words and
+        no 'javascript'; drop pages with < 3 sentences, 'lorem ipsum',
+        or curly braces. Zero shuffle — one split + one flat array
+        filter + re-join, word count as a regexp quantifier."""
+        docs = _read(spark, sf, "documents")
+        cols = TX.c4_filter_cols(F.col("text"))
+        return docs.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()])
+    q["c4_clean_docs"] = c4_clean_docs
+
     def repetition_stats(spark, sf):
         """Gopher repetition rules: per-doc top-2/3-gram character
         fraction + duplicate-5-gram character fraction — explode + window
@@ -1732,6 +1744,13 @@ def oracle_sql() -> dict[str, str]:
     o["doc_quality_filters"] = (
         "SELECT doc_id, "
         + ", ".join(f"{sql} AS {name}" for name, sql in gq.items())
+        + " FROM documents"
+    )
+
+    c4q = TX.c4_filter_sqls("text")
+    o["c4_clean_docs"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{sql} AS {name}" for name, sql in c4q.items())
         + " FROM documents"
     )
 

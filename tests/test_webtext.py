@@ -201,6 +201,62 @@ def test_near_dup_components_matches_recursive_sql(spark):
     assert got == want and got
 
 
+def test_c4_filters_rules_and_sql_parity(spark):
+    """Each C4 line/page rule triggered by a hand case + full
+    Spark↔DuckDB parity over the cases (incl. the empty-text
+    array_to_string NULL divergence, coalesced in the twin)."""
+    texts = [
+        ("ok", 'He said "stop right there."\nShe replied with a question?'
+               '\nIt ended with a quote line too."'),
+        ("mixed", "Good line stays right here.\nshort one.\n"
+                  "This line has no terminal punct\n"
+                  "This mentions JavaScript heavily today.\n"
+                  "Another fine sentence ends here!"),
+        ("lorem", "Lorem ipsum dolor sit amet today.\n"
+                  "A second proper sentence is here.\n"
+                  "A third proper sentence is here."),
+        ("brace", "function f() { return 1; } is code.\n"
+                  "More words follow the code line.\n"
+                  "Yet another full sentence here."),
+        ("fewsent", "One good sentence only stays here."),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(texts, "tag string, text string")
+    cols = TX.c4_filter_cols(F.col("text"))
+    out = {r.tag: r.asDict() for r in df.select(
+        "tag", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert out["ok"]["c4_pass"] and out["ok"]["n_lines_dropped"] == 0
+    # terminal-punct, word-count, and javascript rules each drop a line
+    assert out["mixed"]["n_lines_kept"] == 2
+    assert out["mixed"]["n_lines_dropped"] == 3
+    assert not out["mixed"]["c4_pass"]          # only 2 sentences survive
+    assert not out["lorem"]["c4_pass"]           # lorem ipsum page drop
+    assert out["lorem"]["n_lines_kept"] == 3     # ...but lines were fine
+    assert not out["brace"]["c4_pass"]           # curly-brace page drop
+    assert not out["fewsent"]["c4_pass"]         # < 3 sentences
+    assert out["empty"]["text_clean"] == "" and not out["empty"]["c4_pass"]
+
+    duckdb.sql("DROP TABLE IF EXISTS _c4q")
+    duckdb.sql("CREATE TABLE _c4q(tag VARCHAR, text VARCHAR)")
+    duckdb.executemany("INSERT INTO _c4q VALUES (?, ?)", texts)
+    sqls = TX.c4_filter_sqls("text")
+    sel = ", ".join(f"{s} AS {n}" for n, s in sqls.items())
+    names = list(sqls)
+    for tag, *vals in duckdb.sql(f"SELECT tag, {sel} FROM _c4q").fetchall():
+        assert tuple(out[tag][n] for n in names) == tuple(vals), tag
+
+
+def test_c4_filters_corpus_parity(spark, docs):
+    cols = TX.c4_filter_cols(F.col("text"))
+    got = sorted(tuple(r) for r in docs.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]).collect())
+    sqls = TX.c4_filter_sqls("text")
+    sel = ", ".join(f"{s} AS {n}" for n, s in sqls.items())
+    want = sorted(tuple(r) for r in duck(
+        f"SELECT doc_id, {sel} FROM documents"))
+    assert got == want
+
+
 def test_gopher_filters_rules_and_sql_parity(spark):
     """Each Gopher rule triggered by a hand case + full Spark↔DuckDB
     parity over the cases."""

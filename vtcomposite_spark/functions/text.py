@@ -209,6 +209,70 @@ def gopher_filter_sqls(c: str, min_words: int = 25,
     return sqls
 
 
+def c4_filter_cols(text: Column, min_line_words: int = 3,
+                   min_sentences: int = 3) -> dict[str, Column]:
+    """C4's line-level cleaning pass (Raffel et al. 2020, §2.2) — the
+    complement to the Gopher DOC-level bundle: lines are kept only when
+    they end in terminal punctuation (``. ! ? "``), carry at least
+    ``min_line_words`` words, and do not mention "javascript"
+    (case-insensitive); the page then drops entirely when the cleaned
+    text has fewer than ``min_sentences`` terminal marks (the sentence
+    proxy — consistent in both engines), mentions "lorem ipsum", or
+    contains a curly brace (code leakage). Returns {name → Column}:
+    ``text_clean`` (kept lines re-joined in order), ``n_lines_kept``,
+    ``n_lines_dropped``, ``c4_pass``.
+
+    Zero shuffle: one split + one single-level array filter + re-join,
+    all codegen (a stateless per-line rule needs no explode/regroup,
+    and the word-count rule is a regexp quantifier, not a nested
+    lambda — the nested-HOF hazard stays out)."""
+    wc = r"\S+(\s+\S+){%d,}" % (min_line_words - 1)
+    lines = _lines_col(text)
+    keep = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & l.rlike(wc)
+        & ~F.lower(l).contains("javascript"))
+    clean = F.array_join(keep, "\n")
+    marks = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
+    low = F.lower(clean)
+    c4_pass = ((marks >= min_sentences)
+               & ~low.contains("lorem ipsum")
+               & ~clean.contains("{")
+               & (F.size(keep) > 0))
+    return {
+        "text_clean": clean,
+        "n_lines_kept": F.size(keep).cast("long"),
+        "n_lines_dropped": (F.size(lines) - F.size(keep)).cast("long"),
+        "c4_pass": c4_pass,
+    }
+
+
+def c4_filter_sqls(c: str, min_line_words: int = 3,
+                   min_sentences: int = 3) -> dict[str, str]:
+    """DuckDB twins of ``c4_filter_cols``, same names, same rules."""
+    wc = r"\S+(\s+\S+){%d,}" % (min_line_words - 1)
+    lines = f"string_split({c}, chr(10))"
+    keep = (f"list_filter({lines}, l -> "
+            "regexp_matches(trim(l), '[.!?\"]$') AND "
+            f"regexp_matches(l, '{wc}') AND "
+            "NOT contains(lower(l), 'javascript'))")
+    # coalesce: DuckDB's array_to_string over an empty list yields NULL
+    # where Spark's array_join yields ''
+    clean = f"coalesce(array_to_string({keep}, chr(10)), '')"
+    marks = f"(length({clean}) - length(translate({clean}, '.!?', '')))"
+    c4_pass = (f"({marks} >= {min_sentences} "
+               f"AND NOT contains(lower({clean}), 'lorem ipsum') "
+               f"AND NOT contains({clean}, '{{') "
+               f"AND len({keep}) > 0)")
+    return {
+        "text_clean": clean,
+        "n_lines_kept": f"len({keep})::BIGINT",
+        "n_lines_dropped": f"(len({lines}) - len({keep}))::BIGINT",
+        "c4_pass": c4_pass,
+    }
+
+
 # --- PII scrub: email/phone redaction (regex kept to the Java∩RE2
 # common syntax so Spark and DuckDB replace identically) ---
 

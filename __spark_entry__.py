@@ -918,6 +918,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("zkey").agg(F.count("*").alias("n_events")))
     q["zorder_tile_keys"] = zorder_tile_keys
 
+    def pq_codes(spark, sf):
+        """Product quantization (Jégou 2011, seed codebook): 64 dims →
+        8 subspaces × 16 centroids = 8 four-bit codes per vector (the
+        64× storage shrink a vector corpus takes before ANN). Per-dim
+        squared diffs round to integer micros BEFORE the subspace sum;
+        argmin is the total (d_micro, centroid_id) order — value-exact
+        in both engines."""
+        from vtcomposite_spark.operators import similarity as SI
+        emb = _read(spark, sf, "embeddings")
+        return SI.pq_encode(emb, m=8, n_centroids=16, dims=64)
+    q["pq_codes"] = pq_codes
+
+    def pq_adc_topk(spark, sf):
+        """Asymmetric-distance top-k over the PQ codes: per-query
+        distance TABLE (Q·m·k integers, broadcast) joined onto the
+        codes on (sub, code), integer micro sums, per-query rank
+        window — the standard PQ search shape."""
+        from vtcomposite_spark.operators import similarity as SI
+        emb = _read(spark, sf, "embeddings")
+        return SI.pq_topk(emb.filter(F.col("vec_id") < 20), emb,
+                          k=5, m=8, n_centroids=16, dims=64)
+    q["pq_adc_topk"] = pq_adc_topk
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1887,6 +1910,12 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.similarity import semdedup_sql
     o["semdedup_keep"] = semdedup_sql(0.25, 8)
+
+    from vtcomposite_spark.operators.similarity import (pq_encode_sql,
+                                                        pq_topk_sql)
+    o["pq_codes"] = pq_encode_sql(m=8, n_centroids=16, dims=64)
+    o["pq_adc_topk"] = pq_topk_sql(5, m=8, n_centroids=16, dims=64,
+                                   query_where="vid < 20")
 
     o["doc_pagerank"] = GR.pagerank_sql(
         GR.doc_link_edges_sql(3, 256), iters=5)

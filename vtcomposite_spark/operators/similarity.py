@@ -363,3 +363,168 @@ def quantize_embeddings_sql(bits: int = 8, table: str = "embeddings",
         f"CAST(round((v - lo) / (hi - lo) * {levels}) AS INTEGER) END "
         "AS code FROM d JOIN s USING (dim)"
     )
+
+
+def _pq_dist_micro(vecs: DataFrame, cb: DataFrame,
+                   sub_dims: int) -> DataFrame:
+    """Per-(vector, subspace, centroid) squared-L2 distance in INTEGER
+    micro units: each per-dimension squared diff rounds to micros
+    BEFORE the sum (the bm25 discipline — double-sum order is
+    engine-dependent; the integer sum is not). ``vecs`` = (_vid, dim,
+    v); ``cb`` = (centroid_id, dim, cv); dims are global, the subspace
+    is dim div sub_dims."""
+    return (vecs.join(F.broadcast(cb), "dim")
+            .withColumn("_dm", F.expr(
+                "CAST(round((v - cv) * (v - cv) * 1000000.0) AS BIGINT)"))
+            .groupBy("_vid",
+                     F.expr(f"dim div {sub_dims}").alias("sub"),
+                     "centroid_id")
+            .agg(F.sum("_dm").alias("d_micro")))
+
+
+def pq_codebook(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
+                dims: int | None = None, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization codebook, SEED variant (the n_centroids
+    lowest-id corpus vectors, like ``_seed_centroids`` — deterministic,
+    so the whole PQ pipeline is SQL-replayable; a kmeans codebook would
+    slot in the same shape rows-only). Returns (centroid_id, dim, cv)
+    with GLOBAL dims — subspace j covers dims [j·D/m, (j+1)·D/m)."""
+    if dims is None:
+        dims = corpus.select(F.size(vec_col)).first()[0]
+    if dims % m != 0:
+        raise ValueError(f"pq: dims {dims} not divisible by m {m}")
+    seeds = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    return seeds.select(
+        F.col(id_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "cv"))
+
+
+def pq_encode(corpus: DataFrame, m: int = 8, n_centroids: int = 16,
+              dims: int | None = None, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split D dims
+    into ``m`` contiguous subspaces, code each subvector as its nearest
+    codebook centroid by squared L2 → (id, sub, code) rows, ``m``
+    small codes per vector — the log₂(k)·m-bit representation a 100-TB
+    vector corpus stores instead of floats (64-dim float32 at m=8,
+    k=16: 256 bytes → 4 bytes).
+
+    Engine-exact: per-dim squared diffs round to integer micros before
+    the subspace sum, and the argmin is the TOTAL (d_micro ASC,
+    centroid_id ASC) order — ``pq_encode_sql`` replays the codes
+    value-identically (the ``pq_codes`` oracle row).
+
+    100-TB shape: the codebook is m·k·(D/m) doubles broadcast; the
+    corpus explodes to N·D rows, joins the broadcast, and aggregates
+    map-side to N·m·k then N·m — one shuffle on the vector id, no
+    all-pairs anywhere."""
+    if dims is None:
+        dims = corpus.select(F.size(vec_col)).first()[0]
+    if dims % m != 0:
+        raise ValueError(f"pq: dims {dims} not divisible by m {m}")
+    cb = pq_codebook(corpus, m, n_centroids, dims, vec_col, id_col)
+    d = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "v"))
+    dist = _pq_dist_micro(d, cb, dims // m)
+    w = Window.partitionBy("_vid", "sub").orderBy(
+        F.col("d_micro").asc(), F.col("centroid_id").asc())
+    return (dist.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("_vid").alias(id_col), "sub",
+                    F.col("centroid_id").alias("code")))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
+            n_centroids: int = 16, dims: int | None = None,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays a
+    float vector, each corpus vector is its m codes, and the distance
+    is the sum of per-subspace (query-subvector → coded centroid)
+    table lookups — the standard PQ search. Returns (query_id,
+    corpus_id, adist_micro, rank), nearest first, approximate by
+    construction (codes quantize; recall measured in tests).
+
+    100-TB shape: the per-query distance TABLE is Q·m·k integers
+    (broadcast); the corpus side is its codes (N·m rows, no floats) —
+    one equi-join on (sub, code) + one keys-only sum per pair, then the
+    per-query rank window. Integer micro sums keep it engine-exact
+    under the full oracle (``pq_adc_topk``)."""
+    if dims is None:
+        dims = corpus.select(F.size(vec_col)).first()[0]
+    if dims % m != 0:
+        raise ValueError(f"pq: dims {dims} not divisible by m {m}")
+    cb = pq_codebook(corpus, m, n_centroids, dims, vec_col, id_col)
+    codes = pq_encode(corpus, m, n_centroids, dims, vec_col, id_col)
+    qd = queries.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "v"))
+    qtab = (_pq_dist_micro(qd, cb, dims // m)
+            .select(F.col("_vid").alias("query_id"), "sub",
+                    F.col("centroid_id").alias("code"),
+                    "d_micro"))
+    cand = (codes.select(F.col(id_col).alias("corpus_id"), "sub", "code")
+            .join(F.broadcast(qtab), ["sub", "code"])
+            .filter(F.col("query_id") != F.col("corpus_id"))
+            .groupBy("query_id", "corpus_id")
+            .agg(F.sum("d_micro").alias("adist_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("corpus_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "adist_micro", "rank"))
+
+
+def _pq_sql_parts(m: int, n_centroids: int, dims: int,
+                  table: str, id_col: str, vec_col: str) -> str:
+    sd = dims // m
+    return (
+        f"WITH v AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS e "
+        f"FROM {table}), "
+        f"seeds AS (SELECT vid AS centroid_id, e FROM v "
+        f"ORDER BY vid LIMIT {n_centroids}), "
+        "cb AS (SELECT centroid_id, g.i - 1 AS dim, e[g.i] AS cv "
+        "FROM seeds, unnest(generate_series(1, len(e))) AS g(i)), "
+        "d AS (SELECT vid, g.i - 1 AS dim, e[g.i] AS val "
+        "FROM v, unnest(generate_series(1, len(e))) AS g(i)), "
+        "dist AS (SELECT d.vid, cb.centroid_id, "
+        f"(d.dim // {sd}) AS sub, "
+        "sum(CAST(round((d.val - cb.cv) * (d.val - cb.cv) * 1000000.0) "
+        "AS BIGINT)) AS d_micro "
+        "FROM d JOIN cb USING (dim) GROUP BY 1, 2, 3), "
+        "codes AS (SELECT vid, sub, centroid_id AS code FROM ("
+        "SELECT vid, sub, centroid_id, row_number() OVER ("
+        "PARTITION BY vid, sub ORDER BY d_micro ASC, centroid_id ASC) "
+        "AS r FROM dist) WHERE r = 1)")
+
+
+def pq_encode_sql(m: int = 8, n_centroids: int = 16, dims: int = 64,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``pq_encode`` (dims must be passed — the SQL form
+    cannot infer it)."""
+    return (_pq_sql_parts(m, n_centroids, dims, table, id_col, vec_col)
+            + f" SELECT vid AS {id_col}, sub, code FROM codes")
+
+
+def pq_topk_sql(k: int, m: int = 8, n_centroids: int = 16, dims: int = 64,
+                query_where: str = "TRUE", table: str = "embeddings",
+                id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``pq_topk`` with the query set selected by
+    ``query_where`` over the dist CTE's vid."""
+    return (
+        _pq_sql_parts(m, n_centroids, dims, table, id_col, vec_col)
+        + ", qtab AS (SELECT vid AS query_id, sub, centroid_id AS code, "
+        f"d_micro FROM dist WHERE {query_where.replace('q.', '')}), "
+        "cand AS (SELECT q.query_id, c.vid AS corpus_id, "
+        "sum(q.d_micro) AS adist_micro FROM codes c "
+        "JOIN qtab q ON q.sub = c.sub AND q.code = c.code "
+        "WHERE q.query_id != c.vid GROUP BY 1, 2) "
+        "SELECT query_id, corpus_id, adist_micro, rank FROM ("
+        "SELECT query_id, corpus_id, adist_micro, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adist_micro ASC, corpus_id ASC) "
+        f"AS rank FROM cand) WHERE rank <= {k}")

@@ -941,6 +941,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           k=5, m=8, n_centroids=16, dims=64)
     q["pq_adc_topk"] = pq_adc_topk
 
+    def lpa_communities(spark, sf):
+        """Deterministic label propagation (Raghavan 2007) over the
+        undirected link graph: communities = densely linked page
+        neighborhoods (site families / link farms), the coarse
+        complement to connected components. Votes are weighted
+        neighbor-label counts under the total (count DESC, label ASC)
+        order; one keys-only count + argmin-struct shuffle per round."""
+        docs = _read(spark, sf, "documents")
+        edges = GR.doc_link_edges(docs, out_degree=3, mod=256)
+        return GR.label_propagation(edges, iters=3)
+    q["lpa_communities"] = lpa_communities
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1951,6 +1963,9 @@ def oracle_sql() -> dict[str, str]:
     o["hard_negative_mining"] = hard_negatives_sql(5, "q.vec_id < 15")
 
     o["hits_scores"] = GR.hits_sql(
+        GR.doc_link_edges_sql(3, 256), iters=3)
+
+    o["lpa_communities"] = GR.label_propagation_sql(
         GR.doc_link_edges_sql(3, 256), iters=3)
 
     from vtcomposite_spark.operators.sessions import (session_stats_sql,

@@ -260,3 +260,75 @@ def test_hits_duckdb_twin_parity(spark):
     sql = G.hits_sql(G.doc_link_edges_sql(3, 64), iters=3)
     want = {(int(a), int(b), int(c)) for a, b, c in con.sql(sql).fetchall()}
     assert got == want
+
+
+# --- Label propagation (community detection) ---
+
+def _py_lpa(edges, iters):
+    """Pure-python spec twin: synchronous, (count DESC, label ASC)."""
+    und = edges + [(b, a) for a, b in edges]
+    nodes = sorted({a for a, _ in und})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            cnt = {}
+            for a, b in und:
+                if a == v:
+                    cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            new[v] = (min(cnt, key=lambda l: (-cnt[l], l))
+                      if cnt else lab[v])
+        lab = new
+    return lab
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two K4 cliques joined by one bridge edge: each clique collapses
+    to its min label by round 2 — the in-clique majority beats the
+    bridge vote (in round 1 every vote ties, so min-label leaks over
+    the bridge briefly; the majority reclaims it). Engine == the
+    pure-python spec at every round depth."""
+    k4a = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k4b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    edges = k4a + k4b + [(3, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for it in (1, 2, 4):
+        got = {r.id: r.label
+               for r in G.label_propagation(e, iters=it).collect()}
+        assert got == _py_lpa(edges, it), it
+    assert got == {v: 0 for v in range(4)} | {v: 10 for v in range(10, 14)}
+
+
+def test_lpa_zero_iters_and_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.id: r.label for r in G.label_propagation(e, iters=0).collect()}
+    assert got == {0: 0, 1: 1}
+    with pytest.raises(ValueError):
+        G.label_propagation(e, iters=-1)
+
+
+def test_lpa_multi_edge_weight_breaks_tie(spark):
+    """Node 2 sees label-0 twice (doubled edge) vs label-1 once — the
+    weighted vote wins; unweighted, the tie would fall to label 0 by
+    the ASC tie-break anyway, so ALSO test the mirror (doubled edge to
+    the HIGHER label overcomes the ASC tie-break)."""
+    e = spark.createDataFrame([(2, 0), (2, 0), (2, 1)],
+                              "src long, dst long")
+    got = {r.id: r.label for r in G.label_propagation(e, iters=1).collect()}
+    assert got[2] == 0
+    e2 = spark.createDataFrame([(2, 1), (2, 1), (2, 0)],
+                               "src long, dst long")
+    got2 = {r.id: r.label for r in G.label_propagation(e2, iters=1).collect()}
+    assert got2[2] == 1  # weight overcomes the label-ASC tie rule
+
+
+def test_lpa_duckdb_twin_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = G.doc_link_edges(docs, out_degree=3, mod=64)
+    got = {(r.id, r.label) for r in
+           G.label_propagation(edges, iters=3).collect()}
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    sql = G.label_propagation_sql(G.doc_link_edges_sql(3, 64), iters=3)
+    want = {(int(a), int(b)) for a, b in con.sql(sql).fetchall()}
+    assert got == want

@@ -330,6 +330,88 @@ def hits_sql(edges_sql: str, iters: int = 3, scale: int = 10 ** 9) -> str:
     return "".join(parts)
 
 
+def label_propagation(edges: DataFrame, iters: int = 5,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED view of the link graph — community detection, the
+    coarse-grained complement to ``near_dup_components`` (CC finds
+    connected pieces; LPA finds densely linked neighborhoods inside
+    them: site families, topical clusters, link farms). Returns
+    (id, label) after ``iters`` synchronous rounds; labels start as
+    node ids.
+
+    Deterministic variant (the repo rule — classic LPA random-ties
+    would differ per run and per engine): each node adopts the label
+    most frequent among its neighbors under the TOTAL (count DESC,
+    label ASC) order; an isolated node keeps its own label. Multi-edges
+    count as weight, both directions (the undirected view duplicates
+    each edge reversed).
+
+    Synchronous LPA can two-color oscillate on bipartite structures —
+    iters is a hard cap by design and the fixpoint is NOT asserted
+    (unlike near_dup_components, whose min-label lattice makes
+    convergence checkable); communities are a heuristic signal, and
+    the unrolled SQL twin replays whatever state round N reaches.
+
+    100-TB shape: one (dst, label) count shuffle + one argmin-struct
+    agg per round — keys only, map-side combinable; localCheckpoint
+    per round cuts the lineage, as in ``pagerank``.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    d = edges.select(F.col(src_col).cast("long").alias("a"),
+                     F.col(dst_col).cast("long").alias("b"))
+    e = d.unionByName(d.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))).persist()
+    nodes = e.select(F.col("a").alias("id")).distinct().persist()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        votes = (e.join(labels.select(F.col("id").alias("b"), "label"),
+                        "b")
+                 .groupBy("a", "label").agg(F.count("*").alias("n")))
+        best = (votes.groupBy("a")
+                .agg(F.min(F.struct((-F.col("n")).alias("_neg"),
+                                    F.col("label").alias("_l")))
+                     .alias("_w"))
+                .select(F.col("a").alias("id"),
+                        F.col("_w._l").alias("_new")))
+        labels = (nodes.join(best, "id", "left")
+                  .join(labels, "id")
+                  .select("id", F.coalesce("_new", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+    e.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, iters: int = 5) -> str:
+    """DuckDB twin of ``label_propagation`` — the loop unrolled;
+    MATERIALIZED round CTEs (each is referenced twice, and DuckDB
+    would otherwise inline the chain exponentially, as in
+    ``hits_sql``)."""
+    parts = [
+        f"WITH e0 AS ({edges_sql}), "
+        "e AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM e), "
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)"
+    ]
+    for k in range(iters):
+        parts.append(
+            f", l{k + 1} AS MATERIALIZED (SELECT n.id, "
+            "coalesce(w.lab, l.label) AS label "
+            "FROM nodes n "
+            f"JOIN l{k} l ON n.id = l.id "
+            "LEFT JOIN (SELECT a AS id, "
+            "(min(struct_pack(_neg := -n, _l := label)))._l AS lab "
+            "FROM (SELECT e.a, l.label, count(*) AS n FROM e "
+            f"JOIN l{k} l ON e.b = l.id GROUP BY 1, 2) GROUP BY 1) w "
+            "ON n.id = w.id)")
+    parts.append(f" SELECT id, label FROM l{iters}")
+    return "".join(parts)
+
+
 def degree_stats(edges: DataFrame, src_col: str = "src",
                  dst_col: str = "dst") -> DataFrame:
     """Per-node link-graph degrees: (id, out_deg, in_deg, dangling) —

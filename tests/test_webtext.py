@@ -1478,3 +1478,29 @@ def test_pq_topk_twin_parity_and_recall(spark, emb):
     pq = {(g[0], g[1]) for g in got}
     recall = len(brute & pq) / len(brute)
     assert recall >= 0.2, recall
+
+
+def test_write_sequences_shards_and_conservation(spark, tmp_path):
+    """Materialized training shards: every full sequence is exactly
+    seq_tokens long, the final one may be short, total tokens conserve,
+    sequence content equals the concatenated id-ordered token stream,
+    and the parquet layout shards by seq_idx div shard_sequences."""
+    import os
+
+    from vtcomposite_spark.operators import chunking as CH
+    rows = [(1, "a b c d e"), (2, ""), (3, "f g"), (4, "h i j")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "seqs")
+    man = CH.write_sequences(docs, path, seq_tokens=4,
+                             shard_sequences=2).collect()
+    # 10 tokens → sequences of 4/4/2, shards 0 (seq 0,1) and 1 (seq 2)
+    assert [(r.shard, r.n_sequences, r.n_tokens) for r in man] == \
+        [(0, 2, 8), (1, 1, 2)]
+    back = {r.seq_idx: list(r.tokens)
+            for r in spark.read.parquet(path).collect()}
+    stream = "a b c d e f g h i j".split()
+    assert back == {0: stream[0:4], 1: stream[4:8], 2: stream[8:10]}
+    assert sorted(os.listdir(path))[-2:] == ["shard=0", "shard=1"]
+    import pytest
+    with pytest.raises(ValueError):
+        CH.write_sequences(docs, path + "2", shard_sequences=0)

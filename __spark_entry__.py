@@ -213,6 +213,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "dst_url")
     q["page_link_edges"] = page_link_edges
 
+    def page_anchor_edges(spark, sf):
+        """Outlinks WITH anchor text over the same synthetic pages
+        (gzip-mixed): full anchor elements harvested, tag-stripped,
+        whitespace-collapsed — each resolved dst pairs with ITS text;
+        fragment-only and mailto anchors drop with theirs."""
+        from vtcomposite_spark.sources.pages import (extract_anchors,
+                                                     linkful_html_col)
+        docs = _read(spark, sf, "documents")
+        g = F.expr("doc_id div 4")
+        rich = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://site"), (g % 7).cast("string"),
+                     F.lit(".example.com/a/p"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("url"),
+            linkful_html_col(F.col("text"), F.col("doc_id")).alias("h"))
+        pages = encode_html_pages(rich, F.col("h"),
+                                  gzip_if=(F.col("doc_id") % 10 < 3),
+                                  keep=["doc_id", "url"])
+        return extract_anchors(pages, keep=["doc_id"]) \
+            .select("doc_id", "dst_url", "anchor")
+    q["page_anchor_edges"] = page_anchor_edges
+
     def surt_keys(spark, sf):
         """SURT index keys (the CC/OpenWayback CDX key): urls with
         mixed case, www., ports, queries, and fragments map to the
@@ -1444,6 +1467,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, unnest("
         f"{extract_links_sql(linkful_html_sql('text', 'doc_id'), _link_url)}"
         ") AS dst_url FROM documents"
+    )
+
+    from vtcomposite_spark.functions.text import extract_anchors_sql
+    o["page_anchor_edges"] = (
+        "SELECT doc_id, u.dst_url AS dst_url, u.anchor AS anchor "
+        "FROM (SELECT doc_id, unnest("
+        f"{extract_anchors_sql(linkful_html_sql('text', 'doc_id'), _link_url)}"
+        ") AS u FROM documents)"
     )
 
     o["tile_ancestry_filter"] = (

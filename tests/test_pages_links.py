@@ -126,3 +126,61 @@ def test_href_lookalike_attributes_do_not_match(spark):
     want = con.sql(f"select {extract_links_sql('h', 'base')} from la_t") \
         .fetchall()[0][0]
     assert got == list(want)
+
+
+# --- anchor-text extraction (extract_anchors) ---
+
+ANCHOR_CASES = [
+    # each dst pairs with ITS OWN text; nested markup tag-strips;
+    # whitespace collapses; unresolvable anchors drop WITH their text
+    ("https://a.com/x/page.html",
+     '<a href="https://b.com/p">First  link</a>'
+     '<a href="/root"><b>bold</b> text</a>'
+     '<a href="rel.html">multi\n  line</a>'
+     '<a href="#frag">dropped</a>'
+     '<a href="mailto:x@y">also dropped</a>'
+     "<a href='sq.html'></a>"),
+]
+ANCHOR_EXPECT = [
+    ("https://b.com/p", "First link"),
+    ("https://a.com/root", "bold text"),
+    ("https://a.com/x/rel.html", "multi line"),
+    ("https://a.com/x/sq.html", ""),
+]
+
+
+def test_anchor_hand_matrix_both_engines(spark):
+    from vtcomposite_spark.functions.text import (extract_anchors_col,
+                                                  extract_anchors_sql)
+    base, html = ANCHOR_CASES[0]
+    df = spark.createDataFrame([(base, html)], "url string, h string")
+    got = [ (s.dst_url, s.anchor) for s in df.select(
+        extract_anchors_col(F.col("h"), F.col("url")).alias("a"))
+        .collect()[0].a ]
+    assert got == ANCHOR_EXPECT
+    duckdb.register("_anc", pd.DataFrame({"url": [base], "h": [html]}))
+    want = duckdb.sql(
+        f"select {extract_anchors_sql('h', 'url')} from _anc").fetchone()[0]
+    assert [(w["dst_url"], w["anchor"]) for w in want] == ANCHOR_EXPECT
+
+
+def test_anchor_operator_through_gzip_seam(spark):
+    """extract_anchors over encoded (30% gzipped) pages == the
+    expression twin — and each edge carries its own anchor text."""
+    from vtcomposite_spark.sources.pages import extract_anchors
+    rows = [(i, f"https://s{i % 3}.example.com/d/p{i}.html",
+             f'<html><body><a href="t{i}.html">to {i} </a>'
+             f'<a href="/z"><i>zed {i}</i></a></body></html>')
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, h string")
+    pages = encode_html_pages(df, F.col("h"),
+                              gzip_if=(F.col("doc_id") % 10 < 3),
+                              keep=["doc_id", "url"])
+    got = sorted((r.doc_id, r.dst_url, r.anchor) for r in
+                 extract_anchors(pages, keep=["doc_id", "url"]).collect())
+    want = sorted(
+        [(i, f"https://s{i % 3}.example.com/d/t{i}.html", f"to {i}")
+         for i in range(40)]
+        + [(i, f"https://s{i % 3}.example.com/z", f"zed {i}")
+           for i in range(40)])
+    assert got == want

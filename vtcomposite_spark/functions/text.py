@@ -542,9 +542,9 @@ def extract_links_col(html_str: Column, base_url: Column) -> Column:
         lambda x: x.isNotNull())
 
 
-def extract_links_sql(html_c: str, base_c: str) -> str:
-    """DuckDB twin of :func:`extract_links_col`."""
-    pat = HREF_PATTERN.replace("'", "''")
+def _resolve_href_sql(href_expr: str, base_c: str) -> str:
+    """The RFC 3986-subset resolution CASE over a DuckDB href
+    expression — shared by the links and anchors twins."""
     sh = f"coalesce(regexp_extract({base_c}, '{SCHEME_HOST_PATTERN}'), '')"
     scheme = f"coalesce(regexp_extract({base_c}, '{_SCHEME_PREFIX}'), '')"
     rest = (f"regexp_replace(substr({base_c}, length({sh}) + 1), "
@@ -552,17 +552,66 @@ def extract_links_sql(html_c: str, base_c: str) -> str:
     stripped = f"regexp_replace({rest}, '[^/]*$', '')"
     dirp = (f"({sh} || CASE WHEN {stripped} = '' THEN '/' "
             f"ELSE {stripped} END)")
-    h = "regexp_replace(x, '#.*', '')"
-    resolve = (
+    h = f"regexp_replace({href_expr}, '#.*', '')"
+    return (
         f"CASE WHEN {h} = '' THEN NULL "
         f"WHEN regexp_matches({h}, '^https?://') THEN {h} "
         f"WHEN regexp_matches({h}, '{_SCHEME_PREFIX}') THEN NULL "
         f"WHEN starts_with({h}, '//') THEN {scheme} || {h} "
         f"WHEN starts_with({h}, '/') THEN {sh} || {h} "
         f"ELSE {dirp} || {h} END")
+
+
+def extract_links_sql(html_c: str, base_c: str) -> str:
+    """DuckDB twin of :func:`extract_links_col`."""
+    pat = HREF_PATTERN.replace("'", "''")
+    resolve = _resolve_href_sql("x", base_c)
     return (f"list_filter(list_transform("
             f"regexp_extract_all({html_c}, '{pat}', 1), "
             f"x -> {resolve}), x -> x IS NOT NULL)")
+
+
+# Full anchor ELEMENTS (open tag through </a>) — non-greedy across the
+# body; nested markup inside the anchor is kept and tag-stripped from
+# the text. Java and RE2 agree on (?is) flags and non-greedy .*?.
+ANCHOR_ELEM_PATTERN = r"(?is)<a\s[^>]*>.*?</a>"
+
+
+def extract_anchors_col(html_str: Column, base_url: Column) -> Column:
+    """array<struct<dst_url, anchor>> — outlinks WITH their anchor text
+    (the classic web-retrieval signal: what other pages call a page).
+    Anchor text = the element's tag-stripped body, whitespace collapsed
+    and trimmed (anchors are display text, not the byte-identity
+    ``extract_text`` path — collapsing is the point here). Unresolvable
+    hrefs (fragment-only, non-http schemes) drop with their text."""
+    elems = F.regexp_extract_all(
+        html_str, F.lit(ANCHOR_ELEM_PATTERN), F.lit(0))
+
+    def mk(e: Column) -> Column:
+        txt = F.trim(F.regexp_replace(
+            F.regexp_replace(e, F.lit(r"(?s)<[^>]*>"), F.lit("")),
+            F.lit(r"\s+"), F.lit(" ")))
+        href = F.regexp_extract(e, HREF_PATTERN, 1)
+        return F.struct(
+            resolve_href_col(href, base_url).alias("dst_url"),
+            txt.alias("anchor"))
+
+    return F.filter(F.transform(elems, mk),
+                    lambda s: s["dst_url"].isNotNull())
+
+
+def extract_anchors_sql(html_c: str, base_c: str) -> str:
+    """DuckDB twin of :func:`extract_anchors_col` — a list of
+    struct(dst_url, anchor); unnest + field access in the caller."""
+    epat = ANCHOR_ELEM_PATTERN.replace("'", "''")
+    hpat = HREF_PATTERN.replace("'", "''")
+    txt = ("trim(regexp_replace(regexp_replace(x, '(?s)<[^>]*>', '', 'g'), "
+           r"'\s+', ' ', 'g'))")
+    resolve = _resolve_href_sql(f"regexp_extract(x, '{hpat}', 1)", base_c)
+    return (f"list_filter(list_transform("
+            f"regexp_extract_all({html_c}, '{epat}', 0), "
+            f"x -> struct_pack(dst_url := {resolve}, anchor := {txt})), "
+            "s -> s.dst_url IS NOT NULL)")
 
 
 # --- URL canonicalization (crawl-dedupe normalization) ---

@@ -297,6 +297,36 @@ def extract_links(pages: DataFrame, keep: list[str] | None = None,
             .drop("_href", "_base"))
 
 
+def extract_anchors(pages: DataFrame, keep: list[str] | None = None,
+                    url_col: str = "url") -> DataFrame:
+    """keep-columns + (``dst_url``, ``anchor``): one row per resolved
+    outlink WITH its anchor text — the web-retrieval signal
+    ``extract_links`` drops (what other pages call a page: anchor-term
+    aggregation per target feeds ranking and query mining). Same seam
+    discipline: decode once, then full-anchor-element harvesting and
+    tag-strip/collapse as codegen over exploded elements; unresolvable
+    hrefs never materialize."""
+    from ..functions.text import (ANCHOR_ELEM_PATTERN, HREF_PATTERN,
+                                  resolve_href_col)
+    keep = keep or [url_col]
+    kcols = list(dict.fromkeys([*keep, url_col]))
+    d = decoded_html(pages, keep=kcols)
+    e = (d.select(*keep,
+                  F.col(url_col).alias("_base"),
+                  F.explode(F.regexp_extract_all(
+                      F.col("html_str"), F.lit(ANCHOR_ELEM_PATTERN),
+                      F.lit(0))).alias("_elem"))
+         .withColumn("dst_url",
+                     resolve_href_col(
+                         F.regexp_extract(F.col("_elem"), HREF_PATTERN, 1),
+                         F.col("_base")))
+         .filter(F.col("dst_url").isNotNull()))
+    txt = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_elem"), F.lit(r"(?s)<[^>]*>"),
+                         F.lit("")), F.lit(r"\s+"), F.lit(" ")))
+    return e.withColumn("anchor", txt).drop("_elem", "_base")
+
+
 def enrich_pages(pages: DataFrame, keep: list[str] | None = None,
                  url_col: str = "url") -> DataFrame:
     """The one-call crawl-enrichment pass: keep-columns + the full

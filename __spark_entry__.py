@@ -61,6 +61,33 @@ _ROBOTS_CORPUS = [
 ]
 
 
+_ROBOTS_DELAY_CORPUS = [
+    # named group's delay beats the '*' fallback's
+    ("site0.example.com",
+     "User-agent: cc-bot\nCrawl-delay: 2\nDisallow: /x\n\n"
+     "User-agent: *\nCrawl-delay: 9"),
+    # only '*': two valid lines take MAX, junk drops fail-open
+    ("site1.example.com",
+     "User-agent: *\nCrawl-delay: 1.5\nCrawl-delay: 3\n"
+     "Crawl-delay: soon"),
+    # no directive → no row
+    ("site2.example.com", "User-agent: *\nDisallow: /p"),
+    # shared-UA group + CRLF/tab noise
+    ("site3.example.com",
+     "User-agent: GPTBot\r\nUser-agent: CC-Bot\r\n\tCrawl-delay:\t4"),
+]
+
+
+def _robots_delay_corpus_sql() -> str:
+    rows = ", ".join(
+        "('{h}', {t})".format(
+            h=h, t=" || chr(10) || ".join(
+                "'" + ln.replace("'", "''") + "'"
+                for ln in txt.split("\n")))
+        for h, txt in _ROBOTS_DELAY_CORPUS)
+    return f"SELECT * FROM (VALUES {rows}) AS _rdc(host, robots_txt)"
+
+
 def _robots_corpus_sql() -> str:
     rows = ", ".join(
         "('{h}', {t})".format(
@@ -1052,6 +1079,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.robots_sitemaps(robots).orderBy("host", "sitemap_url")
     q["robots_sitemap_urls"] = robots_sitemap_urls
 
+    def robots_crawl_delays(spark, sf):
+        """Crawl-delay of the group governing the agent (the de-facto
+        frontier rate limit): same RFC max-specificity group selection
+        as the rules — a named group EXCLUDES the '*' fallback — with
+        non-numeric values dropped fail-open and multi-line MAX."""
+        from vtcomposite_spark.operators import web as W
+        robots = spark.createDataFrame(
+            _ROBOTS_DELAY_CORPUS, "host string, robots_txt string")
+        _ = _read(spark, sf, "documents").limit(1).count()
+        return W.robots_crawl_delay(robots, agent="cc-bot")
+    q["robots_crawl_delays"] = robots_crawl_delays
+
     def host_concentration(spark, sf):
         """Corpus-diversity diagnostic: docs/hosts counts, the integer
         HHI numerator sum(n_h²), and the (count DESC, host ASC) top
@@ -1412,6 +1451,10 @@ def oracle_sql() -> dict[str, str]:
 
     from vtcomposite_spark.operators.web import robots_sitemaps_sql
     o["robots_sitemap_urls"] = robots_sitemaps_sql(_robots_corpus_sql())
+
+    from vtcomposite_spark.operators.web import robots_crawl_delay_sql
+    o["robots_crawl_delays"] = robots_crawl_delay_sql(
+        _robots_delay_corpus_sql(), agent="cc-bot")
 
     from vtcomposite_spark.functions.text import surt_sql
     _surt_url = (

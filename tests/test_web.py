@@ -389,3 +389,36 @@ def test_robots_sitemaps(spark):
     want = set(map(tuple, con.sql(W.robots_sitemaps_sql(
         "select host, robots_txt from sm_r")).fetchall()))
     assert got == want
+
+
+def test_robots_crawl_delay_group_selection_and_hazards(spark):
+    """Crawl-delay follows the same RFC group selection as the rules:
+    a named group EXCLUDES the '*' fallback; non-numeric values drop
+    (fail-open); several valid lines take the MAX; hosts without the
+    directive emit nothing. DuckDB twin replays it."""
+    import duckdb as _dd
+
+    from vtcomposite_spark.operators.web import (robots_crawl_delay,
+                                                 robots_crawl_delay_sql)
+    rows = [
+        # named group (delay 2) must beat the '*' group (delay 9)
+        ("a.com", "User-agent: spark-graft\nCrawl-delay: 2\n"
+                  "Disallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"),
+        # only '*' → its delay applies; two lines → max; junk drops
+        ("b.com", "User-agent: *\nCrawl-delay: 1.5\n"
+                  "Crawl-delay: 3\nCrawl-delay: soon\n"),
+        # no crawl-delay at all → no row
+        ("c.com", "User-agent: *\nDisallow: /p\n"),
+        # CRLF + tab noise still parses
+        ("d.com", "User-agent: *\r\n\tCrawl-delay:\t4\r\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r.host: r.delay_s for r in
+           robots_crawl_delay(df, agent="spark-graft").collect()}
+    assert got == {"a.com": 2.0, "b.com": 3.0, "d.com": 4.0}
+    _dd.sql("DROP TABLE IF EXISTS _rcd")
+    _dd.sql("CREATE TABLE _rcd(host VARCHAR, robots_txt VARCHAR)")
+    _dd.executemany("INSERT INTO _rcd VALUES (?, ?)", rows)
+    want = dict(_dd.sql(robots_crawl_delay_sql(
+        "SELECT * FROM _rcd", agent="spark-graft")).fetchall())
+    assert got == want

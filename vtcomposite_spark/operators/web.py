@@ -214,15 +214,11 @@ def crawl_diff_sql(old_sql: str, new_sql: str, key_col: str = "url",
 # beats Disallow. No matching rule — or no robots.txt for the host —
 # means allowed.
 
-def parse_robots(robots: DataFrame, agent: str = "*",
-                 host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """(host, rule_path, allow) — the rules governing ``agent``.
-
-    100-TB shape: rows ∝ robots.txt LINES (a per-host-bounded, tiny
-    table next to the url corpus); the two windows partition by host,
-    so group reconstruction never shuffles more than one host's lines
-    to a task."""
+def _robots_toks_groups(robots: DataFrame, agent: str,
+                        host_col: str, txt_col: str):
+    """Shared group machinery for the robots operators: the tokenized
+    line view (host, line_no, _dir, _val, _blk) and the per-host
+    SELECTED group ids (RFC 9309 max-specificity)."""
     # CR (CRLF robots.txt — the common HTTP/WARC framing) and BOM bytes
     # would otherwise poison '_val' and fail OPEN; '\s'-trim also eats
     # tabs, which F.trim does not
@@ -265,6 +261,19 @@ def parse_robots(robots: DataFrame, agent: str = "*",
     groups = (cand.join(best, "host")
               .filter(F.col("_m") == F.col("_best"))
               .select("host", "_blk").distinct())
+    return toks, groups
+
+
+def parse_robots(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, rule_path, allow) — the rules governing ``agent``.
+
+    100-TB shape: rows ∝ robots.txt LINES (a per-host-bounded, tiny
+    table next to the url corpus); the two windows partition by host,
+    so group reconstruction never shuffles more than one host's lines
+    to a task."""
+    toks, groups = _robots_toks_groups(robots, agent, host_col, txt_col)
     rules = toks.filter(F.col("_dir").isin("allow", "disallow") &
                         (F.col("_val") != "") & (F.col("_blk") > 0))
     return (rules.join(groups, ["host", "_blk"], "left_semi")
@@ -272,10 +281,31 @@ def parse_robots(robots: DataFrame, agent: str = "*",
                     (F.col("_dir") == "allow").alias("allow")))
 
 
-def parse_robots_sql(robots_sql: str, agent: str = "*",
-                     host_col: str = "host",
-                     txt_col: str = "robots_txt") -> str:
-    """DuckDB twin of :func:`parse_robots`."""
+def robots_crawl_delay(robots: DataFrame, agent: str = "*",
+                       host_col: str = "host",
+                       txt_col: str = "robots_txt") -> DataFrame:
+    """(host, delay_s) — the ``Crawl-delay`` of the group governing
+    ``agent`` (the de-facto frontier rate limit; not in RFC 9309 but
+    honored by most crawlers, so a polite frontier reads it). Group
+    selection is the same max-specificity machinery as the rules;
+    non-numeric values drop (the fail-open line-hazard rule) and
+    several valid lines in the governing groups take the MAX — the
+    conservative (politest) reading. Hosts with no directive emit no
+    row (caller applies its own default)."""
+    toks, groups = _robots_toks_groups(robots, agent, host_col, txt_col)
+    d = (toks.filter((F.col("_dir") == "crawl-delay")
+                     & (F.col("_blk") > 0))
+         .join(groups, ["host", "_blk"], "left_semi")
+         .select("host",
+                 F.expr("try_cast(_val AS double)").alias("delay_s"))
+         .filter(F.col("delay_s").isNotNull()))
+    return d.groupBy("host").agg(F.max("delay_s").alias("delay_s"))
+
+
+def _robots_prefix_sql(robots_sql: str, agent: str,
+                       host_col: str, txt_col: str) -> str:
+    """Shared CTE prefix (lines → tokens → groups → selected groups)
+    for the robots twins — emits _rblk and _rgroups."""
     a = agent.lower().replace("'", "''")
     ws = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
     raw = (f"string_split({txt_col}, chr(10))[g.i]")
@@ -313,12 +343,36 @@ def parse_robots_sql(robots_sql: str, agent: str = "*",
         "GROUP BY 1), "
         "_rgroups AS (SELECT DISTINCT c.host, c._blk FROM _rcand c "
         "JOIN _rbest x ON c.host = x.host AND c._m = x._best) "
-        "SELECT b.host, b._val AS rule_path, b._dir = 'allow' AS allow "
+    )
+
+
+def parse_robots_sql(robots_sql: str, agent: str = "*",
+                     host_col: str = "host",
+                     txt_col: str = "robots_txt") -> str:
+    """DuckDB twin of :func:`parse_robots`."""
+    return (
+        _robots_prefix_sql(robots_sql, agent, host_col, txt_col)
+        + "SELECT b.host, b._val AS rule_path, b._dir = 'allow' AS allow "
         "FROM _rblk b JOIN _rgroups g ON b.host = g.host AND b._blk = g._blk "
         "WHERE b._dir IN ('allow', 'disallow') AND b._val != '' "
         "AND b._blk > 0"
     )
 
+
+
+def robots_crawl_delay_sql(robots_sql: str, agent: str = "*",
+                           host_col: str = "host",
+                           txt_col: str = "robots_txt") -> str:
+    """DuckDB twin of :func:`robots_crawl_delay`."""
+    return (
+        _robots_prefix_sql(robots_sql, agent, host_col, txt_col)
+        + "SELECT host, max(delay_s) AS delay_s FROM ("
+        "SELECT b.host, TRY_CAST(b._val AS DOUBLE) AS delay_s "
+        "FROM _rblk b JOIN _rgroups g ON b.host = g.host "
+        "AND b._blk = g._blk "
+        "WHERE b._dir = 'crawl-delay' AND b._blk > 0) "
+        "WHERE delay_s IS NOT NULL GROUP BY 1"
+    )
 
 
 def robots_sitemaps(robots: DataFrame, host_col: str = "host",

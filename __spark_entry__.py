@@ -1003,6 +1003,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return GR.label_propagation(edges, iters=3)
     q["lpa_communities"] = lpa_communities
 
+    def cdx_domain_lookup(spark, sf):
+        """Domain range-read over SURT keys (the CDX query side): all
+        captures under example.com — subdomains included — as ONE
+        contiguous-key predicate [prefix+')', prefix+'-') that the
+        range-partitioned index layout prunes by min/max stats."""
+        from vtcomposite_spark.functions.text import surt_col
+        from vtcomposite_spark.sources.warc import cdx_lookup
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("Site"), (d % 7).cast("string"), F.lit(".Example."),
+            F.when(d % 2 == 0, F.lit("COM")).otherwise(F.lit("org")),
+            F.lit("/P"), d.cast("string"))
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", surt_col(url).alias("surt"))
+        return cdx_lookup(docs, "example.com")
+    q["cdx_domain_lookup"] = cdx_domain_lookup
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -1467,6 +1486,18 @@ def oracle_sql() -> dict[str, str]:
         "|| (CASE WHEN doc_id % 6 = 0 THEN '#f' ELSE '' END)")
     o["surt_keys"] = (
         f"SELECT doc_id, {surt_sql(_surt_url)} AS surt FROM documents")
+
+    from vtcomposite_spark.sources.warc import surt_domain_range
+    _cdx_url = (
+        "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) "
+        "|| 'Site' || doc_id % 7 || '.Example.' "
+        "|| (CASE WHEN doc_id % 2 = 0 THEN 'COM' ELSE 'org' END) "
+        "|| '/P' || doc_id")
+    _cdx_lo, _cdx_hi = surt_domain_range("example.com")
+    o["cdx_domain_lookup"] = (
+        f"SELECT doc_id, surt FROM (SELECT doc_id, "
+        f"{surt_sql(_cdx_url)} AS surt FROM documents) "
+        f"WHERE surt >= '{_cdx_lo}' AND surt < '{_cdx_hi}'")
 
     o["mime_sniff_pages"] = (
         "SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN 'gzip' "

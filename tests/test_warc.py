@@ -190,3 +190,41 @@ def test_wet_roundtrip_byte_identity(spark, tmp_path):
     want = {r.url: r.extracted for r in ext.collect()}
     assert back == want and len(back) == 8
     assert back["https://example.org/0003"] == "doc 3 body & text"
+
+
+def test_cdx_lookup_domain_range(spark, tmp_path):
+    """surt_domain_range covers exactly the domain + subdomains (or the
+    exact host only): sibling hosts with the prefix as a proper prefix
+    of a LONGER label stay out; the predicate reaches the parquet scan
+    pushed."""
+    from pyspark.sql import functions as F
+
+    from vtcomposite_spark.functions.text import surt_col
+    from vtcomposite_spark.sources.warc import (cdx_lookup,
+                                                surt_domain_range)
+    urls = ["https://example.com/a", "https://www.example.com/b",
+            "https://sub.example.com/c", "https://deep.sub.example.com/d",
+            "https://example-foo.com/x", "https://examplez.com/y",
+            "https://notexample.com/z", "https://example.org/w",
+            "https://com.example.net/v"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string") \
+        .select("url", surt_col(F.col("url")).alias("surt"))
+    got = {r.url for r in cdx_lookup(df, "example.com").collect()}
+    assert got == {"https://example.com/a", "https://www.example.com/b",
+                   "https://sub.example.com/c",
+                   "https://deep.sub.example.com/d"}
+    exact = {r.url for r in
+             cdx_lookup(df, "example.com",
+                        include_subdomains=False).collect()}
+    # www. is dropped by the SURT normal form → same exact-host key
+    assert exact == {"https://example.com/a", "https://www.example.com/b"}
+    path = str(tmp_path / "cdx")
+    df.repartitionByRange(2, "surt").sortWithinPartitions("surt") \
+        .write.parquet(path)
+    back = cdx_lookup(spark.read.parquet(path), "example.com")
+    assert {r.url for r in back.collect()} == got
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "surt" in plan
+    import pytest
+    with pytest.raises(ValueError):
+        surt_domain_range("bad/domain")

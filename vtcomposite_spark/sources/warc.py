@@ -364,3 +364,33 @@ def stream_warc_pages(spark: SparkSession, path: str,
     return (_records_frame(reader.load(path), parse_http, True)
             .filter(F.col("warc_type") == "response")
             .select("url", "warc_ts", "html"))
+
+
+def surt_domain_range(domain: str,
+                      include_subdomains: bool = True) -> tuple:
+    """The contiguous SURT key range [lo, hi) covering ``domain`` —
+    the query twin of ``cdx_index``'s layout guarantee. A SURT key
+    continues the reversed-host prefix with either ')' (the exact
+    host) or ',' (a subdomain label); ')' sorts below ',', so
+    [prefix + ')', prefix + '-') covers exactly the domain and its
+    subdomains ('-' = ','+1; a sibling host like example-foo.com
+    SURTs to prefix + '-...', at/after hi, and exampleX.com sorts
+    even higher). With ``include_subdomains=False`` the upper bound
+    is prefix + '*' (')'+1): the exact host only."""
+    d = domain.lower().strip(".")
+    if not d or "/" in d or "," in d:
+        raise ValueError(f"surt_domain_range: bad domain {domain!r}")
+    prefix = ",".join(reversed(d.split(".")))
+    return (prefix + ")", prefix + ("-" if include_subdomains else "*"))
+
+
+def cdx_lookup(cdx: DataFrame, domain: str,
+               include_subdomains: bool = True) -> DataFrame:
+    """Range-read over a CDX frame (or a parquet scan of one written
+    by ``cdx_index``): all captures under ``domain`` as ONE surt
+    BETWEEN-style predicate — pushed to the scan, where the
+    range-partitioned + sorted layout's min/max stats prune to the
+    files the domain actually occupies (the spatial-z-range pattern,
+    string edition)."""
+    lo, hi = surt_domain_range(domain, include_subdomains)
+    return cdx.filter((F.col("surt") >= lo) & (F.col("surt") < hi))

@@ -1022,6 +1022,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdx_lookup(docs, "example.com")
     q["cdx_domain_lookup"] = cdx_domain_lookup
 
+    def corpus_distinct_estimate(spark, sf):
+        """Linear-counting distinct estimate (Whang 1990) of document
+        texts: k md5 buckets, −k·ln(empty/k) in integer micros — the
+        deterministic, cross-engine-replayable stand-in for HLL (whose
+        register layout is JVM-private). Sketch state = one k-bucket
+        bitmap, never the values."""
+        from vtcomposite_spark.operators import sketches as SK
+        return SK.linear_count(_read(spark, sf, "documents"),
+                               "text", k=4096)
+    q["corpus_distinct_estimate"] = corpus_distinct_estimate
+
+    def countmin_lang_counts(spark, sf):
+        """Count-min sketch (Cormode 2005) over the documents' lang
+        column, point-queried for every distinct lang: 4×256 integer
+        counters (a ~8 KB broadcastable summary), estimates only ever
+        overcount — the bounded-memory heavy-hitter shape."""
+        from vtcomposite_spark.operators import sketches as SK
+        docs = _read(spark, sf, "documents")
+        sk = SK.countmin_build(docs, "lang", depth=4, width=256)
+        items = docs.select(F.col("lang").alias("item")).distinct() \
+            .withColumnRenamed("item", "lang")
+        return SK.countmin_estimate(sk, items, "lang",
+                                    depth=4, width=256)
+    q["countmin_lang_counts"] = countmin_lang_counts
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2072,6 +2097,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["lpa_communities"] = GR.label_propagation_sql(
         GR.doc_link_edges_sql(3, 256), iters=3)
+
+    from vtcomposite_spark.operators.sketches import (countmin_sql,
+                                                      linear_count_sql)
+    o["corpus_distinct_estimate"] = linear_count_sql(
+        "SELECT text FROM documents", "text", k=4096)
+    o["countmin_lang_counts"] = countmin_sql(
+        "SELECT lang FROM documents", "lang",
+        "SELECT DISTINCT lang AS item FROM documents",
+        depth=4, width=256)
 
     from vtcomposite_spark.operators.sessions import (session_stats_sql,
                                                       sessionize_sql)

@@ -1504,3 +1504,58 @@ def test_write_sequences_shards_and_conservation(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         CH.write_sequences(docs, path + "2", shard_sequences=0)
+
+
+# --- sketches: linear counting + count-min ---
+
+def test_linear_count_accuracy_and_twin(spark):
+    from vtcomposite_spark.operators import sketches as SK
+    n = 300
+    df = spark.createDataFrame(
+        [(f"u{i % n}",) for i in range(1200)], "v string")
+    r = SK.linear_count(df, "v", k=4096).collect()[0]
+    est = r.est_micro / 1e6
+    assert abs(est - n) / n < 0.1, est       # ±10% at load 300/4096
+    duckdb.sql("DROP TABLE IF EXISTS _lcq")
+    duckdb.sql("CREATE TABLE _lcq(v VARCHAR)")
+    duckdb.executemany("INSERT INTO _lcq VALUES (?)",
+                       [(f"u{i % n}",) for i in range(1200)])
+    want = duckdb.sql(SK.linear_count_sql(
+        "SELECT v FROM _lcq", "v", k=4096)).fetchone()
+    assert (r.n_buckets_hit, r.est_micro) == (want[0], want[1])
+    # saturation → null estimate
+    sat = SK.linear_count(df, "v", k=2).collect()[0]
+    assert sat.n_buckets_hit == 2 and sat.est_micro is None
+    with pytest.raises(ValueError):
+        SK.linear_count(df, "v", k=0)
+
+
+def test_countmin_overcount_bound_and_twin(spark):
+    from vtcomposite_spark.operators import sketches as SK
+    import collections
+    vals = [f"t{i % 40}" for i in range(800)] + ["hot"] * 200
+    truth = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = SK.countmin_build(df, "v", depth=4, width=256)
+    items = spark.createDataFrame(
+        [(t,) for t in truth] + [("absent",)], "v string")
+    got = {r.item: r.est for r in
+           SK.countmin_estimate(sk, items, "v", depth=4,
+                                width=256).collect()}
+    # count-min never undercounts; the hot item is near-exact
+    assert all(got[t] >= c for t, c in truth.items())
+    assert got["hot"] >= 200 and got["hot"] <= 240
+    assert got["absent"] >= 0  # may collide, never negative
+    duckdb.sql("DROP TABLE IF EXISTS _cmq")
+    duckdb.sql("CREATE TABLE _cmq(v VARCHAR)")
+    duckdb.executemany("INSERT INTO _cmq VALUES (?)", [(v,) for v in vals])
+    duckdb.sql("DROP TABLE IF EXISTS _cmi")
+    duckdb.sql("CREATE TABLE _cmi(item VARCHAR)")
+    duckdb.executemany("INSERT INTO _cmi VALUES (?)",
+                       [(t,) for t in truth] + [("absent",)])
+    want = dict(duckdb.sql(SK.countmin_sql(
+        "SELECT v FROM _cmq", "v", "SELECT item FROM _cmi",
+        depth=4, width=256)).fetchall())
+    assert got == {k: int(v) for k, v in want.items()}
+    with pytest.raises(ValueError):
+        SK.countmin_build(df, "v", depth=0)

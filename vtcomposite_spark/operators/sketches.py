@@ -1,0 +1,125 @@
+"""Deterministic sketch summaries: linear-counting distinct estimation
+and the count-min frequency sketch — the bounded-memory cardinality /
+heavy-hitter machinery a 100-TB corpus profiles itself with (Spark's
+own ``approx_count_distinct`` is HLL++, whose register layout is not
+replayable outside the JVM; these sketches hash with md5 + integer
+arithmetic, so DuckDB rebuilds them bit-identically and the full
+oracle gate verifies estimates value-exact).
+
+Both follow the repo's engine-exactness discipline: bucket assignment
+is ``_hex4_to_int(md5(...))`` arithmetic, counts are integer sums, and
+the one libm call (linear counting's ln) rounds to integer micros at
+the end — the bm25 rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import _hex4_to_int_col, hex4_to_int_sql
+
+
+def _bucket_col(val, salt: str, k: int):
+    h = F.md5(F.concat(F.lit(salt), val.cast("string")))
+    return (_hex4_to_int_col(h) % k).cast("int")
+
+
+def linear_count(df: DataFrame, col: str, k: int = 4096) -> DataFrame:
+    """Linear-counting distinct estimate (Whang et al., TODS 1990):
+    hash every value into ``k`` buckets, count the buckets HIT, and
+    estimate n_distinct ≈ −k·ln(empty/k). One row out:
+    (n_buckets_hit, est_micro) with the estimate in integer micros
+    (null when every bucket is hit — the sketch is saturated and the
+    estimate diverges; size k ≥ the expected cardinality).
+
+    Accuracy note: the 16-bit md5 prefix caps distinguishable hash
+    values at 65,536 — with k near or above that the hash itself
+    saturates first; k ≤ 2^14 keeps the load factor honest. 100-TB
+    shape: one map-side-combinable distinct-bucket count; the sketch
+    state IS the k-bucket bitmap, never the values."""
+    if not 1 <= k <= 65536:
+        raise ValueError("linear_count: k must be in [1, 65536]")
+    hit = (df.select(_bucket_col(F.col(col), "lc", k).alias("b"))
+           .agg(F.count_distinct("b").alias("n_buckets_hit")))
+    est = F.when(
+        F.col("n_buckets_hit") < k,
+        F.round(-F.lit(float(k))
+                * F.log((k - F.col("n_buckets_hit")) / F.lit(float(k)))
+                * 1_000_000).cast("long"))
+    return hit.select("n_buckets_hit", est.alias("est_micro"))
+
+
+def linear_count_sql(src_sql: str, col: str, k: int = 4096) -> str:
+    """DuckDB twin of ``linear_count``."""
+    h = hex4_to_int_sql(f"md5('lc' || CAST({col} AS VARCHAR))")
+    b = f"{h} % {k}"
+    return (
+        f"WITH h AS (SELECT count(DISTINCT ({b})) AS n_buckets_hit "
+        f"FROM ({src_sql})) "
+        "SELECT n_buckets_hit, CASE WHEN n_buckets_hit < "
+        f"{k} THEN CAST(round(-{float(k)} * ln((CAST({k} AS DOUBLE) - "
+        f"n_buckets_hit) / {float(k)}) * 1000000) AS BIGINT) END "
+        "AS est_micro FROM h"
+    )
+
+
+def countmin_build(df: DataFrame, col: str, depth: int = 4,
+                   width: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a value
+    column: ``depth`` independent md5 hash rows × ``width`` buckets →
+    at most depth·width rows (row, bucket, cnt) — the broadcastable
+    frequency summary (4×1024 longs ≈ 32 KB regardless of corpus
+    size). Estimates only ever OVERCOUNT (collisions add), never
+    undercount — tested. 100-TB shape: one explode by depth (rows ∝
+    depth·N) with a map-side-combinable sum; the sketch, not the
+    values, is what downstream joins or broadcasts."""
+    if depth < 1 or width < 1 or width > 65536:
+        raise ValueError("countmin: depth >= 1, 1 <= width <= 65536")
+    r = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    d = df.select(F.col(col).cast("string").alias("_v"), r)
+    h = F.md5(F.concat(F.lit("cm"), F.col("row").cast("string"),
+                       F.lit("_"), F.col("_v")))
+    return (d.select("row", (_hex4_to_int_col(h) % width)
+                     .cast("int").alias("bucket"))
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, items: DataFrame,
+                      col: str, depth: int = 4,
+                      width: int = 1024) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: the estimate
+    is min over the depth rows of the hashed bucket's count →
+    (item, est). The sketch side is tiny — broadcast — so the query
+    is one map-side join + a keys-only min agg."""
+    r = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    q = items.select(F.col(col).cast("string").alias("item"), r)
+    h = F.md5(F.concat(F.lit("cm"), F.col("row").cast("string"),
+                       F.lit("_"), F.col("item")))
+    q = q.select("item", "row", (_hex4_to_int_col(h) % width)
+                 .cast("int").alias("bucket"))
+    return (q.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
+def countmin_sql(src_sql: str, col: str, items_sql: str,
+                 depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin: build + estimate in one statement — (item, est)
+    for every row of ``items_sql`` (one column named ``item``)."""
+    rows = ", ".join(str(i) for i in range(depth))
+    hb = hex4_to_int_sql(
+        f"md5('cm' || r || '_' || CAST({col} AS VARCHAR))")
+    hq = hex4_to_int_sql("md5('cm' || r || '_' || item)")
+    return (
+        f"WITH d AS (SELECT CAST({col} AS VARCHAR) AS {col}, r "
+        f"FROM ({src_sql}), (SELECT unnest([{rows}]) AS r)), "
+        f"sk AS (SELECT r AS row, ({hb}) % {width} AS bucket, "
+        "count(*) AS cnt FROM d GROUP BY 1, 2), "
+        f"q AS (SELECT CAST(item AS VARCHAR) AS item, r AS row, "
+        f"({hq}) % {width} AS bucket "
+        f"FROM ({items_sql}), (SELECT unnest([{rows}]) AS r)) "
+        "SELECT q.item, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est "
+        "FROM q LEFT JOIN sk ON q.row = sk.row AND q.bucket = sk.bucket "
+        "GROUP BY 1"
+    )

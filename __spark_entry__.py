@@ -1047,6 +1047,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     depth=4, width=256)
     q["countmin_lang_counts"] = countmin_lang_counts
 
+    def bloom_seen_docs(spark, sf):
+        """Bloom filter (1970) membership pre-filter — the 'have we
+        crawled this already' shape: build over the even-id docs'
+        texts (1 KB of 32-bit words via bit_or agg, broadcastable),
+        probe every distinct text. No false negatives by construction;
+        odd-id probes are definite-absence except hash collisions."""
+        from vtcomposite_spark.operators import sketches as SK
+        docs = _read(spark, sf, "documents")
+        bl = SK.bloom_build(docs.filter(F.col("doc_id") % 2 == 0),
+                            "text", m_bits=8192, k_hashes=4)
+        items = docs.select(F.col("text").alias("item")).distinct() \
+            .withColumnRenamed("item", "text")
+        return SK.bloom_contains(bl, items, "text",
+                                 m_bits=8192, k_hashes=4)
+    q["bloom_seen_docs"] = bloom_seen_docs
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2106,6 +2122,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang FROM documents", "lang",
         "SELECT DISTINCT lang AS item FROM documents",
         depth=4, width=256)
+
+    from vtcomposite_spark.operators.sketches import bloom_sql
+    o["bloom_seen_docs"] = bloom_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0", "text",
+        "SELECT DISTINCT text AS item FROM documents",
+        m_bits=8192, k_hashes=4)
 
     from vtcomposite_spark.operators.sessions import (session_stats_sql,
                                                       sessionize_sql)

@@ -1559,3 +1559,33 @@ def test_countmin_overcount_bound_and_twin(spark):
     assert got == {k: int(v) for k, v in want.items()}
     with pytest.raises(ValueError):
         SK.countmin_build(df, "v", depth=0)
+
+
+def test_bloom_no_false_negatives_and_twin(spark):
+    from vtcomposite_spark.operators import sketches as SK
+    members = [f"url{i}" for i in range(300)]
+    absents = [f"other{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in members], "v string")
+    bl = SK.bloom_build(df, "v", m_bits=8192, k_hashes=4)
+    items = spark.createDataFrame(
+        [(v,) for v in members + absents], "v string")
+    got = {r.item: r.maybe for r in
+           SK.bloom_contains(bl, items, "v", m_bits=8192,
+                             k_hashes=4).collect()}
+    assert all(got[v] for v in members)          # NO false negatives
+    fp = sum(got[v] for v in absents) / len(absents)
+    assert fp < 0.2, fp                          # fp ~(1-e^-kn/m)^k ≈ 2%
+    duckdb.sql("DROP TABLE IF EXISTS _blq")
+    duckdb.sql("CREATE TABLE _blq(v VARCHAR)")
+    duckdb.executemany("INSERT INTO _blq VALUES (?)",
+                       [(v,) for v in members])
+    duckdb.sql("DROP TABLE IF EXISTS _bli")
+    duckdb.sql("CREATE TABLE _bli(item VARCHAR)")
+    duckdb.executemany("INSERT INTO _bli VALUES (?)",
+                       [(v,) for v in members + absents])
+    want = dict(duckdb.sql(SK.bloom_sql(
+        "SELECT v FROM _blq", "v", "SELECT item FROM _bli",
+        m_bits=8192, k_hashes=4)).fetchall())
+    assert got == want
+    with pytest.raises(ValueError):
+        SK.bloom_build(df, "v", m_bits=100)

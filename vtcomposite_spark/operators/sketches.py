@@ -123,3 +123,82 @@ def countmin_sql(src_sql: str, col: str, items_sql: str,
         "FROM q LEFT JOIN sk ON q.row = sk.row AND q.bucket = sk.bucket "
         "GROUP BY 1"
     )
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 8192,
+                k_hashes: int = 4) -> DataFrame:
+    """Bloom filter (Bloom 1970) over a value column: ``k_hashes`` md5
+    hash functions set bits in an ``m_bits`` bitmap, stored as
+    ``m_bits/32`` (word_idx, bits) 32-bit words built with a
+    ``bit_or`` aggregate (32-bit words because DuckDB range-checks
+    ``1::BIGINT << 63`` — shifts stay ≤ 31 in both engines) — the
+    broadcastable membership summary (8,192 bits = 256 words = 1 KB
+    regardless of corpus size). NO false negatives
+    ever (property-tested); false-positive rate ~(1−e^(−kn/m))^k.
+    Absent words (no bit set) are omitted — readers coalesce to 0.
+
+    100-TB shape: rows ∝ k·N into a map-side-combinable bit_or on at
+    most m/64 groups; the filter, not the values, is what ships to the
+    probe side (the classic join-pruning / "have we crawled this url"
+    pre-filter)."""
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError("bloom_build: m_bits must be a multiple of 32")
+    if not 1 <= k_hashes <= 16:
+        raise ValueError("bloom_build: k_hashes must be in [1, 16]")
+    r = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("r")
+    d = df.select(F.col(col).cast("string").alias("_v"), r)
+    h = F.md5(F.concat(F.lit("bl"), F.col("r").cast("string"),
+                       F.lit("_"), F.col("_v")))
+    bit = _hex4_to_int_col(h) % m_bits
+    return (d.select((bit / 32).cast("int").alias("word_idx"),
+                     F.call_function(
+                         "shiftleft", F.lit(1).cast("long"),
+                         (bit % 32).cast("int")).alias("_b"))
+            .groupBy("word_idx").agg(F.bit_or("_b").alias("bits")))
+
+
+def bloom_contains(bloom: DataFrame, items: DataFrame, col: str,
+                   m_bits: int = 8192, k_hashes: int = 4) -> DataFrame:
+    """Probe the filter for every row of ``items`` → (item, maybe):
+    ``maybe`` false is DEFINITE absence; true is presence up to the
+    false-positive rate. The filter broadcasts; the probe is one
+    map-side join + a keys-only conjunction per item."""
+    r = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("r")
+    q = items.select(F.col(col).cast("string").alias("item"), r)
+    h = F.md5(F.concat(F.lit("bl"), F.col("r").cast("string"),
+                       F.lit("_"), F.col("item")))
+    bit = _hex4_to_int_col(h) % m_bits
+    q = q.select("item", (bit / 32).cast("int").alias("word_idx"),
+                 F.call_function(
+                     "shiftleft", F.lit(1).cast("long"),
+                     (bit % 32).cast("int")).alias("_b"))
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_b"))
+           != 0).cast("int")
+    return (q.join(F.broadcast(bloom), "word_idx", "left")
+            .select("item", hit.alias("_hit"))
+            .groupBy("item")
+            .agg((F.min("_hit") == 1).alias("maybe")))
+
+
+def bloom_sql(src_sql: str, col: str, items_sql: str,
+              m_bits: int = 8192, k_hashes: int = 4) -> str:
+    """DuckDB twin: build + probe in one statement → (item, maybe)."""
+    rows = ", ".join(str(i) for i in range(k_hashes))
+    hb = hex4_to_int_sql(
+        f"md5('bl' || r || '_' || CAST({col} AS VARCHAR))")
+    hq = hex4_to_int_sql("md5('bl' || r || '_' || item)")
+    return (
+        f"WITH d AS (SELECT ({hb}) % {m_bits} AS bit "
+        f"FROM ({src_sql}), (SELECT unnest([{rows}]) AS r)), "
+        "bl AS (SELECT CAST(bit // 32 AS INTEGER) AS word_idx, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS bits "
+        "FROM d GROUP BY 1), "
+        f"q AS (SELECT CAST(item AS VARCHAR) AS item, "
+        f"({hq}) % {m_bits} AS bit "
+        f"FROM ({items_sql}), (SELECT unnest([{rows}]) AS r)) "
+        "SELECT q.item, min(CASE WHEN coalesce(bl.bits, 0) & "
+        "(CAST(1 AS BIGINT) << CAST(q.bit % 32 AS INTEGER)) != 0 "
+        "THEN 1 ELSE 0 END) = 1 AS maybe "
+        "FROM q LEFT JOIN bl ON CAST(q.bit // 32 AS INTEGER) = bl.word_idx "
+        "GROUP BY 1"
+    )

@@ -1063,6 +1063,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  m_bits=8192, k_hashes=4)
     q["bloom_seen_docs"] = bloom_seen_docs
 
+    def winnow_doc_fingerprints(spark, sf):
+        """Winnowing (Schleimer 2003 / MOSS): k-gram hashes, sliding
+        w-window minimum with rightmost ties → the position-robust
+        partial-copy sketch (~2/(w+1) of grams; any shared run of
+        w+k−1 tokens shares a fingerprint). Rows ∝ tokens, k−1 lead()s
+        over one per-doc sort, one w-row window, one distinct."""
+        from vtcomposite_spark.operators import dedupe as DD
+        docs = _read(spark, sf, "documents").filter(
+            F.col("doc_id") % 5 == 0)
+        return DD.winnow_fingerprints(docs, k=5, w=4)
+    q["winnow_doc_fingerprints"] = winnow_doc_fingerprints
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2122,6 +2134,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang FROM documents", "lang",
         "SELECT DISTINCT lang AS item FROM documents",
         depth=4, width=256)
+
+    from vtcomposite_spark.operators.dedupe import winnow_fingerprints_sql
+    o["winnow_doc_fingerprints"] = winnow_fingerprints_sql(
+        5, 4, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)")
 
     from vtcomposite_spark.operators.sketches import bloom_sql
     o["bloom_seen_docs"] = bloom_sql(

@@ -1589,3 +1589,68 @@ def test_bloom_no_false_negatives_and_twin(spark):
     assert got == want
     with pytest.raises(ValueError):
         SK.bloom_build(df, "v", m_bits=100)
+
+
+# --- winnowing fingerprints (dedupe.winnow_fingerprints) ---
+
+def _py_winnow(tokens, k, w):
+    """Pure-python spec twin: 16-bit md5-prefix gram hashes, window
+    min with rightmost tie, clipped final window for short docs."""
+    import hashlib
+    grams = []
+    for p in range(len(tokens) - k + 1):
+        g = "\x1f".join(tokens[p:p + k])
+        grams.append((p, int(hashlib.md5(g.encode()).hexdigest()[:4], 16)))
+    if not grams:
+        return set()
+    sel = set()
+    for s in range(max(len(grams) - w, 0) + 1):
+        win = grams[s:s + w]
+        best = min(win, key=lambda t: (t[1], -t[0]))
+        sel.add((best[0], best[1]))
+    return sel
+
+
+def test_winnow_matches_python_spec_and_guarantee(spark):
+    import random
+    rng = random.Random(7)
+    shared = [f"s{i}" for i in range(12)]   # 12 shared tokens
+    rows = []
+    for i in range(12):
+        toks = [f"d{i}_{j}" for j in range(rng.randint(0, 9))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in D.winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for i, text in rows:
+        assert got.get(i, set()) == _py_winnow(text.split(), 5, 4), i
+    # winnowing guarantee: the 12-token shared run (>= w+k-1 = 8)
+    # yields at least one COMMON fingerprint HASH across every pair
+    # of docs containing it
+    sharers = [i for i, t in rows if "s0" in t.split()]
+    hsets = [{h for _, h in got[i]} for i in sharers]
+    base = set.intersection(*hsets)
+    assert len(sharers) >= 2 and base, sharers
+
+
+def test_winnow_short_docs_and_twin_parity(spark, docs):
+    # < k tokens → nothing; k..k+w-2 grams → clipped single window
+    tiny = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e"), (3, "")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.pos, r.gram_hash)
+           for r in D.winnow_fingerprints(tiny, k=5, w=4).collect()}
+    assert {d for d, _, _ in got} == {2}
+    assert len(got) == 1  # one gram, one window, one pick
+    full = sorted(tuple(r) for r in
+                  D.winnow_fingerprints(docs, k=5, w=4).collect())
+    want = sorted(tuple(int(v) for v in r) for r in duck(
+        D.winnow_fingerprints_sql(5, 4)))
+    assert full == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        D.winnow_fingerprints(tiny, k=0)

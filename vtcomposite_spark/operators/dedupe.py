@@ -666,3 +666,92 @@ def url_dedupe(df: DataFrame, url_col: str = "url",
     return (c.join(keep, "canonical_url")
             .select(id_col, "canonical_url",
                     (F.col(id_col) == F.col("_keep")).alias("kept")))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    a window of ``w`` consecutive gram positions, and select each
+    window's MINIMUM hash (ties → the RIGHTMOST position, the paper's
+    rule) → the selected (id, pos, gram_hash) set, ~2/(w+1) of the
+    grams. The winnowing guarantee: any shared token run of at least
+    w+k−1 tokens shares at least one selected fingerprint — the
+    position-robust sketch for partial-copy detection that fixed-stride
+    sampling cannot give (property-tested).
+
+    Engine-exact: gram hashes are 16-bit md5-prefix integers, the
+    window pick is min(struct(hash, −pos)) — a total order — and the
+    selected set dedupes on (pos, hash). Docs with fewer than k tokens
+    emit nothing; with fewer than w grams, the single clipped window
+    selects once (the spec's short-document behavior).
+
+    100-TB shape: rows ∝ tokens — one posexplode, k−1 lead()s over one
+    per-doc sort (the dedupe_substrings gram discipline — no token
+    arrays), one w-row sliding window, one distinct. Everything
+    per-doc-partitioned; nothing global."""
+    from ..functions.hashing import _hex4_to_int_col
+    from ..functions.text import tokens_col
+
+    if k < 1 or w < 1:
+        raise ValueError("winnow: k and w must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    wd = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd)
+                              for i in range(1, k)]
+    grams = (toks.withColumn(
+        "h", F.when(parts[-1].isNotNull(),
+                    _hex4_to_int_col(F.md5(F.concat_ws("\x1f", *parts)))))
+        .filter(F.col("h").isNotNull())
+        .select("id", "pos", "h"))
+    # window start s is valid while a full (or final clipped) window
+    # fits: s <= max(G - w, 0) in 0-based gram ordinals
+    gw = Window.partitionBy("id").orderBy("pos")
+    g = (grams.withColumn("_ord", F.row_number().over(gw) - 1)
+         .withColumn("_g", F.count("*").over(Window.partitionBy("id"))))
+    pick = F.min(F.struct(F.col("h").alias("_h"),
+                          (-F.col("pos")).alias("_np"))).over(
+        gw.rowsBetween(0, w - 1))
+    sel = (g.withColumn("_sel", pick)
+           .filter(F.col("_ord") <= F.greatest(F.col("_g") - w, F.lit(0)))
+           .select("id", (-F.col("_sel._np")).alias("pos"),
+                   F.col("_sel._h").alias("gram_hash"))
+           .distinct())
+    return sel.select(F.col("id").alias(id_col), "pos", "gram_hash")
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4,
+                            table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of ``winnow_fingerprints``."""
+    from ..functions.hashing import hex4_to_int_sql
+
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    parts = " || chr(31) || ".join(
+        f"lead(tok, {i}) OVER (PARTITION BY id ORDER BY pos)"
+        if i else "tok" for i in range(k))
+    last = (f"lead(tok, {k - 1}) OVER (PARTITION BY id ORDER BY pos)"
+            if k > 1 else "tok")
+    h = hex4_to_int_sql(f"md5({parts})")
+    return (
+        f"WITH t AS (SELECT {id_col} AS id, ws FROM "
+        f"(SELECT {id_col}, {ws} AS ws FROM {table})), "
+        "tok AS (SELECT id, g.i - 1 AS pos, ws[g.i] AS tok FROM t, "
+        "unnest(generate_series(1, len(ws))) AS g(i)), "
+        f"gr AS (SELECT id, pos, CASE WHEN {last} IS NOT NULL THEN "
+        f"({h}) END AS h FROM tok), "
+        "g2 AS (SELECT id, pos, h, "
+        "row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS _ord, "
+        "count(*) OVER (PARTITION BY id) AS _g, "
+        "min(struct_pack(_h := h, _np := -pos)) OVER ("
+        "PARTITION BY id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS _sel "
+        "FROM gr WHERE h IS NOT NULL) "
+        f"SELECT DISTINCT id AS {id_col}, -(_sel._np) AS pos, "
+        "_sel._h AS gram_hash FROM g2 "
+        f"WHERE _ord <= greatest(_g - {w}, 0)"
+    )

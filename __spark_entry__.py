@@ -1075,6 +1075,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.winnow_fingerprints(docs, k=5, w=4)
     q["winnow_doc_fingerprints"] = winnow_doc_fingerprints
 
+    def crawl_frontier_schedule(spark, sf):
+        """The crawl operators composed: link-rank priority × robots
+        Crawl-delay × per-host slots → (url, host, priority, slot,
+        not_before_us). Ranks join keys-only, the delay table
+        broadcasts, the slot window partitions by host — the frontier's
+        policy unit."""
+        from vtcomposite_spark.operators import web as W
+        docs = _read(spark, sf, "documents")
+        g = F.expr("doc_id div 4")
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://site"), (g % 7).cast("string"),
+                     F.lit(".example.com/a/p"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("url"))
+        ranks = GR.pagerank(GR.doc_link_edges(docs, 3, 256), iters=3)
+        delays = spark.createDataFrame(
+            [("site0.example.com", 2.0), ("site1.example.com", 0.5)],
+            "host string, delay_s double")
+        return W.frontier_schedule(urls, ranks, delays)
+    q["crawl_frontier_schedule"] = crawl_frontier_schedule
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2134,6 +2156,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang FROM documents", "lang",
         "SELECT DISTINCT lang AS item FROM documents",
         depth=4, width=256)
+
+    from vtcomposite_spark.operators.web import frontier_schedule_sql
+    o["crawl_frontier_schedule"] = frontier_schedule_sql(
+        f"SELECT doc_id, {_link_url} AS url FROM documents",
+        GR.pagerank_sql(GR.doc_link_edges_sql(3, 256), iters=3),
+        "SELECT * FROM (VALUES ('site0.example.com', 2.0), "
+        "('site1.example.com', 0.5)) AS _fd(host, delay_s)")
 
     from vtcomposite_spark.operators.dedupe import winnow_fingerprints_sql
     o["winnow_doc_fingerprints"] = winnow_fingerprints_sql(

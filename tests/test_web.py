@@ -422,3 +422,40 @@ def test_robots_crawl_delay_group_selection_and_hazards(spark):
     want = dict(_dd.sql(robots_crawl_delay_sql(
         "SELECT * FROM _rcd", agent="spark-graft")).fetchall())
     assert got == want
+
+
+def test_frontier_schedule_priority_slots_and_twin(spark):
+    """Within a host, higher rank crawls first (ties → lower id);
+    slot k waits (k−1)·delay; hosts without a declared delay take the
+    default; unranked urls sink to priority 0."""
+    import duckdb as _dd
+
+    from vtcomposite_spark.operators.web import (frontier_schedule,
+                                                 frontier_schedule_sql)
+    urls = [(1, "https://a.com/x"), (2, "https://a.com/y"),
+            (3, "https://a.com/z"), (4, "https://b.com/q")]
+    ranks = [(1, 50), (2, 90), (4, 10)]   # 3 unranked
+    delays = [("a.com", 2.0)]
+    u = spark.createDataFrame(urls, "doc_id long, url string")
+    r = spark.createDataFrame(ranks, "id long, rank long")
+    d = spark.createDataFrame(delays, "host string, delay_s double")
+    got = {x.doc_id: (x.host, x.priority, x.slot, x.not_before_us)
+           for x in frontier_schedule(u, r, d).collect()}
+    assert got[2] == ("a.com", 90, 1, 0)
+    assert got[1] == ("a.com", 50, 2, 2_000_000)
+    assert got[3] == ("a.com", 0, 3, 4_000_000)
+    assert got[4] == ("b.com", 10, 1, 0)   # default delay, slot 1
+    for t, schema, rows in [("_fu", "(doc_id BIGINT, url VARCHAR)", urls),
+                            ("_fr", "(id BIGINT, rank BIGINT)", ranks),
+                            ("_fd", "(host VARCHAR, delay_s DOUBLE)",
+                             delays)]:
+        _dd.sql(f"DROP TABLE IF EXISTS {t}")
+        _dd.sql(f"CREATE TABLE {t}{schema}")
+        _dd.executemany(
+            f"INSERT INTO {t} VALUES ({','.join('?' * len(rows[0]))})",
+            rows)
+    want = {x[0]: (x[2], x[3], x[4], x[5]) for x in _dd.sql(
+        frontier_schedule_sql("SELECT * FROM _fu", "SELECT * FROM _fr",
+                              "SELECT * FROM _fd")).fetchall()}
+    assert got == {k: (h, int(p), int(s), int(n))
+                   for k, (h, p, s, n) in want.items()}

@@ -489,3 +489,72 @@ def robots_allowed_sql(urls_sql: str, robots_sql: str, agent: str = "*",
         f"SELECT {url_col}, coalesce(_w._dis = 0, true) AS allowed "
         "FROM _win"
     )
+
+
+def frontier_schedule(urls: DataFrame, ranks: DataFrame,
+                      delays: DataFrame, default_delay_s: float = 1.0,
+                      url_col: str = "url", id_col: str = "doc_id",
+                      rank_col: str = "rank") -> DataFrame:
+    """Polite crawl-frontier scheduling — the composition the crawl
+    operators exist for: each URL gets a PRIORITY (its page's link
+    rank) and a host-local crawl SLOT under the host's Crawl-delay →
+    (url, host, priority, slot, not_before_s). Within a host, higher
+    rank crawls first (ties → lower id — a total order), slot k waits
+    (k−1)·delay seconds with ``default_delay_s`` where robots declared
+    none; integer micro seconds keep it engine-exact.
+
+    100-TB shape: ranks join on the page id (keys only), the tiny
+    delay table broadcasts, and the slot window partitions by host —
+    the frontier's natural unit (a host's queue is sequential BY
+    POLICY, so per-host windows are the semantics, not a bottleneck).
+    """
+    from ..functions.text import url_host_col
+
+    u = urls.select(F.col(id_col).alias("_id"),
+                    F.col(url_col).alias("url"),
+                    F.lower(url_host_col(F.col(url_col))).alias("host"))
+    r = ranks.select(F.col("id").alias("_id"),
+                     F.col(rank_col).alias("priority"))
+    d = delays.select(F.lower(F.col("host")).alias("host"),
+                      F.col("delay_s").alias("_d"))
+    j = (u.join(r, "_id", "left")
+         .withColumn("priority", F.coalesce("priority", F.lit(0)))
+         .join(F.broadcast(d), "host", "left")
+         .withColumn("_d", F.coalesce("_d", F.lit(default_delay_s))))
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("_id").asc())
+    return (j.withColumn("slot", F.row_number().over(w))
+            .select(F.col("_id").alias(id_col), "url", "host",
+                    "priority", "slot",
+                    ((F.col("slot") - 1)
+                     * F.round(F.col("_d") * 1_000_000).cast("long"))
+                    .alias("not_before_us")))
+
+
+def frontier_schedule_sql(urls_sql: str, ranks_sql: str,
+                          delays_sql: str,
+                          default_delay_s: float = 1.0,
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin (``urls_sql`` yields (id, url); ``ranks_sql``
+    (id, rank); ``delays_sql`` (host, delay_s))."""
+    from ..functions.text import HOST_PATTERN
+
+    host = (f"lower(coalesce(regexp_extract(u.url, "
+            f"'{HOST_PATTERN}', 1), ''))")
+    return (
+        f"WITH u AS (SELECT {id_col} AS _id, url, {host.replace('u.url', 'url')} AS host "
+        f"FROM ({urls_sql}) u), "
+        f"r AS (SELECT id AS _id, rank AS priority FROM ({ranks_sql})), "
+        f"d AS (SELECT lower(host) AS host, delay_s AS _d "
+        f"FROM ({delays_sql})), "
+        "j AS (SELECT u._id, u.url, u.host, "
+        "coalesce(r.priority, 0) AS priority, "
+        f"coalesce(d._d, {default_delay_s}) AS _d "
+        "FROM u LEFT JOIN r USING (_id) LEFT JOIN d USING (host)) "
+        f"SELECT _id AS {id_col}, url, host, priority, "
+        "row_number() OVER (PARTITION BY host ORDER BY priority DESC, "
+        "_id ASC) AS slot, "
+        "(row_number() OVER (PARTITION BY host ORDER BY priority DESC, "
+        "_id ASC) - 1) * CAST(round(_d * 1000000) AS BIGINT) "
+        "AS not_before_us FROM j"
+    )

@@ -1097,6 +1097,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return W.frontier_schedule(urls, ranks, delays)
     q["crawl_frontier_schedule"] = crawl_frontier_schedule
 
+    def doc_length_quantiles(spark, sf):
+        """EXACT type-1 quantiles of per-doc token counts without a
+        global sort: affine value histogram (≤256-row bookkeeping) →
+        rank window over the ONE bucket holding each target rank —
+        the two-phase prefix-sum discipline applied to order
+        statistics. Oracle = the naive global row_number rank."""
+        from vtcomposite_spark.functions.text import token_count_col
+        from vtcomposite_spark.operators import sketches as SK
+        tc = _read(spark, sf, "documents").select(
+            token_count_col(F.col("text")).alias("ntok"))
+        return SK.exact_quantiles(tc, "ntok", [0.5, 0.9, 0.99])
+    q["doc_length_quantiles"] = doc_length_quantiles
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2167,6 +2180,11 @@ def oracle_sql() -> dict[str, str]:
     from vtcomposite_spark.operators.dedupe import winnow_fingerprints_sql
     o["winnow_doc_fingerprints"] = winnow_fingerprints_sql(
         5, 4, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)")
+
+    from vtcomposite_spark.operators.sketches import exact_quantiles_sql
+    o["doc_length_quantiles"] = exact_quantiles_sql(
+        f"SELECT {TX.TOKEN_COUNT_SQL.format(c='text')} AS ntok "
+        "FROM documents", "ntok", [0.5, 0.9, 0.99])
 
     from vtcomposite_spark.operators.sketches import bloom_sql
     o["bloom_seen_docs"] = bloom_sql(

@@ -1654,3 +1654,32 @@ def test_winnow_short_docs_and_twin_parity(spark, docs):
     import pytest as _pt
     with _pt.raises(ValueError):
         D.winnow_fingerprints(tiny, k=0)
+
+
+def test_exact_quantiles_hand_and_twin(spark, docs):
+    from vtcomposite_spark.operators import sketches as SK
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 3.0]   # sorted: 1 3 3 5 7 9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.q_milli: (r.rank, r.value) for r in
+           SK.exact_quantiles(df, "x", [0.5, 0.9, 1.0],
+                              buckets=4).collect()}
+    assert got == {500: (3, 3.0), 900: (6, 9.0), 1000: (6, 9.0)}
+    # constant column: every quantile is the constant
+    const = spark.createDataFrame([(2.0,)] * 5, "x double")
+    gc = {r.q_milli: r.value for r in
+          SK.exact_quantiles(const, "x", [0.25, 1.0]).collect()}
+    assert gc == {250: 2.0, 1000: 2.0}
+    with pytest.raises(ValueError):
+        SK.exact_quantiles(df, "x", [0.0])
+    # corpus twin parity: token-count quantiles over documents
+    from vtcomposite_spark.functions.text import token_count_col
+    tc = docs.select(token_count_col(F.col("text")).alias("ntok"))
+    full = sorted(tuple(r) for r in
+                  SK.exact_quantiles(tc, "ntok",
+                                     [0.5, 0.9, 0.99]).collect())
+    want = sorted(tuple(float(x) if i == 2 else int(x)
+                        for i, x in enumerate(r)) for r in duck(
+        SK.exact_quantiles_sql(
+            f"SELECT {TX.TOKEN_COUNT_SQL.format(c='text')} AS ntok "
+            "FROM documents", "ntok", [0.5, 0.9, 0.99])))
+    assert full == want

@@ -202,3 +202,83 @@ def bloom_sql(src_sql: str, col: str, items_sql: str,
         "FROM q LEFT JOIN bl ON CAST(q.bit // 32 AS INTEGER) = bl.word_idx "
         "GROUP BY 1"
     )
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: "list[float]",
+                    buckets: int = 256) -> DataFrame:
+    """EXACT type-1 (discrete) quantiles without a global sort — the
+    order-statistics complement to the sketches: for each q the value
+    at rank ⌈q·n⌉ of the ascending order, (q_milli, rank, value).
+
+    Two-phase, the pack_sequences prefix-sum discipline applied to
+    order statistics: (1) an affine value histogram — global min/max
+    (one map-side agg) split into ``buckets`` ranges, per-bucket
+    counts, cumulative over the ≤``buckets``-row histogram only; the
+    bucket containing each rank is exact bookkeeping; (2) a rank
+    window over the ONE bucket holding the target rank — work ∝ that
+    bucket's rows, never a single global sort partition. Heavy value
+    skew degrades phase 2 toward n rows in one task (the histogram is
+    affine, not equi-depth); recursive refinement is the production
+    answer and out of scope — documented, and the VALUE is exact
+    either way.
+
+    Engine-exact: ranks are integers, bucket edges are the identical
+    IEEE affine expression in both engines, ties share the value, so
+    ``exact_quantiles_sql`` (the naive global row_number — fine at
+    oracle scale) replays value-identically."""
+    from pyspark.sql import Window
+
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("exact_quantiles: every q must be in (0, 1]")
+    if buckets < 1:
+        raise ValueError("exact_quantiles: buckets must be >= 1")
+    v = df.select(F.col(col).cast("double").alias("v")) \
+        .filter(F.col("v").isNotNull())
+    stats = v.agg(F.count("*").alias("n"), F.min("v").alias("lo"),
+                  F.max("v").alias("hi"))
+    b = v.crossJoin(F.broadcast(stats)).select(
+        "v",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(F.lit(buckets - 1),
+                    F.floor((F.col("v") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo")) * buckets)
+                    .cast("int"))).alias("b"))
+    hist = b.groupBy("b").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.select(
+        "b", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum0"))
+    targets = (stats.select("n").crossJoin(
+        F.broadcast(df.sparkSession.createDataFrame(
+            [(int(round(q * 1000)),) for q in sorted(set(qs))],
+            "q_milli long")))
+        .select("q_milli",
+                F.ceil(F.col("q_milli") / 1000.0 * F.col("n"))
+                .cast("long").alias("rank")))
+    hit = (targets.join(F.broadcast(hist),
+                        (F.col("rank") > F.col("cum0"))
+                        & (F.col("rank") <= F.col("cum0") + F.col("c")))
+           .select("q_milli", "rank", "b",
+                   (F.col("rank") - F.col("cum0")).alias("off")))
+    wv = Window.partitionBy("b").orderBy("v")
+    ranked = b.withColumn("rn", F.row_number().over(wv))
+    return (ranked.join(F.broadcast(hit),
+                        (ranked["b"] == hit["b"])
+                        & (ranked["rn"] == hit["off"]))
+            .select("q_milli", "rank", F.col("v").alias("value")))
+
+
+def exact_quantiles_sql(src_sql: str, col: str,
+                        qs: "list[float]") -> str:
+    """DuckDB twin of ``exact_quantiles`` — the naive global
+    row_number rank (oracle scale only)."""
+    qrows = ", ".join(f"({int(round(q * 1000))})" for q in sorted(set(qs)))
+    return (
+        f"WITH v AS (SELECT CAST({col} AS DOUBLE) AS v FROM ({src_sql}) "
+        f"WHERE {col} IS NOT NULL), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v), "
+        "n AS (SELECT count(*) AS n FROM v), "
+        f"t AS (SELECT q_milli, CAST(ceil(q_milli / 1000.0 * n.n) "
+        f"AS BIGINT) AS rank FROM (VALUES {qrows}) AS _q(q_milli), n) "
+        "SELECT t.q_milli, t.rank, r.v AS value "
+        "FROM t JOIN r ON r.rn = t.rank"
+    )

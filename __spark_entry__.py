@@ -1110,6 +1110,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SK.exact_quantiles(tc, "ntok", [0.5, 0.9, 0.99])
     q["doc_length_quantiles"] = doc_length_quantiles
 
+    def event_window_rollup(spark, sf):
+        """Tumbling-window event counts — the batch twin of the
+        streaming watermarked windowed aggregation, on the same exact
+        integer NTZ epochs: one map-side-combinable groupBy."""
+        from vtcomposite_spark.operators.sessions import \
+            event_window_counts
+        return event_window_counts(_read(spark, sf, "events"), 60)
+    q["event_window_rollup"] = event_window_rollup
+
+    def ngram_count_export(spark, sf):
+        """Corpus n-gram count table (the KenLM-style LM feed): rows ∝
+        tokens, n−1 lead()s over one per-doc sort, map-side-combinable
+        count, min_count prune — grams never span documents."""
+        from vtcomposite_spark.operators import chunking as CH
+        return CH.ngram_counts(_read(spark, sf, "documents"),
+                               n=3, min_count=2)
+    q["ngram_count_export"] = ngram_count_export
+
     def host_boilerplate_lines(spark, sf):
         """Site-scoped boilerplate removal (the RefinedWeb rule): each
         host's nav line repeats WITHIN its host → dropped; a cross-host
@@ -2196,6 +2214,14 @@ def oracle_sql() -> dict[str, str]:
                                                       sessionize_sql)
     o["sessionize_events"] = sessionize_sql("SELECT * FROM events")
     o["session_stats_events"] = session_stats_sql("SELECT * FROM events")
+
+    from vtcomposite_spark.operators.sessions import \
+        event_window_counts_sql
+    o["event_window_rollup"] = event_window_counts_sql(
+        "SELECT * FROM events", 60)
+
+    from vtcomposite_spark.operators.chunking import ngram_counts_sql
+    o["ngram_count_export"] = ngram_counts_sql(3, 2)
 
     from vtcomposite_spark.tilemath import morton_sql
     _tx8, _ty8 = _tile_sql("lon", "lat", 8)

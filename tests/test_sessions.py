@@ -117,3 +117,39 @@ def test_stream_sessionize_out_of_order_raises(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_event_window_counts_hand_and_twin(spark):
+    from vtcomposite_spark.operators.sessions import (
+        event_window_counts, event_window_counts_sql)
+    rows = [(1, 1, T0, "view"), (2, 1, T0 + dt.timedelta(minutes=30), "view"),
+            (3, 2, T0 + dt.timedelta(minutes=61), "click"),
+            (4, 2, T0 + dt.timedelta(minutes=119, seconds=59.5), "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.window_start_us, r.type): r.n_events for r in
+           event_window_counts(df, 60).collect()}
+    base = next(iter(sorted(k[0] for k in got)))
+    assert got == {(base, "view"): 2, (base + 3_600_000_000, "click"): 2}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE _ev(event_id BIGINT, user_id BIGINT, "
+            "ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany("INSERT INTO _ev VALUES (?, ?, ?, ?)", rows)
+    want = {(int(a), b): int(c) for a, b, c in con.sql(
+        event_window_counts_sql("SELECT * FROM _ev", 60)).fetchall()}
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        event_window_counts(df, 0)
+
+
+def test_event_window_counts_corpus_twin(spark):
+    from vtcomposite_spark.operators.sessions import (
+        event_window_counts, event_window_counts_sql)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = sorted(tuple(r) for r in event_window_counts(ev, 15).collect())
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{SF}/events.parquet'")
+    want = sorted((int(a), b, int(c)) for a, b, c in con.sql(
+        event_window_counts_sql("SELECT * FROM events", 15)).fetchall())
+    assert got == want

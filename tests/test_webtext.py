@@ -1683,3 +1683,24 @@ def test_exact_quantiles_hand_and_twin(spark, docs):
             f"SELECT {TX.TOKEN_COUNT_SQL.format(c='text')} AS ntok "
             "FROM documents", "ntok", [0.5, 0.9, 0.99])))
     assert full == want
+
+
+def test_ngram_counts_hand_and_twin(spark, docs):
+    from vtcomposite_spark.operators import chunking as CH
+    tiny = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b"), (3, "x")],
+        "doc_id long, text string")
+    got = {r.gram: r.cnt for r in
+           CH.ngram_counts(tiny, n=2).collect()}
+    # grams never span docs; doc 3 (< n tokens) contributes nothing
+    assert got == {"a b": 3, "b a": 2}
+    assert {r.gram: r.cnt for r in
+            CH.ngram_counts(tiny, n=2, min_count=3).collect()} == \
+        {"a b": 3}
+    full = sorted(tuple(r) for r in
+                  CH.ngram_counts(docs, n=3, min_count=2).collect())
+    want = sorted((g, int(c)) for g, c in duck(
+        CH.ngram_counts_sql(3, 2)))
+    assert full == want
+    with pytest.raises(ValueError):
+        CH.ngram_counts(tiny, n=0)

@@ -914,3 +914,52 @@ def bpe_apply_sql(merges: int = 3, table: str = "documents",
         "unnest(generate_series(1, len(ws))) AS g(i)) "
         f"SELECT d.{id_col}, d.word_pos, s.sym_pos, s.sym "
         "FROM wd d JOIN syms s USING (word)")
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 1,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus n-gram count export — the KenLM-style LM-training feed
+    (the bigram/unigram tables the surprisal operators build inline,
+    materialized for any order ``n``): (gram, cnt) with the gram's
+    tokens joined by a single space, counts ≥ ``min_count``.
+
+    100-TB shape: the dedupe_substrings gram discipline — one
+    posexplode (rows ∝ tokens), n−1 lead()s over one per-doc sort (no
+    token arrays), one map-side-combinable count. Grams never span
+    documents; docs shorter than ``n`` tokens contribute nothing."""
+    from pyspark.sql.window import Window as _W
+
+    from ..functions.text import tokens_col
+
+    if n < 1:
+        raise ValueError("ngram_counts: n must be >= 1")
+    if min_count < 1:
+        raise ValueError("ngram_counts: min_count must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    wd = _W.partitionBy("_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd)
+                              for i in range(1, n)]
+    return (toks.withColumn(
+        "gram", F.when(parts[-1].isNotNull(),
+                       F.concat_ws(" ", *parts)))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("gram").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count))
+
+
+def ngram_counts_sql(n: int = 3, min_count: int = 1,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of ``ngram_counts``."""
+    ws = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    gram = " || ' ' || ".join(f"ws[g.i + {i}]" for i in range(n))
+    return (
+        f"WITH t AS (SELECT {id_col}, {ws} AS ws FROM {table}), "
+        f"g AS (SELECT {gram} AS gram FROM t, "
+        f"unnest(generate_series(1, len(ws) - {n - 1})) AS g(i)) "
+        "SELECT gram, count(*) AS cnt FROM g GROUP BY 1 "
+        f"HAVING count(*) >= {min_count}"
+    )

@@ -113,3 +113,35 @@ def session_stats_sql(src_sql: str, gap_us: int = DEFAULT_GAP_US,
         "max(ts_us) - min(ts_us) AS duration_us "
         f"FROM ({inner}) GROUP BY 1, 2"
     )
+
+
+def event_window_counts(events: DataFrame, window_minutes: int = 60,
+                        type_col: str = "event_type",
+                        ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window event counts — the BATCH twin of the streaming
+    pipeline's watermarked windowed aggregation, on the same exact
+    integer epochs: (window_start_us, type, n_events) with
+    window_start_us = floor(epoch_us / W)·W. One map-side-combinable
+    groupBy; windows align identically in both engines because the
+    epoch is integer micros from the NTZ fields."""
+    if window_minutes < 1:
+        raise ValueError("window_minutes must be >= 1")
+    w_us = window_minutes * 60 * 1_000_000
+    ws = _epoch_us(ts_col)
+    start = (ws - (ws % w_us)).alias("window_start_us")
+    return (events.select(start, F.col(type_col).alias("type"))
+            .groupBy("window_start_us", "type")
+            .agg(F.count("*").alias("n_events")))
+
+
+def event_window_counts_sql(src_sql: str, window_minutes: int = 60,
+                            type_col: str = "event_type",
+                            ts_col: str = "ts") -> str:
+    """DuckDB twin of ``event_window_counts``."""
+    w_us = window_minutes * 60 * 1_000_000
+    e = f"epoch_us({ts_col})"
+    return (
+        f"SELECT {e} - ({e} % {w_us}) AS window_start_us, "
+        f"{type_col} AS type, count(*) AS n_events "
+        f"FROM ({src_sql}) GROUP BY 1, 2"
+    )

@@ -29,7 +29,8 @@ def _canon(df):
 def _check(feats, targets, _src_zooms=None, **kw):
     """Generic-join packed path by default (src_zooms=None); pass
     _src_zooms to exercise the auto/source-grouped routes."""
-    want = C.composite(feats, targets, join_strategy="broadcast")
+    want = C.composite(feats, targets, join_strategy="broadcast",
+                       src_zooms=None)
     got = C.composite_packed(feats, targets, join_strategy="broadcast",
                              src_zooms=_src_zooms, **kw)
     assert got.columns == want.columns
@@ -161,7 +162,8 @@ def test_source_grouped_dz1_parity(spark, fixture_bytes, fixture):
     packed emit) must be row-identical to the generic composite()."""
     feats, grid = _grid_feats(spark, fixture_bytes, fixture)
     targets = _targets(spark, grid, 9, 8)
-    want = C.composite(feats, targets, join_strategy="broadcast")
+    want = C.composite(feats, targets, join_strategy="broadcast",
+                       src_zooms=None)
     got = C.overzoom_composite_packed(feats, targets, src_zoom=8)
     assert got.columns == want.columns
     w = _canon(want)
@@ -182,7 +184,7 @@ def test_source_grouped_mixed_dz0_dz2_first_wins_keep(spark, fixture_bytes):
          (5, 4, 7, None, None, False)],
         "z int, x long, y long, buffer_size int, "
         "keep_layers array<string>, compress boolean")
-    want = C.composite(f2, t3, join_strategy="broadcast")
+    want = C.composite(f2, t3, join_strategy="broadcast", src_zooms=None)
     got = C.overzoom_composite_packed(f2, t3, src_zoom=4)
     assert got.columns == want.columns
     w = _canon(want)
@@ -230,7 +232,7 @@ def test_source_grouped_targets_without_keep_layers(spark, fixture_bytes):
     want = C.composite(
         feats, bare.withColumn(
             "keep_layers", F.lit(None).cast("array<string>")),
-        join_strategy="broadcast")
+        join_strategy="broadcast", src_zooms=None)
     assert got.columns == want.columns
     w = _canon(want)
     assert w and _canon(got) == w

@@ -146,7 +146,8 @@ def test_multi_tile_encode_parity(spark, fixture_bytes):
         F.lit(128).alias("buffer_size"),
         F.lit(None).cast("array<string>").alias("keep_layers"),
         F.lit(False).alias("compress"))
-    ct = C.composite(feats, targets, join_strategy="broadcast") \
+    ct = C.composite(feats, targets, join_strategy="broadcast",
+                     src_zooms=None) \
         .withColumn("compress", F.lit(False)).toArrow().combine_chunks()
     multi = {(z, x, y): b for z, x, y, b in mvt_vec.encode_tiles_table(ct)}
     assert len(multi) == 16

@@ -184,6 +184,40 @@ def test_multizoom_keep_layers_and_first_wins_parity(spark, fixture_bytes):
     assert got == want and want
 
 
+def test_grouped_generic_matches_join_generic(spark, fixture_bytes):
+    """src_zooms=None is the grouped generic plan since r6 (keys-only
+    winner pass + one source-address-grouped shuffle + layer splice); the
+    legacy payload-duplicating join plan stays as the cap backend and the
+    parity anchor. Byte parity between the two on the richest mixed-zoom
+    scenario (cross-zoom first-wins, renamed layers, keep-lists, gzip,
+    dz=0 passthrough, NULL buffer_size) makes every existing
+    specialized-vs-generic parity test transitively anchor on the join
+    plan."""
+    lbuf = fixture_bytes("linestrings-properties-16-10498-22872.mvt")
+    pbuf = fixture_bytes("polygons-properties-16-10498-22872.mvt")
+    feats = ingest.features_from_tiles(
+        spark, [(lbuf, 4, 2, 3), (pbuf, 5, 4, 6), (lbuf, 5, 5, 7)])
+    feats = feats.withColumn(
+        "layer", F.when(F.col("tile_idx") == 1,
+                        F.concat(F.col("layer"), F.lit("_poly")))
+        .otherwise(F.col("layer")))
+    name = "water"
+    targets = spark.createDataFrame(
+        [(6, 8, 13, 128, None, False), (6, 9, 12, 64, None, True),
+         (5, 4, 6, 0, None, False), (4, 2, 3, 0, None, False),
+         (6, 8, 12, 128, [name], False), (6, 9, 13, 128, ["nope"], True),
+         (5, 5, 7, None, None, False), (6, 63, 63, 128, None, False)],
+        "z int, x long, y long, buffer_size int, "
+        "keep_layers array<string>, compress boolean")
+    want = _tiles(C._composite_encode_tiles_impl(
+        feats, targets, "broadcast", "broadcast", None, None, None,
+        _generic_impl="join"))
+    got = _tiles(C.composite_encode_tiles(feats, targets, src_zooms=None))
+    assert set(got) == set(want) and want
+    for k in want:
+        assert got[k] == want[k], k
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_randomized_parity_specialized_vs_generic(spark, seed):
     """Randomized tiles (typed props, all geometry types) × randomized

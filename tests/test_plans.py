@@ -241,7 +241,8 @@ def test_packed_relational_plan_shape(spark):
     feats, targets = _points_fixture(spark)
     out = overzoom_composite_packed(feats, targets, src_zoom=4)
     got = _canon(out)  # collect first: AQE finalizes the plan on run
-    want = _canon(composite(feats, targets, join_strategy="broadcast"))
+    want = _canon(composite(feats, targets, join_strategy="broadcast",
+                            src_zooms=None))
     assert got == want and want
     # the AQE executedPlan string carries Final AND Initial plan copies —
     # count nodes in the final section only

@@ -88,7 +88,8 @@ def test_wire_bytes_frozen_all_paths(spark, fixture_bytes, case):
         "fused_capped": _collect(
             C.composite_encode_tiles(f, t, max_pack_features=1 << 20)),
     }
-    un = C.composite(f, t).withColumn("compress", F.lit(bool(compress)))
+    un = C.composite(f, t, src_zooms=None).withColumn(
+        "compress", F.lit(bool(compress)))
     got["unfused_columnar"] = _collect(C.encode_tiles(un))
     got["unfused_rows"] = _collect(C.encode_tiles(un, impl="rows"))
     for path, tiles in got.items():

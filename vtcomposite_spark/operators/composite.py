@@ -370,7 +370,7 @@ def _to_arrow(dt: T.DataType) -> pa.DataType:
 def composite(features: DataFrame, targets: DataFrame,
               join_strategy: str = "auto",
               winners_join: str = "broadcast",
-              src_zooms: list[int] | None = None) -> DataFrame:
+              src_zooms: list[int] | None | str = "auto") -> DataFrame:
     """Full composite pipeline, relational in/out.
 
     Output: one row per surviving feature keyed by target (z, x, y), with
@@ -378,17 +378,38 @@ def composite(features: DataFrame, targets: DataFrame,
     reference's CompositeWorker::Execute semantics (src/vtcomposite.cpp:205-323)
     minus serialization (see ``encode_tiles``).
 
-    ``join_strategy``/``winners_join``: physical-join sizing for the
-    ancestor join and the first-wins semi-join — see ``ancestor_join`` /
-    ``first_wins``. The ancestor join defaults to 'auto' (Catalyst+AQE pick
-    from real sizes); the first-wins semi-join defaults to FORCED
-    'broadcast' of the keys-only winner set (measured 2.3× over letting AQE
-    decide — AQE still pays the probe-side full-width shuffle write before
-    converting). At planet-scale winner-set cardinalities pass
-    winners_join='auto' to avoid the driver collecting the broadcast side.
+    ``src_zooms`` routes the physical plan exactly like
+    ``composite_packed`` (the two entry points share ``_route_src_zooms``):
+    ``"auto"`` (default) infers the feature zoom levels with one tiny
+    column-pruned distinct scan (an eager job at call time) and routes the
+    SOURCE-GROUPED plan — features shuffle ONCE by source tile (bytes ∝
+    input, never input × 4^dz) and cross the python seam packed one row
+    per tile both ways (measured ~3× over the per-feature-row seam of the
+    generic plan at bench scale). Declared zooms skip the inference job.
+    ``None`` forces the generic ancestor-join plan — the parity-test
+    reference, and the scale-safe choice when the TARGET set itself is
+    planet-scale (the source-grouped route force-broadcasts the grouped
+    target lists; the generic join lets Catalyst/AQE shuffle-join
+    instead). Row-identical either way (tests/test_composite_packed.py).
+
+    ``join_strategy``/``winners_join`` apply to the generic plan only:
+    physical-join sizing for the ancestor join and the first-wins
+    semi-join — see ``ancestor_join`` / ``first_wins``. The ancestor join
+    defaults to 'auto' (Catalyst+AQE pick from real sizes); the first-wins
+    semi-join defaults to FORCED 'broadcast' of the keys-only winner set
+    (measured 2.3× over letting AQE decide — AQE still pays the probe-side
+    full-width shuffle write before converting). At planet-scale
+    winner-set cardinalities pass winners_join='auto' to avoid the driver
+    collecting the broadcast side.
     """
+    zs = _route_src_zooms(features, src_zooms, None)
+    if zs:
+        if len(zs) == 1:
+            return overzoom_composite_packed(features, targets,
+                                             src_zoom=zs[0])
+        return _multizoom_composite_packed(features, targets, zs)
     j = ancestor_join(features, targets, strategy=join_strategy,
-                      src_zooms=src_zooms)
+                      src_zooms=zs)
     j = apply_keep_layers(j)
     j = first_wins(j, winners_join=winners_join)
     out = overzoom_clip(j)
@@ -664,7 +685,16 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     column of the scan — so the shuffle-∝-input strategy engages without
     caller knowledge; the inference job runs eagerly at call time, so
     streaming callers must declare zooms (or pass ``None``) instead.
-    ``None`` forces the generic join path (the parity-test reference;
+    ``None`` is the fully LAZY no-declared-zooms plan: since r6 it is the
+    grouped generic (``_grouped_generic_encode_tiles``) — a keys-only
+    global winner pass + ONE source-address-grouped shuffle (bytes ∝
+    input, any zoom mix, no eager job) + per-tile layer splicing — byte-
+    identical to the legacy join plan under the ingest contract
+    (tile_idx ↦ one input tile; parity-gated in
+    tests/test_overzoom_fused.py). The legacy payload-duplicating join
+    plan remains as the ``max_pack_features`` backend (the cap's
+    row_number bucketing needs the target-joined relation) and via the
+    private ``_generic_impl="join"`` (the parity-test reference;
     ``join_strategy``/``winners_join`` only apply there).
     ``partitions`` passes through. Results are byte-identical
     (parity-tested) — this is a physical plan choice, not a semantic
@@ -677,6 +707,15 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
     options are undefined in every path (the packed seam takes
     first(options) and the join duplicates features).
     """
+    return _composite_encode_tiles_impl(
+        features, targets, join_strategy, winners_join, src_zooms,
+        partitions, max_pack_features, _generic_impl="grouped")
+
+
+def _composite_encode_tiles_impl(features, targets, join_strategy,
+                                 winners_join, src_zooms, partitions,
+                                 max_pack_features,
+                                 _generic_impl="grouped"):
     import pyarrow as pa
 
     from ..sources import mvt_vec
@@ -688,8 +727,13 @@ def composite_encode_tiles(features: DataFrame, targets: DataFrame,
                                          partitions=partitions)
         return _multizoom_encode_tiles(features, targets, zs,
                                        partitions=partitions)
-    # zs is None (generic over all zooms) or [] (explicitly declared
-    # empty — the generic join's empty target explode yields an empty
+    if zs is None and max_pack_features is None \
+            and _generic_impl == "grouped":
+        return _grouped_generic_encode_tiles(features, targets,
+                                             partitions=partitions)
+    # legacy join plan: zs is None with the cap (its bucket window needs
+    # the joined relation) or the "join" parity reference, or [] —
+    # explicitly declared empty (the empty target explode yields an empty
     # result with the right schema)
 
     j = ancestor_join(features, targets, strategy=join_strategy,
@@ -900,11 +944,12 @@ def composite_packed(features: DataFrame, targets: DataFrame,
 
 
 def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
-                          src_zoom: int,
+                          src_zoom: int | None,
                           partitions: int | None = None,
                           _wins: bool = False,
                           _layer_rows: bool = False,
-                          _packed_rows: bool = False) -> DataFrame:
+                          _packed_rows: bool = False,
+                          _exploded_targets: bool = False) -> DataFrame:
     """Single-source-zoom composite→encode, grouped by SOURCE tile.
 
     The generic ``composite_encode_tiles`` joins features to targets first,
@@ -941,6 +986,12 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
     ``_packed_rows=True`` (the ``overzoom_composite_packed`` backend)
     skips the encoder and emits one packed row per target — tile keys +
     the clipped feature structs — for a JVM-side ``inline`` restore.
+    ``_exploded_targets=True`` (with ``src_zoom=None``) is the grouped
+    GENERIC plan's mode: targets arrive already exploded per candidate
+    source zoom, carrying ``src_z``/``src_x``/``src_y``; both sides group
+    by the full source ADDRESS (zoom included) and the kernel reads each
+    group's zoom from the batch — one pass over arbitrary zoom mixes,
+    shuffle still ∝ input.
     """
     import pyarrow as pa
 
@@ -949,19 +1000,28 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
     if _packed_rows and _layer_rows:
         raise ValueError("_packed_rows and _layer_rows are exclusive "
                          "output modes")
+    if (src_zoom is None) != _exploded_targets:
+        raise ValueError("src_zoom=None requires _exploded_targets "
+                         "(and vice versa)")
 
-    feats = features.filter(F.col("src_z") == src_zoom)
-    t = (targets.filter(F.col("z") >= src_zoom)
-         .withColumn("src_x", F.call_function(
-             "shiftright", F.col("x"), F.col("z") - F.lit(src_zoom)).cast("long"))
-         .withColumn("src_y", F.call_function(
-             "shiftright", F.col("y"), F.col("z") - F.lit(src_zoom)).cast("long")))
+    if _exploded_targets:
+        keys = ["src_z", "src_x", "src_y"]
+        feats = features
+        t = targets
+    else:
+        keys = ["src_x", "src_y"]
+        feats = features.filter(F.col("src_z") == src_zoom)
+        t = (targets.filter(F.col("z") >= src_zoom)
+             .withColumn("src_x", F.call_function(
+                 "shiftright", F.col("x"), F.col("z") - F.lit(src_zoom)).cast("long"))
+             .withColumn("src_y", F.call_function(
+                 "shiftright", F.col("y"), F.col("z") - F.lit(src_zoom)).cast("long")))
     tgt_fields = ["z", "x", "y", "buffer_size", "compress"]
     if _wins:
         tgt_fields.append("wins")
     elif "keep_layers" in t.columns:
         tgt_fields.append("keep_layers")
-    tgrp = (t.groupBy("src_x", "src_y")
+    tgrp = (t.groupBy(*keys)
             .agg(F.collect_list(F.struct(*tgt_fields)).alias("tgts")))
 
     data_cols = [c for c in feats.columns if c not in ("src_z", "src_x", "src_y")]
@@ -970,10 +1030,13 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
         # (tens of ms) — with few groups per core the default shuffle
         # partitioning leaves stragglers; a finer hash partitioning on the
         # group key is inherited by the agg (no extra exchange)
-        feats = feats.repartition(partitions, "src_x", "src_y")
-    fgrp = (feats.groupBy("src_x", "src_y")
+        feats = feats.repartition(partitions, *keys)
+    fgrp = (feats.groupBy(*keys)
             .agg(F.collect_list(F.struct(*data_cols)).alias("feats")))
-    packed = fgrp.join(F.broadcast(tgrp), on=["src_x", "src_y"], how="inner")
+    packed = fgrp.join(F.broadcast(tgrp), on=keys, how="inner")
+    if _exploded_targets:
+        # the kernel reads each group's zoom from this column
+        packed = packed.select("src_z", "feats", "tgts")
 
     feat_names = data_cols
     kernel_names = feat_names + ["z", "x", "y", "buffer_size", "compress",
@@ -1033,6 +1096,13 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             has_keep = "keep_layers" in tgt_fields
             keep_lists = tvals.field(5).to_pylist() if has_keep else None
             win_lists = tvals.field(5).to_pylist() if _wins else None
+            if _exploded_targets:
+                # grouped generic: each group's source zoom rides the batch
+                gz = batch.column("src_z").to_numpy(
+                    zero_copy_only=False).astype(_I64)
+                tgt_zoom = np.repeat(gz, np.diff(toff))
+            else:
+                tgt_zoom = np.full(len(tz), src_zoom, _I64)
 
             pair_feat: list[np.ndarray] = []
             pair_tgt: list[np.ndarray] = []
@@ -1053,7 +1123,7 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
                     np.minimum.at(win, lc, ti[f0:f1])
                     alive0 = ti[f0:f1] == win[lc]
                 for k in range(int(toff[g]), int(toff[g + 1])):
-                    dz = int(tz[k]) - src_zoom
+                    dz = int(tz[k]) - int(tgt_zoom[k])
                     if dz > 0 and tbuf_null[k]:
                         continue  # generic-path parity: NULL buffer_size
                         # fails the envelope predicate — no features
@@ -1094,7 +1164,7 @@ def overzoom_encode_tiles(features: DataFrame, targets: DataFrame,
             pf = np.concatenate(pair_feat)
             pt = np.concatenate(pair_tgt)
             take = pa.array(pf, pa.int64())
-            dz_arr = tz[pt] - src_zoom
+            dz_arr = tz[pt] - tgt_zoom[pt]
             zf_arr = np.int64(1) << dz_arr
             ext_p = ext[pf]
             cols = {n: fvals.field(i).take(take)
@@ -1200,7 +1270,10 @@ def _relational_order(features: DataFrame, targets: DataFrame) -> list[str]:
     tref = targets if "keep_layers" in targets.columns else \
         targets.withColumn("keep_layers",
                            F.lit(None).cast("array<string>"))
-    return composite(features, tref).columns
+    # src_zooms=None: the generic plan — schema-only use; the default
+    # "auto" routing would recurse (packed → _relational_order →
+    # composite → packed) and run its eager inference job
+    return composite(features, tref, src_zooms=None).columns
 
 
 def _packed_rows_to_relational(packed_out: DataFrame,
@@ -1308,6 +1381,72 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     for p in parts[1:]:
         merged = merged.unionByName(p)
     return _merge_layer_rows(merged)
+
+
+def _grouped_generic_encode_tiles(features: DataFrame, targets: DataFrame,
+                                  partitions: int | None = None) -> DataFrame:
+    """The no-declared-zooms fused plan, source-grouped (guide §8 shape:
+    decide with small rows, move big rows once).
+
+    The legacy generic plan joins features to exploded targets FIRST, so
+    its pack shuffle carries every feature once per descendant target
+    (4^dz×, full payload). Here the payload shuffles exactly once:
+
+    * **keys-only global first-wins** — features pre-aggregate to one row
+      per (src address, layer) (a column-pruned scan, 5 small columns);
+      the ancestor equi-join + min(tile_idx) over THAT gives each
+      target's winner list, keep-lists folded in. Identical winners to
+      the joined-relation aggregation: min over per-source minima is the
+      global min.
+    * targets (inner-joined to their winner lists — targets with no
+      features vanish, like the legacy inner join) explode per candidate
+      source zoom 0..z and group by source ADDRESS — the broadcast side.
+    * features group by (src_z, src_x, src_y) — the ONE payload shuffle,
+      bytes ∝ input for ANY zoom mix, no eager inference job.
+    * the shared fan/clip/encode kernel emits per-(target, layer) framed
+      messages (a target may draw layers from groups at several zooms)
+      and ``_merge_layer_rows`` splices per tile — one extra shuffle of
+      OUTPUT-sized encoded blobs, the multi-zoom sink's merge contract.
+
+    Byte-identical to the legacy join plan under the ingest contract that
+    ``tile_idx`` identifies one input tile (parity-gated, mixed-zoom
+    scenarios included). A tile_idx shared by two source tiles at
+    different zooms on the same target+layer — the case the declared-
+    multi-zoom route rejects with its guard — would emit from both
+    groups here (the legacy plan interleaved such rows instead); that
+    input violates the ingest contract in every documented path.
+
+    Scale note: the broadcast side is one row per (source address) with
+    target lists ∝ targets × (z+1); planet-scale TARGET sets belong on
+    the legacy shuffle-join plan (``_generic_impl="join"``), same
+    tradeoff as every source-grouped route."""
+    has_keep = "keep_layers" in targets.columns
+    fk = (features.groupBy("src_z", "src_x", "src_y", "layer")
+          .agg(F.min("tile_idx").alias("tile_idx")))
+    tsel = ["z", "x", "y"] + (["keep_layers"] if has_keep else [])
+    cand = ancestor_join(fk, targets.select(*tsel))
+    if has_keep:
+        cand = apply_keep_layers(cand)
+    wins = (cand.groupBy("z", "x", "y", "layer")
+            .agg(F.min("tile_idx").alias("tile_idx")))
+    winlists = (wins.groupBy("z", "x", "y")
+                .agg(F.collect_list(F.struct("layer", "tile_idx"))
+                     .alias("wins")))
+    t_base = targets.drop("keep_layers") if has_keep else targets
+    if "compress" not in t_base.columns:  # legacy-plan tolerance: absent
+        t_base = t_base.withColumn("compress", F.lit(False))  # ⇒ no gzip
+    tw = t_base.join(winlists, on=["z", "x", "y"], how="inner")
+    te = (tw.withColumn("src_z", F.explode(F.sequence(F.lit(0), F.col("z"))))
+          .withColumn("src_x", F.call_function(
+              "shiftright", F.col("x"), F.col("z") - F.col("src_z"))
+              .cast("long"))
+          .withColumn("src_y", F.call_function(
+              "shiftright", F.col("y"), F.col("z") - F.col("src_z"))
+              .cast("long")))
+    layer_rows = overzoom_encode_tiles(
+        features, te, src_zoom=None, partitions=partitions,
+        _wins=True, _layer_rows=True, _exploded_targets=True)
+    return _merge_layer_rows(layer_rows)
 
 
 def _multizoom_wins(features: DataFrame, targets: DataFrame,

@@ -44,6 +44,8 @@ def timeit(label, build, n=2, sink=noop):
 
 def save_plan(df, name):
     os.makedirs(PLANS, exist_ok=True)
+    if os.path.exists(os.path.join(PLANS, name)):
+        return  # never clobber a captured (committed) plan snapshot
     with open(os.path.join(PLANS, name), "w") as fh:
         fh.write(df._jdf.queryExecution().explainString(
             __import__("pyspark").sql.SparkSession.getActiveSession()

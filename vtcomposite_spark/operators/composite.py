@@ -1370,17 +1370,32 @@ def _multizoom_encode_tiles(features: DataFrame, targets: DataFrame,
     tile (its zoom mapping is functional) — reusing a tile_idx across
     source tiles at different zooms would duplicate winner rows."""
     wins, t_base = _multizoom_wins(features, targets, zs)
-    parts = []
-    for z_s in zs:
-        t_z = t_base.join(_wins_for_zoom(wins, z_s),
-                          on=["z", "x", "y"], how="inner")
-        parts.append(overzoom_encode_tiles(
-            features, t_z, src_zoom=int(z_s), partitions=partitions,
-            _wins=True, _layer_rows=True))
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    return _merge_layer_rows(merged)
+    # ONE source-address-grouped pass over all declared zooms (the
+    # grouped-generic machinery) instead of a per-zoom pass union: same
+    # shuffle bytes, half the stages/joins. Each target carries its FULL
+    # winner list; the guarded tile_idx↦tile mapping means exactly one
+    # zoom's group holds each winning tile, so each layer still encodes
+    # once — byte parity unchanged (tests/test_overzoom_fused.py).
+    winlists = (wins.groupBy("z", "x", "y")
+                .agg(F.collect_list(F.struct("layer", "tile_idx"))
+                     .alias("wins")))
+    if "compress" not in t_base.columns:
+        t_base = t_base.withColumn("compress", F.lit(False))
+    tw = t_base.join(winlists, on=["z", "x", "y"], how="inner")
+    zarr = F.array(*[F.lit(int(z)) for z in zs])
+    te = (tw.withColumn("src_z", F.explode(
+              F.filter(zarr, lambda z: z <= F.col("z"))))
+          .withColumn("src_x", F.call_function(
+              "shiftright", F.col("x"), F.col("z") - F.col("src_z"))
+              .cast("long"))
+          .withColumn("src_y", F.call_function(
+              "shiftright", F.col("y"), F.col("z") - F.col("src_z"))
+              .cast("long")))
+    feats = features.filter(F.col("src_z").isin([int(z) for z in zs]))
+    layer_rows = overzoom_encode_tiles(
+        feats, te, src_zoom=None, partitions=partitions,
+        _wins=True, _layer_rows=True, _exploded_targets=True)
+    return _merge_layer_rows(layer_rows)
 
 
 def _grouped_generic_encode_tiles(features: DataFrame, targets: DataFrame,

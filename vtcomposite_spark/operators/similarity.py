@@ -243,6 +243,15 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("_id", "cv", F.col("centroid_id").alias("bucket"))
+        # assigned feeds BOTH self-join sides and the final kept-flag join;
+        # without a cut the crossJoin+cosine+window subtree executes three
+        # times (no exchange reuse across the self-join's renumbered
+        # branches — verified in the plan). The lazy local checkpoint
+        # materializes the assignment once per invocation — within-query
+        # reuse, nothing persists across bench/oracle runs. At corpus
+        # scale this stores one (id, vector, bucket) row per corpus row —
+        # the standard persist-vs-3-full-recomputes tradeoff.
+        .localCheckpoint(eager=False)
     )
     prunable = assigned
     if max_bucket is not None:

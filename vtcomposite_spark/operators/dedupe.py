@@ -72,7 +72,12 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 8,
                             bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band."""
-    b = minhash_lsh_buckets(df, text_col, id_col, k, bands, shingle_n)
+    # both self-join sides read the bucket table; without a cut the
+    # k×shingle md5 signature pass runs twice per action. Keys-only
+    # (band_key, id) rows — cheap to materialize once; within-query
+    # reuse only, nothing persists across runs.
+    b = minhash_lsh_buckets(df, text_col, id_col, k, bands, shingle_n) \
+        .localCheckpoint(eager=False)
     l = b.select(F.col("band_key"), F.col(id_col).alias("a"))
     r = b.select(F.col("band_key"), F.col(id_col).alias("b"))
     return (

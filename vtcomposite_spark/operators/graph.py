@@ -59,17 +59,24 @@ def pagerank(edges: DataFrame, iters: int = 5,
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
     ranks = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (ranks.join(outdeg, ranks["id"] == outdeg["src"])
                     .select("src", F.expr("rank div deg").alias("c")))
         incoming = (e.join(contribs, "src")
                     .groupBy("dst").agg(F.sum("c").alias("inc")))
+        # lineage cut every round; only the LAST round is an eager job —
+        # intermediate lazy checkpoints still truncate the logical plan at
+        # build time and materialize inside the final job, so a k-round
+        # run schedules ONE checkpoint job instead of k (the per-round
+        # barrier was pure scheduling overhead; results are unchanged).
+        # The final eager one also keeps the unpersists below safe: the
+        # returned ranks never recompute from e/outdeg/nodes.
         ranks = (nodes.join(incoming, nodes["id"] == incoming["dst"], "left")
                  .select("id",
                          (F.lit(base) + F.expr(
                              f"({damping_num} * coalesce(inc, 0L)) "
                              f"div {damping_den}")).cast("long").alias("rank"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=it == iters - 1))
     e.unpersist()
     outdeg.unpersist()
     nodes.unpersist()
@@ -170,7 +177,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 5,
     ranks = marked.select(
         "id", F.when(F.col("_seed"), F.lit(scale // ns))
         .otherwise(F.lit(0)).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (ranks.join(outdeg, ranks["id"] == outdeg["src"])
                     .select("src", F.expr("rank div deg").alias("c")))
         incoming = (e.join(contribs, "src")
@@ -182,7 +189,9 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = 5,
                           + F.expr(f"({damping_num} * coalesce(inc, 0L)) "
                                    f"div {damping_den}"))
                          .cast("long").alias("rank"))
-                 .localCheckpoint(eager=True))
+                 # pagerank's rule: lineage cut every round, ONE eager job
+                 # (the last round — also keeps the unpersists safe)
+                 .localCheckpoint(eager=it == iters - 1))
     for df in (e, outdeg, nodes, s, marked):
         df.unpersist()
     return ranks
@@ -366,7 +375,7 @@ def label_propagation(edges: DataFrame, iters: int = 5,
                                F.col("a").alias("b"))).persist()
     nodes = e.select(F.col("a").alias("id")).distinct().persist()
     labels = nodes.select("id", F.col("id").alias("label"))
-    for _ in range(iters):
+    for it in range(iters):
         votes = (e.join(labels.select(F.col("id").alias("b"), "label"),
                         "b")
                  .groupBy("a", "label").agg(F.count("*").alias("n")))
@@ -379,7 +388,8 @@ def label_propagation(edges: DataFrame, iters: int = 5,
         labels = (nodes.join(best, "id", "left")
                   .join(labels, "id")
                   .select("id", F.coalesce("_new", "label").alias("label"))
-                  .localCheckpoint(eager=True))
+                  # pagerank's rule: lazy cuts, one eager job at the end
+                  .localCheckpoint(eager=it == iters - 1))
     e.unpersist()
     nodes.unpersist()
     return labels

@@ -472,7 +472,13 @@ def knn_join(points: DataFrame, sites: DataFrame, k: int,
                .withColumn("_nc", F.count("*").over(w2))
                .withColumn("_kth", F.max("dist_sq").over(w2))
                .withColumn("_exact", (F.col("_nc") == k)
-                           & (F.col("_kth") < safe_sq)))
+                           & (F.col("_kth") < safe_sq))
+               # `sure` appears in the union branch AND (keys-only) in the
+               # fallback anti-join; the lazy checkpoint computes the
+               # grid-join+window subtree once per action instead of twice
+               # (∝ points×k rows — the operator's own output size).
+               # Within-query reuse only, nothing persists across runs.
+               .localCheckpoint(eager=False))
     sure = flagged.filter(F.col("_exact")).drop(
         "_nc", "_kth", "_exact",
         "cell", "tile_x", "tile_y", "site_lat", "site_lon")

@@ -80,13 +80,13 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         F.col(query_id_col).alias("_qid"),
         F.explode(TX.tokens_col(F.col(query_col))).alias("term"))
         .distinct())
-    # matched feeds BOTH the dfreq broadcast build and the scored join —
-    # without a cut the postings scan (full corpus tokenization) runs
-    # twice per action. The lazy checkpoint materializes the
-    # query-matched postings once (∝ matched rows, far below corpus
-    # size); within-query reuse only, nothing persists across runs.
-    matched = post.join(F.broadcast(qterms), "term") \
-        .localCheckpoint(eager=False)
+    # matched feeds BOTH the dfreq broadcast build and the scored join,
+    # so the postings scan runs twice per action. A localCheckpoint cut
+    # was tried in r6 and REVERTED: at bench scale the materialization
+    # barrier cost ~10-18% (3 same-window A/Bs) — the duplicated scan is
+    # cheaper than blocking the pipeline. At corpus scale, callers
+    # should persist `docs` (or the postings) upstream instead.
+    matched = post.join(F.broadcast(qterms), "term")
     # df only for query-matched terms: postings are unique per
     # (term, doc), so distinct-ing the matched rows back to that grain
     # counts documents — never a vocabulary-sized table, and the

@@ -243,15 +243,14 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("_id", "cv", F.col("centroid_id").alias("bucket"))
-        # assigned feeds BOTH self-join sides and the final kept-flag join;
-        # without a cut the crossJoin+cosine+window subtree executes three
-        # times (no exchange reuse across the self-join's renumbered
-        # branches — verified in the plan). The lazy local checkpoint
-        # materializes the assignment once per invocation — within-query
-        # reuse, nothing persists across bench/oracle runs. At corpus
-        # scale this stores one (id, vector, bucket) row per corpus row —
-        # the standard persist-vs-3-full-recomputes tradeoff.
-        .localCheckpoint(eager=False)
+        # assigned feeds BOTH self-join sides and the final kept-flag
+        # join, so the crossJoin+cosine+window subtree executes three
+        # times per action (no exchange reuse across the renumbered
+        # branches). A lazy localCheckpoint cut was tried in r6 and
+        # REVERTED: at bench scale the barrier cost ~10% in every
+        # same-window A/B — the recomputed subtree is cheaper than
+        # blocking the pipeline. At corpus scale, persist the corpus (or
+        # the assignment) upstream instead.
     )
     prunable = assigned
     if max_bucket is not None:

@@ -81,17 +81,19 @@ def get_spark(app: str = "vtcomposite-spark", master: str | None = None,
         # rows; parquet's 128 MB maxPartitionBytes bounds the worst case.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         # the packed encode sinks move ONE fat row per tile (nested feature
-        # structs); cap batch BYTES independently of row count. 4 MB (was
-        # 256 MB): the numpy kernels make dozens of passes over each
+        # structs); cap batch BYTES independently of row count. 2 MB (was
+        # 256 MB; 2 beats 4 consistently on the poly sink, whose finer
+        # 96-partition payloads only split below ~2 MB): the numpy
+        # kernels make dozens of passes over each
         # batch's flat arrays, and a batch that fits L2/L3 turns those
         # passes into cache hits instead of DRAM traffic — measured
-        # same-window on the sink/fused/packed stages: 256MB → 4MB gives
+        # same-window on the sink/fused/packed stages: 256MB → 2-4MB gives
         # 1.25-1.5× per run AND collapses the run-to-run spread under
         # memory-bandwidth contention (OPTIMIZATION_r06.md); batch-split
         # byte parity is gated by the 1-row-batch parity legs. Still
         # bounds hot-tile memory (its original purpose). Row cap above
         # keeps the relational per-feature seam's amortization unchanged
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(4 << 20))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2 << 20))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # deterministic timestamp semantics: crawl timestamps are
         # timezone-naive; never let a host timezone leak into results

@@ -254,3 +254,19 @@ def test_packed_relational_plan_shape(spark):
     # features shuffle by source tile (unduplicated rows); the generic
     # join path would shuffle the feature×target duplicated relation
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_arrow_seam_batch_caps(spark):
+    """The Arrow seam's batch sizing is a measured performance invariant
+    (OPTIMIZATION_r06.md item 7): a small BYTE cap keeps each kernel
+    batch's flat arrays inside L2/L3 across the kernels' many numpy
+    passes (256 MB -> 2 MB measured 1.25-1.5x per run on the packed
+    sink/fused stages and collapses run-to-run spread under memory-
+    bandwidth contention), while the large ROW cap preserves the
+    per-feature relational seam's per-batch-cost amortization
+    (16k/64k/128k rows measured 5.34/4.59/4.20s in round 2). Guard both
+    so a session-helper edit can't silently regress either regime."""
+    assert int(spark.conf.get(
+        "spark.sql.execution.arrow.maxBytesPerBatch")) <= (4 << 20)
+    assert int(spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch")) >= (64 << 10)
